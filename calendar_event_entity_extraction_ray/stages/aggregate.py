@@ -1,0 +1,137 @@
+"""Wide aggregations: entity pools (top-k by count), salted degree counts,
+corpus analytics.
+
+Reference semantics:
+  - ``build_entity_pools``: grouped count of exploded attendee strings and
+    locations, top-500 each (augmentation/entity_pools.py:7-20).
+  - ``analyze_dataset``: global count, per-key histogram, avg/min/max text
+    length (src/prepare_assignment_data.py:64-102).
+
+Scale pattern (ray_guide.md "Aggregation at scale"): every grouped count
+here PRE-AGGREGATES inside ``map_batches`` (one row per key per batch)
+before the shuffle, so the all-to-all exchange moves |distinct keys| x
+|batches| rows instead of every input row. Hub keys ("HQ", "Zoom" — the
+north-star's skewed hub entities) are additionally SALTED: the partial
+count key is ``(key, salt)`` with salt = hash(batch partition) % S, and a
+second tiny groupby folds the salts.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def partial_count_batch(batch: pa.Table, key_col: str, salt_mod: int = 0) -> pa.Table:
+    """Per-batch partial count -> (key, [salt,] partial) rows."""
+    df = batch.select([key_col]).to_pandas()
+    counts = df.groupby(key_col, dropna=True).size().reset_index(name="partial")
+    if salt_mod:
+        # Deterministic batch-content salt (NOT Python's salted str hash):
+        # spreads a hot key's many partial rows over salt_mod sub-groups in
+        # the big exchange; the fold-up groupby then sees ≤ salt_mod rows/key.
+        import hashlib
+
+        h = hashlib.md5(repr(batch.num_rows).encode()
+                        + (batch.column(key_col)[0].as_py() or "").encode("utf-8", "ignore")
+                        + repr(counts["partial"].sum()).encode()).digest()
+        counts["salt"] = int.from_bytes(h[:4], "little") % salt_mod
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+def grouped_count(
+    ds: "ray.data.Dataset", key_col: str, out_col: str = "n", salt_mod: int = 8
+) -> "ray.data.Dataset":
+    """count(*) GROUP BY key with partial pre-aggregation + salting.
+
+    Two-phase: map_batches partial counts keyed (key, salt) -> shuffle ->
+    fold salts -> final (key, n). The second groupby is over ≤ |keys| x
+    salt_mod rows — tiny.
+    """
+    partials = ds.map_batches(
+        lambda b: partial_count_batch(b, key_col, salt_mod=salt_mod),
+        batch_format="pyarrow",
+    )
+    if salt_mod:
+        # Phase 1: fold within (salt, key) sub-groups — a hot key's rows are
+        # split across salt_mod reducers. Phase 2: tiny fold over ≤ salt_mod
+        # rows per key.
+        sub = partials.groupby([key_col, "salt"]).aggregate(
+            Sum("partial", alias_name="partial")
+        )
+        folded = sub.groupby(key_col).aggregate(Sum("partial", alias_name=out_col))
+    else:
+        folded = partials.groupby(key_col).aggregate(Sum("partial", alias_name=out_col))
+    return folded
+
+
+def top_k_by_count(
+    ds: "ray.data.Dataset", key_col: str, k: int = 500, out_col: str = "n"
+) -> pd.DataFrame:
+    """Reference top-500 pool build: grouped count -> sort desc -> limit k.
+    Returns a small pandas frame (the broadcastable pool)."""
+    counts = grouped_count(ds, key_col, out_col=out_col)
+    return counts.sort([out_col, key_col], descending=[True, False]).limit(k).to_pandas()
+
+
+def attendee_location_pools(
+    events_ds: "ray.data.Dataset", k: int = 500
+) -> tuple[List[str], List[str]]:
+    """The reference's two pools over the distributed events table:
+    explode attendees (flat) then grouped count, top-k each."""
+
+    def explode_attendees(batch: pa.Table) -> pa.Table:
+        out = []
+        for lst in batch.column("attendees").to_pylist():
+            if lst:
+                out.extend(a.strip() for a in lst if a and a.strip())
+        return pa.table({"name": pa.array(out, pa.string())})
+
+    att = events_ds.map_batches(explode_attendees, batch_format="pyarrow")
+    att_top = top_k_by_count(att, "name", k=k)
+
+    def project_locations(batch: pa.Table) -> pa.Table:
+        vals = [v.strip() for v in batch.column("location").to_pylist()
+                if isinstance(v, str) and v.strip()]
+        return pa.table({"location": pa.array(vals, pa.string())})
+
+    loc = events_ds.map_batches(project_locations, batch_format="pyarrow")
+    loc_top = top_k_by_count(loc, "location", k=k)
+    return att_top["name"].tolist(), loc_top["location"].tolist()
+
+
+def entity_degree(triples_ds: "ray.data.Dataset", preds: Optional[List[str]] = None,
+                  salt_mod: int = 16) -> "ray.data.Dataset":
+    """Graph degree per object entity — the skew-prone hub aggregate.
+    Filter to linkable predicates, then salted grouped count on ``obj``."""
+    import pyarrow.compute as pc
+
+    preds = preds or ["hasAttendee", "hasLocation"]
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("pred"), value_set=pa.array(preds)))
+
+    filtered = triples_ds.map_batches(flt, batch_format="pyarrow")
+    return grouped_count(filtered, "obj", out_col="degree", salt_mod=salt_mod)
+
+
+def corpus_stats(ds: "ray.data.Dataset", text_col: str = "text") -> pd.DataFrame:
+    """Global count + avg/min/max text length (analyze_dataset analogue)."""
+
+    def lengths(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"n_chars_": pc.utf8_length(b.column(text_col))})
+
+    out = ds.map_batches(lengths, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_rows"),
+        Mean("n_chars_", alias_name="avg_chars"),
+        Min("n_chars_", alias_name="min_chars"),
+        Max("n_chars_", alias_name="max_chars"),
+    )
+    return pd.DataFrame([out])

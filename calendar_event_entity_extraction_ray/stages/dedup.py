@@ -1,0 +1,169 @@
+"""Dedup stages: per-batch triple dedup, shuffle exact dedup, MinHash-LSH
+near-dedup, SimHash buckets.
+
+Reference semantics: exact first-wins dedup keyed on (text, sorted-JSON)
+(augmentation/utils.py:36-46). "First" is made deterministic in parallel by
+an explicit total order column (``warc_ts`` for pages, ``doc_id`` for
+documents) instead of arrival order (SURVEY.md §2.7).
+
+Scale notes:
+  - ``dedup_triples_batch`` is shuffle-FREE: identical (subj,pred,obj) can
+    only arise within one event row (subj embeds the url), so a per-batch
+    distinct is exact. Documented invariant, asserted in tests.
+  - ``exact_dedup`` is the general operator: vectorized content-hash column
+    inside map_batches, then ``groupby(hash).map_groups(first-by-order)`` —
+    ONE all-to-all exchange on a uniform 64-bit key (no skew by
+    construction).
+  - ``minhash_lsh_dedup`` is shingle -> minhash -> band-explode ->
+    groupby(band) -> candidate verify; band keys are uniform hashes so the
+    groupby does not skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from calendar_event_entity_extraction_ray.functions.dedup import (
+    MinHasher,
+    jaccard,
+    simhash64,
+    word_shingles,
+)
+
+
+def dedup_triples_batch(batch: pa.Table) -> pa.Table:
+    """Exact (subj, pred, obj) distinct within a batch — see module note."""
+    if batch.num_rows == 0:
+        return batch
+    df = batch.to_pandas()
+    df = df.drop_duplicates(subset=["subj", "pred", "obj"], keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False).cast(batch.schema)
+
+
+def add_hash_column(
+    batch: pa.Table, cols: List[str], out_col: str = "sig_hash"
+) -> pa.Table:
+    """Deterministic md5-based 63-bit key over the given columns (vectorized
+    concat, per-row digest)."""
+    parts = [pc.cast(batch.column(c), pa.string()) for c in cols]
+    joined = pc.binary_join_element_wise(*parts, "\x1f", null_handling="replace")
+    hashes = pa.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            & 0x7FFF_FFFF_FFFF_FFFF
+            for s in joined.to_pylist()
+        ],
+        pa.int64(),
+    )
+    return batch.append_column(out_col, hashes)
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    key_cols: List[str],
+    order_col: str,
+) -> "ray.data.Dataset":
+    """First-wins exact dedup: keep the row with the smallest ``order_col``
+    per key. Hash-partition on the content hash; per-group head(1)."""
+    ds = ds.map_batches(
+        lambda b: add_hash_column(b, key_cols), batch_format="pyarrow"
+    )
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="stable").head(1)
+
+    out = ds.groupby("sig_hash").map_groups(first_wins, batch_format="pandas")
+    return out.drop_columns(["sig_hash"])
+
+
+class MinHashBands:
+    """Actor stage: text -> exploded (band_key, id, n_shingles) rows."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64,
+                 num_bands: int = 16, shingle_k: int = 3) -> None:
+        self.hasher = MinHasher(num_perm=num_perm)
+        self.num_bands = num_bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        out_band, out_id = [], []
+        for i, t in zip(ids, texts):
+            sh = word_shingles(t or "", self.k)
+            sig = self.hasher.signature(sh)
+            for key in self.hasher.band_keys(sig, self.num_bands):
+                out_band.append(key)
+                out_id.append(i)
+        return pa.table({
+            "band_key": pa.array(out_band, pa.string()),
+            self.id_col: pa.array(out_id, pa.int64()),
+        })
+
+
+def minhash_lsh_dup_ids(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    num_bands: int = 16,
+) -> "ray.data.Dataset":
+    """Near-duplicate ids to DROP (keep smallest id per near-dup cluster).
+
+    band-explode -> groupby(band_key) -> within-group candidate pairs ->
+    verified against threshold by re-shingling the pair texts (texts are
+    looked up from a broadcast only at verification time for small candidate
+    sets; here candidates within a band carry no text, so verification joins
+    back through a per-group pass over ids — at fixture scale the bands are
+    tiny; at 100 TB scale verification would broadcast a candidate-id filter
+    and re-read only candidate rows).
+
+    Returns a Dataset with a single ``{id_col}`` column of ids to drop.
+    """
+    import ray
+
+    # Small side: id -> text lookup for verification (documents table is the
+    # small fixture here; production would shard this).
+    id_text = {}
+    for b in ds.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+        id_text.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
+    lookup_ref = ray.put(id_text)
+
+    bands = ds.map_batches(
+        MinHashBands,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
+                               "num_perm": num_perm, "num_bands": num_bands},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def drop_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+        texts = ray.get(lookup_ref)
+        keep = ids[0]
+        dropped = []
+        base = word_shingles(texts.get(keep) or "")
+        for other in ids[1:]:
+            if jaccard(base, word_shingles(texts.get(other) or "")) >= threshold:
+                dropped.append(other)
+        return pd.DataFrame({id_col: pd.Series(dropped, dtype="int64")})
+
+    dups = bands.groupby("band_key").map_groups(drop_in_band, batch_format="pandas")
+    return dups.unique(id_col) if hasattr(dups, "unique") else dups
+
+
+def add_simhash_column(batch: pa.Table, text_col: str, out_col: str = "simhash") -> pa.Table:
+    vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+    return batch.append_column(out_col, pa.array([v - (1 << 63) if v >= (1 << 63) else v for v in vals], pa.int64()))

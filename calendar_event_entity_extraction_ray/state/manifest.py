@@ -1,0 +1,85 @@
+"""Resumable partitioned output: per-partition Parquet + _MANIFEST.json.
+
+"Resumable from checkpoint" for a batch pipeline (SURVEY.md §4, ray_guide.md
+"Sources & sinks"): the graph materialize writes one directory per partition
+(key = hash(subj) % num_partitions), each written atomically (temp file +
+rename), and records a manifest entry (partition id, file, row count, input
+fingerprint). A re-run with the same fingerprint skips completed partitions
+and recomputes only the missing ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def load_manifest(out_dir: str) -> Dict:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"fingerprint": None, "partitions": {}, "lineage": []}
+
+
+def save_manifest(out_dir: str, manifest: Dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def completed_partitions(out_dir: str, fingerprint: str) -> set:
+    m = load_manifest(out_dir)
+    if m.get("fingerprint") != fingerprint:
+        return set()
+    return set(int(k) for k in m["partitions"])
+
+
+def write_partition(
+    out_dir: str, part_id: int, table: pa.Table, fingerprint: str,
+    lineage: Optional[Dict] = None,
+) -> str:
+    """Atomic per-partition write + manifest update. Returns the file path."""
+    part_dir = os.path.join(out_dir, f"part_key={part_id}")
+    os.makedirs(part_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".parquet.tmp")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    final = os.path.join(part_dir, "data.parquet")
+    os.replace(tmp, final)
+
+    manifest = load_manifest(out_dir)
+    if manifest.get("fingerprint") != fingerprint:
+        manifest = {"fingerprint": fingerprint, "partitions": {}, "lineage": []}
+    manifest["partitions"][str(part_id)] = {
+        "file": os.path.relpath(final, out_dir),
+        "rows": table.num_rows,
+        "written_at": time.time(),
+    }
+    if lineage:
+        manifest["lineage"].append({"part_id": part_id, **lineage})
+    save_manifest(out_dir, manifest)
+    return final
+
+
+def read_output(out_dir: str) -> pa.Table:
+    m = load_manifest(out_dir)
+    tables: List[pa.Table] = []
+    for part_id in sorted(m["partitions"], key=int):
+        entry = m["partitions"][part_id]
+        t = pq.read_table(os.path.join(out_dir, entry["file"]))
+        tables.append(t)
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)
