@@ -16,7 +16,7 @@ from typing import Dict
 _TOKEN_RE = re.compile(r"\s+")
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
 # (the common GPT-2-style pre-tokenization regex family, simplified).
-_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "it", "for", "on", "that", "with", "as", "at"},

@@ -52,7 +52,7 @@ def synth_pages_dataset(
 
 def extract_stage(
     pages: "ray.data.Dataset",
-    extract_concurrency: int | tuple = (2, 8),
+    extract_concurrency: int | tuple = (1, 8),
     batch_size: int = 512,
 ) -> "ray.data.Dataset":
     """S1 + lang filter + S2: pages -> events dataset."""
@@ -70,10 +70,13 @@ def extract_stage(
 def kg_triples(
     pages: "ray.data.Dataset",
     alias_rows: Optional[list] = None,
-    extract_concurrency: int | tuple = (2, 8),
-    link_concurrency: int | tuple = (2, 4),
+    extract_concurrency: int | tuple = (1, 8),
+    link_concurrency: int | tuple = (1, 4),
     batch_size: int = 512,
 ) -> "ray.data.Dataset":
+    # Pool minimums are 1 so the actor pools can never reserve every CPU of a
+    # small cluster and starve the stateless task stages (read / dedup /
+    # sort / write); the autoscaler grows the pools when CPUs are free.
     """pages -> linked, deduped triples Dataset (lazy)."""
     events = extract_stage(pages, extract_concurrency, batch_size)
     triples = events.map_batches(emit_triples_batch, batch_format="pyarrow")

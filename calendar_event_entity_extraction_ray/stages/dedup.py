@@ -50,19 +50,25 @@ def dedup_triples_batch(batch: pa.Table) -> pa.Table:
 def add_hash_column(
     batch: pa.Table, cols: List[str], out_col: str = "sig_hash"
 ) -> pa.Table:
-    """Deterministic md5-based 63-bit key over the given columns (vectorized
-    concat, per-row digest)."""
-    parts = [pc.cast(batch.column(c), pa.string()) for c in cols]
-    joined = pc.binary_join_element_wise(*parts, "\x1f", null_handling="replace")
-    hashes = pa.array(
-        [
+    """Deterministic md5-based 63-bit content key over the given columns.
+    Handles nested (list) columns via canonical repr; None is a distinct
+    sentinel (never collides with the string "None")."""
+    col_vals = []
+    for c in cols:
+        col = batch.column(c)
+        vals = col.to_pylist()
+        if pa.types.is_nested(col.type):
+            col_vals.append([None if v is None else repr(v) for v in vals])
+        else:
+            col_vals.append([None if v is None else str(v) for v in vals])
+    hashes = []
+    for tup in zip(*col_vals) if cols else []:
+        s = "\x1f".join("\x00" if v is None else v for v in tup)
+        hashes.append(
             int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
             & 0x7FFF_FFFF_FFFF_FFFF
-            for s in joined.to_pylist()
-        ],
-        pa.int64(),
-    )
-    return batch.append_column(out_col, hashes)
+        )
+    return batch.append_column(out_col, pa.array(hashes, pa.int64()))
 
 
 def exact_dedup(
@@ -161,7 +167,10 @@ def minhash_lsh_dup_ids(
         return pd.DataFrame({id_col: pd.Series(dropped, dtype="int64")})
 
     dups = bands.groupby("band_key").map_groups(drop_in_band, batch_format="pandas")
-    return dups.unique(id_col) if hasattr(dups, "unique") else dups
+    # distinct ids (a doc can be dropped via several bands)
+    return dups.groupby(id_col).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 def add_simhash_column(batch: pa.Table, text_col: str, out_col: str = "simhash") -> pa.Table:

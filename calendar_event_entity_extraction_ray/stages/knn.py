@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (list<float>).
+
+  - ``knn_bruteforce``: exact cosine top-k — numpy matmul per batch against a
+    broadcast query vector/matrix (``ray.put`` once, fetched per task), then
+    per-batch partial top-k, final top-k merge of the tiny partials. The
+    full embedding table is never collected.
+  - ``knn_lsh``: scale path — sign-random-projection (SimHash) bucketing:
+    vectors land in 2^n_planes buckets; the query probes its own bucket plus
+    neighbors at Hamming distance <= probe_radius, brute-forcing only those.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def _cosine_scores(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+    norms = np.where(norms == 0, 1e-12, norms)
+    return (mat @ q) / norms
+
+
+def knn_bruteforce(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact top-k (id, cos_sim); returns a small Arrow table, sorted by
+    (-score, id). Query is broadcast once via ray.put."""
+    q_ref = ray.put(np.asarray(query, dtype=np.float64))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        mat = _batch_matrix(batch, vec_col)
+        scores = _cosine_scores(mat, q)
+        ids = batch.column(id_col).to_numpy()
+        if len(scores) > k:
+            ix = np.argpartition(-scores, k)[:k]
+        else:
+            ix = np.arange(len(scores))
+        return pa.table({
+            id_col: pa.array(ids[ix], pa.int64()),
+            "cos_sim": pa.array(scores[ix], pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+    small = partials.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+    return small.to_pandas().pipe(pa.Table.from_pandas, preserve_index=False)
+
+
+class _SrpBucket:
+    """Actor: assign sign-random-projection bucket ids (stable planes)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 13,
+                 vec_col: str = "embedding") -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+        self.vec_col = vec_col
+
+    def bucket_of(self, q: np.ndarray) -> int:
+        return int((q @ self.planes > 0) @ (1 << np.arange(self.planes.shape[1])))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        bits = (mat @ self.planes) > 0
+        buckets = bits @ (1 << np.arange(self.planes.shape[1]))
+        return batch.append_column("bucket", pa.array(buckets.astype(np.int64)))
+
+
+def knn_lsh(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    probe_radius: int = 1,
+    seed: int = 13,
+) -> pa.Table:
+    """Approximate top-k: probe the query's SRP bucket (+ Hamming-1
+    neighbors); brute-force only rows in probed buckets."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float64)
+    bucketer = _SrpBucket(dim=len(q), n_planes=n_planes, seed=seed, vec_col=vec_col)
+    qb = bucketer.bucket_of(q)
+    probes = {qb}
+    if probe_radius >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_planes)}
+
+    bucketed = ds.map_batches(
+        _SrpBucket,
+        fn_constructor_kwargs={"dim": len(q), "n_planes": n_planes,
+                               "seed": seed, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    cand = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("bucket"),
+                                    value_set=pa.array(sorted(probes), pa.int64()))),
+        batch_format="pyarrow",
+    )
+    return knn_bruteforce(cand, q, k=k, id_col=id_col, vec_col=vec_col)

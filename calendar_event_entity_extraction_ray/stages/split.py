@@ -1,0 +1,112 @@
+"""Deterministic splits + split-leakage anti-join.
+
+Reference semantics:
+  - 75/15/10 split after a seeded shuffle (augmentation/main.py:172-183).
+    Positional-split-after-random-shuffle is random assignment, so the
+    scalable equivalent (SURVEY.md §2.6) is a HASH split: bucket =
+    md5(text)[:8] % 10000 -> train/eval/test by proportion thresholds.
+    md5 is reproducible in DuckDB, making the split SQL-checkable.
+  - ``drop_split_leakage``: anti-join on the normalized text signature with
+    precedence train > eval > test; train is never filtered
+    (augmentation/augmentors.py:64-78).
+
+Scale note: the signature sets are collected to the driver and broadcast
+(``ray.put``) — correct while |distinct signatures| fits one node (the
+reference's regime). At 10^12 docs the same stage swaps in a hash-partitioned
+per-partition set-difference (partition both sides on sig_hash, subtract
+within partition) — the filter body is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from calendar_event_entity_extraction_ray.functions.textsig import (
+    event_text_signature,
+    stable_bucket,
+)
+
+
+def assign_split_batch(
+    batch: pa.Table,
+    text_col: str = "event_text",
+    props: Tuple[float, float] = (0.75, 0.15),
+    n_buckets: int = 10000,
+) -> pa.Table:
+    """Add a ``split`` column: train/eval/test by md5-hash bucket of text."""
+    t_hi = int(props[0] * n_buckets)
+    e_hi = t_hi + int(props[1] * n_buckets)
+    texts = batch.column(text_col).to_pylist()
+    splits = []
+    for t in texts:
+        b = stable_bucket(t or "", n_buckets)
+        splits.append("train" if b < t_hi else ("eval" if b < e_hi else "test"))
+    return batch.append_column("split", pa.array(splits, pa.string()))
+
+
+def add_signature_batch(batch: pa.Table, text_col: str = "event_text") -> pa.Table:
+    sigs = [event_text_signature(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("sig", pa.array(sigs, pa.string()))
+
+
+def _collect_sigs(ds: "ray.data.Dataset") -> set:
+    """Stream just the sig column to the driver — never the full rows."""
+    out = set()
+    for b in ds.select_columns(["sig"]).iter_batches(batch_format="pyarrow"):
+        out.update(b.column("sig").to_pylist())
+    return out
+
+
+def drop_split_leakage(
+    ds: "ray.data.Dataset", text_col: str = "event_text"
+) -> Dict[str, "ray.data.Dataset"]:
+    """Input: dataset with a ``split`` column. Output: per-split datasets with
+    eval := eval ∖ train, test := test ∖ (train ∪ eval) on normalized
+    signature; train untouched (reference precedence)."""
+    sigged = ds.map_batches(
+        lambda b: add_signature_batch(b, text_col), batch_format="pyarrow"
+    )
+
+    def part(split_name: str) -> "ray.data.Dataset":
+        return sigged.map_batches(
+            lambda b, s=split_name: b.filter(pc.equal(b.column("split"), s)),
+            batch_format="pyarrow",
+        )
+
+    train = part("train")
+    eval_ds = part("eval")
+    test = part("test")
+
+    train_sigs = _collect_sigs(train)
+    train_ref = ray.put(train_sigs)
+
+    def anti(batch: pa.Table, refs) -> pa.Table:
+        banned = set()
+        for r in refs:
+            banned |= ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        mask = [s not in banned for s in batch.column("sig").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    eval_f = eval_ds.map_batches(
+        lambda b: anti(b, [train_ref]), batch_format="pyarrow"
+    )
+    # eval sigs AFTER filtering (reference: augmentors.py:71 builds eval sigs
+    # from the filtered eval set)
+    eval_sigs = _collect_sigs(eval_f)
+    eval_ref = ray.put(eval_sigs)
+    test_f = test.map_batches(
+        lambda b: anti(b, [train_ref, eval_ref]), batch_format="pyarrow"
+    )
+
+    drop = ["sig"]
+    return {
+        "train": train.drop_columns(drop),
+        "eval": eval_f.drop_columns(drop),
+        "test": test_f.drop_columns(drop),
+    }
