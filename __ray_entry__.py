@@ -1,44 +1,638 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline over a deterministic synthetic
+page fixture; ``queries()`` exposes one callable per implemented operator /
+pipeline from SURVEY.md §2 (plus the training-data-pipeline operators);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query over the pre-registered views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init`` / ``ray.shutdown``.
+
+Numeric-parity convention: every value column an oracle compares is an
+INTEGER (scaled cents / ppm via ``floor(x * scale + 0.5)``) or a string —
+float aggregation order is engine-dependent and would flake value hashes;
+per-row double arithmetic + floor is bit-identical between numpy and DuckDB.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return 0.01
+
+
+def _n_pages(sf_dir: str) -> int:
+    return max(500, int(50_000 * _sf_of(sf_dir)))
+
+
+def _int64(res, cols=None) -> pd.DataFrame:
+    """Small aggregate result -> pandas with int64 value columns (Ray's Sum
+    can widen ints to float64; DuckDB SUM(BIGINT) widens to HUGEINT — both
+    sides are pinned to int64 so value hashes are comparable)."""
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    for c in cols if cols is not None else df.columns:
+        if df[c].dtype != object and str(df[c].dtype) != "string":
+            df[c] = df[c].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# relational / generic operators over the testdata tables
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str) -> Any:
+    """TPC-H Q1-shaped grouped aggregate; scaled-integer money columns."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.less(b.column("l_shipdate"),
+                             pa.scalar(pd.Timestamp("1998-09-01"))))
+        qty = b.column("l_quantity").to_numpy()
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty_i": pa.array(np.floor(qty + 0.5).astype(np.int64)),
+            "price_c": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
+            "disc_price_e4": pa.array(
+                np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)),
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty_i", alias_name="sum_qty"),
+        Sum("price_c", alias_name="sum_base_price_cents"),
+        Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+        Count(alias_name="count_order"),
+    )
+    return _int64(out, ["sum_qty", "sum_base_price_cents", "sum_disc_price_e4",
+                         "count_order"])
+
+
+def q_revenue(sf_dir: str) -> Any:
+    """TPC-H Q6-shaped filter + global sum (pruned read, scaled ints)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"),
+                                     pa.scalar(pd.Timestamp("1996-01-01"))),
+                    pc.less(b.column("l_shipdate"),
+                            pa.scalar(pd.Timestamp("1997-01-01")))),
+            pc.and_(pc.greater_equal(b.column("l_discount"), pa.scalar(0.05)),
+                    pc.less(b.column("l_quantity"), pa.scalar(24.0))),
+        )
+        b = b.filter(m)
+        rev = b.column("l_extendedprice").to_numpy() * b.column("l_discount").to_numpy()
+        return pa.table({"rev_e4": pa.array(np.floor(rev * 10_000 + 0.5).astype(np.int64))})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").aggregate(
+        Sum("rev_e4", alias_name="revenue_e4"), Count(alias_name="n_lines")
+    )
+    return pd.DataFrame([{"revenue_e4": int(agg["revenue_e4"]),
+                          "n_lines": int(agg["n_lines"])}])
+
+
+def q_events_by_type(sf_dir: str) -> Any:
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value_c", alias_name="sum_value_cents"),
+        Min("value_c", alias_name="min_value_cents"),
+        Max("value_c", alias_name="max_value_cents"),
+    )
+    return _int64(out, ["n", "sum_value_cents", "min_value_cents",
+                        "max_value_cents"])
+
+
+def q_events_hourly(sf_dir: str) -> Any:
+    """Tumbling 1-hour window counts per event_type (streaming-shaped op)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour": pc.floor_temporal(b.column("ts"), unit="hour"),
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]
+    ).aggregate(Count(alias_name="n"))
+    return _int64(out, ["n"])
+
+
+def q_top_users(sf_dir: str) -> Any:
+    """Top-20 users by event count (the reference's top-k pool pattern,
+    entity_pools.py:20), salted pre-aggregated count."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counts = grouped_count(ds, "user_id", out_col="n", salt_mod=8)
+    top = counts.sort(["n", "user_id"], descending=[True, False]).limit(20)
+    return _int64(top, ["user_id", "n"])
+
+
+def q_doc_stats(sf_dir: str) -> Any:
+    """analyze_dataset analogue (prepare_assignment_data.py:64-102)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def lens(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"len": pc.cast(pc.utf8_length(b.column("text")), pa.int64())})
+
+    agg = ds.map_batches(lens, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_rows"), Sum("len", alias_name="sum_chars"),
+        Min("len", alias_name="min_chars"), Max("len", alias_name="max_chars"),
+    )
+    n, s = int(agg["n_rows"]), int(agg["sum_chars"])
+    return pd.DataFrame([{
+        "n_rows": n, "sum_chars": s,
+        "min_chars": int(agg["min_chars"]), "max_chars": int(agg["max_chars"]),
+        "avg_chars_x100": (s * 100) // n,
+    }])
+
+
+def q_lang_histogram(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_count
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return _int64(grouped_count(ds, "lang", out_col="n", salt_mod=4), ["n"])
+
+
+def q_dedup_documents(sf_dir: str) -> Any:
+    """Exact first-wins dedup on text (utils.py:36-46 semantics; first =
+    smallest doc_id). Returns surviving doc_ids."""
+    from calendar_event_entity_extraction_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds, ["text"], "doc_id").select_columns(["doc_id"])
+
+
+def q_dedup_signature(sf_dir: str) -> Any:
+    """Dedup on the normalized text signature (augmentors.py:44-48)."""
+    from calendar_event_entity_extraction_ray.functions.textsig import (
+        event_text_signature,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "sig", pa.array([event_text_signature(t) for t in
+                             b.column("text").to_pylist()], pa.string()))
+
+    sigged = ds.map_batches(sig, batch_format="pyarrow")
+    return exact_dedup(sigged, ["sig"], "doc_id").select_columns(["doc_id"])
+
+
+def q_split_counts(sf_dir: str) -> Any:
+    """Hash 75/15/10 split assignment counts (md5-bucket, SQL-checkable)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_count
+    from calendar_event_entity_extraction_ray.stages.split import assign_split_batch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    with_split = ds.map_batches(
+        lambda b: assign_split_batch(b, text_col="text"), batch_format="pyarrow"
+    )
+    return _int64(grouped_count(with_split, "split", out_col="n", salt_mod=0), ["n"])
+
+
+def q_split_leakage(sf_dir: str) -> Any:
+    """eval/test doc_ids surviving the leakage anti-join (augmentors.py:64-78
+    precedence train > eval > test) under the hash split."""
+    from calendar_event_entity_extraction_ray.stages.split import (
+        assign_split_batch,
+        drop_split_leakage,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_split = ds.map_batches(
+        lambda b: assign_split_batch(b, text_col="text"), batch_format="pyarrow"
+    )
+    parts = drop_split_leakage(with_split, text_col="text")
+    ev = parts["eval"].select_columns(["doc_id", "split"])
+    te = parts["test"].select_columns(["doc_id", "split"])
+    return ev.union(te)
+
+
+def q_token_counts(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.text_analysis import (
+        token_count_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pandas")
+
+
+def q_quality(sf_dir: str) -> Any:
+    """Quality features as exact integer ppm ratios."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("")
+        n = s.str.len().astype("int64")
+        alpha = s.str.count(r"[A-Za-z]").astype("int64")
+        digit = s.str.count(r"[0-9]").astype("int64")
+        punct = s.str.count(r"[^A-Za-z0-9\s]").astype("int64")
+        out = pd.DataFrame()
+        out["doc_id"] = b["doc_id"]
+        out["n_chars"] = n
+        nz = n.replace(0, 1)
+        out["alpha_ppm"] = (alpha * 1_000_000) // nz
+        out["digit_ppm"] = (digit * 1_000_000) // nz
+        out["punct_ppm"] = (punct * 1_000_000) // nz
+        return out
+
+    return ds.map_batches(prep, batch_format="pandas")
+
+
+def q_customer_order_totals(sf_dir: str) -> Any:
+    """Broadcast join: orders (big) x customer (small) -> per-mktsegment
+    totals. The small side ships once via ray.put; no shuffle join."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join(b: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        keys = b.column("o_custkey").to_pylist()
+        price = b.column("o_totalprice").to_numpy()
+        return pa.table({
+            "c_mktsegment": pa.array([seg.get(k) for k in keys], pa.string()),
+            "price_c": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    out = orders.map_batches(join, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(Count(alias_name="n_orders"),
+                Sum("price_c", alias_name="total_price_cents"))
+    return _int64(out, ["n_orders", "total_price_cents"])
+
+
+def q_nation_customers(sf_dir: str) -> Any:
+    """Two-hop broadcast join customer -> nation -> region."""
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    n_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    cust = _read(sf_dir, "customer", columns=["c_nationkey"])
+
+    def join(b: pa.Table) -> pa.Table:
+        names = ray.get(n_ref)
+        return pa.table({
+            "n_name": pa.array([names.get(k) for k in
+                                b.column("c_nationkey").to_pylist()], pa.string()),
+        })
+
+    out = cust.map_batches(join, batch_format="pyarrow").groupby("n_name").aggregate(
+        Count(alias_name="n_customers")
+    )
+    return _int64(out, ["n_customers"])
+
+
+def q_knn(sf_dir: str) -> Any:
+    """Brute-force cosine top-10 around the vec_id=0 embedding."""
+    from calendar_event_entity_extraction_ray.stages.knn import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = None
+    for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        ids = b.column("vec_id").to_pylist()
+        if 0 in ids:
+            q = np.asarray(b.column("embedding")[ids.index(0)].as_py(), dtype=np.float64)
+            break
+    t = knn_bruteforce(ds, q, k=10)
+    return t.select(["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_minhash_dedup(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.dedup import minhash_lsh_dup_ids
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dup_ids(ds, "text", "doc_id", threshold=0.8)
+
+
+def q_simhash(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.dedup import add_simhash_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_simhash_column(b, "text"), batch_format="pyarrow"
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_langid(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.text_analysis import langid_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pandas")
+
+
+def q_fingerprint(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.text_analysis import (
+        fingerprint_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def q_knn_lsh(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.knn import knn_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    dim_probe = np.asarray(first["embedding"], dtype=np.float64)
+    q = dim_probe  # query = first row's embedding
+    return knn_lsh(ds, q, k=10, n_planes=6, probe_radius=1).select(["vec_id"])
+
+
+def q_kg_flagship(sf_dir: str) -> Any:
+    """Flagship: synthetic pages (deterministic, sized by sf) -> triples."""
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        kg_triples,
+        synth_pages_dataset,
+    )
+
+    pages = synth_pages_dataset(_n_pages(sf_dir), seed=42)
+    return kg_triples(pages).select_columns(["subj", "pred", "obj", "url"])
+
+
+def q_kg_entity_degree(sf_dir: str) -> Any:
+    """Hub-entity degree counts over the flagship triples (salted)."""
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        kg_triples,
+        synth_pages_dataset,
+    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import entity_degree
+
+    pages = synth_pages_dataset(_n_pages(sf_dir), seed=42)
+    return entity_degree(kg_triples(pages))
+
+
+def q_augment(sf_dir: str) -> Any:
+    """Reference augmentation pipeline over synthetic records."""
+    from calendar_event_entity_extraction_ray.pipelines.augmentation import (
+        augment_pipeline,
+    )
+    from calendar_event_entity_extraction_ray.stages.augment import synth_records_batch
+
+    n = max(200, int(20_000 * _sf_of(sf_dir)))
+    records = ray.data.range(n).map_batches(
+        lambda b: synth_records_batch(b.column("id").to_pylist(), seed=7),
+        batch_format="pyarrow",
+    )
+    out = augment_pipeline(records, n_synth=0, seed=7)
+    return out.select_columns(["event_text", "action", "date", "time",
+                               "location", "duration", "recurrence", "notes"])
+
+
+def q_media_features(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        DecodeFeatures,
+        synth_media_table,
+    )
+
+    n = max(100, int(10_000 * _sf_of(sf_dir)))
+    ds = ray.data.from_arrow(synth_media_table(n))
+    out = ds.map_batches(
+        DecodeFeatures, fn_constructor_kwargs={"feature_dim": 16},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1,
+    )
+    return out.select_columns(["media_id", "kind", "mime"])
+
+
+def q_eval_metrics(sf_dir: str) -> Any:
+    """Evaluation pipeline self-check: golden-rendered predictions score 1.0
+    and a poisoned tail scores 0 (fractions per evaluate_finetuned.py:48-99)."""
+    from calendar_event_entity_extraction_ray import TARGET_KEYS
+    from calendar_event_entity_extraction_ray.pipelines.evaluate import evaluate
+    from calendar_event_entity_extraction_ray.sources.pages import synth_page
+
+    rows = []
+    for i in range(300):
+        _, golden = synth_page(i, seed=42)
+        for g in golden:
+            slots = {k: g.get(k) for k in TARGET_KEYS}
+            pred = json.dumps(slots) if i % 10 else "no json at all"
+            rows.append({"prediction_text": pred, **slots})
+    ds = ray.data.from_items(rows)
+    return pd.DataFrame([evaluate(ds)])
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        kg_triples,
+        synth_pages_dataset,
+    )
+
+    pages = synth_pages_dataset(500, seed=42)
+    return kg_triples(pages).select_columns(["subj", "pred", "obj", "url"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / generic operators (SQL oracles)
+        "q1_lineitem_agg": q_lineitem_agg,
+        "q6_revenue": q_revenue,
+        "events_by_type": q_events_by_type,
+        "events_hourly": q_events_hourly,
+        "top_users": q_top_users,
+        "doc_stats": q_doc_stats,
+        "lang_histogram": q_lang_histogram,
+        "dedup_documents": q_dedup_documents,
+        "dedup_signature": q_dedup_signature,
+        "split_counts": q_split_counts,
+        "split_leakage": q_split_leakage,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality,
+        "customer_order_totals": q_customer_order_totals,
+        "nation_customers": q_nation_customers,
+        "knn_topk": q_knn,
+        # non-SQL-expressible (rows-only)
+        "minhash_dedup_docs": q_minhash_dedup,
+        "simhash_docs": q_simhash,
+        "langid_docs": q_langid,
+        "fingerprint_docs": q_fingerprint,
+        "knn_lsh": q_knn_lsh,
+        "kg_flagship": q_kg_flagship,
+        "kg_entity_degree": q_kg_entity_degree,
+        "augment_records": q_augment,
+        "media_features": q_media_features,
+        "eval_metrics": q_eval_metrics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bucket = ("CAST(('0x' || substr(md5({col}), 1, 8)) AS BIGINT) % 10000")
+    split_case = (
+        "CASE WHEN " + bucket.format(col="text") + " < 7500 THEN 'train' "
+        "WHEN " + bucket.format(col="text") + " < 9000 THEN 'eval' "
+        "ELSE 'test' END"
+    )
+    sig = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    return {
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_revenue": """
+            SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_quantity < 24
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_value_cents,
+                   MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_value_cents
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "top_users": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
+        """,
+        "doc_stats": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                   MIN(length(text)) AS min_chars,
+                   MAX(length(text)) AS max_chars,
+                   CAST((SUM(length(text)) * 100) // COUNT(*) AS BIGINT) AS avg_chars_x100
+            FROM documents
+        """,
+        "lang_histogram": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "dedup_documents": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "dedup_signature": f"""
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {sig}
+        """,
+        "split_counts": f"""
+            SELECT {split_case} AS split, COUNT(*) AS n FROM documents GROUP BY 1
+        """,
+        "split_leakage": f"""
+            WITH tagged AS (
+              SELECT doc_id, text, {split_case} AS split, {sig} AS sig
+              FROM documents
+            ),
+            train_sigs AS (SELECT DISTINCT sig FROM tagged WHERE split = 'train'),
+            eval_kept AS (
+              SELECT doc_id, split, sig FROM tagged
+              WHERE split = 'eval' AND sig NOT IN (SELECT sig FROM train_sigs)
+            ),
+            test_kept AS (
+              SELECT doc_id, split, sig FROM tagged
+              WHERE split = 'test'
+                AND sig NOT IN (SELECT sig FROM train_sigs)
+                AND sig NOT IN (SELECT sig FROM eval_kept)
+            )
+            SELECT doc_id, split FROM eval_kept
+            UNION ALL SELECT doc_id, split FROM test_kept
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens_ws,
+                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "quality_scores": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000)
+                       // greatest(length(text), 1) AS alpha_ppm,
+                   (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000)
+                       // greatest(length(text), 1) AS digit_ppm,
+                   (length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000)
+                       // greatest(length(text), 1) AS punct_ppm
+            FROM documents
+        """,
+        "customer_order_totals": """
+            SELECT c.c_mktsegment AS c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "nation_customers": """
+            SELECT n.n_name AS n_name, COUNT(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "knn_topk": """
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
+              FROM embeddings
+            ) ORDER BY s DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,134 @@
+"""Benchmark harness.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "kg_e2e_seconds", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>, "num_cpus": N, ...}
+
+The headline is the flagship KG pipeline end-to-end: deterministic synthetic
+page generation -> html->text -> grammar extraction (actor pool) -> triple
+emit -> entity linking (broadcast dict) -> dedup -> hash-partitioned Parquet
+materialize. ``docs_per_sec`` is pages/sec through the FULL pipeline.
+
+``--scaling``: run the same job in fresh processes at two parallelism levels
+(8 and 32 CPUs by default) on identical input and report both throughputs
+plus scaling efficiency = (t_lo / t_hi) / (cpus_hi / cpus_lo). This is the
+sandbox evidence for the north rule's two-cluster-size criterion
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "20000"))
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        kg_triples,
+        materialize_graph,
+        synth_pages_dataset,
+    )
+
+    # warm the page-cache / import path with one small untimed pass
+    synth_pages_dataset(200, seed=1).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    out_dir = "/tmp/graft_bench/graph"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    pages = synth_pages_dataset(n_pages, seed=42,
+                                override_num_blocks=max(num_cpus * 2, 16))
+    triples = kg_triples(
+        pages,
+        extract_concurrency=(1, max(2, num_cpus - 4)),
+        link_concurrency=(1, max(2, num_cpus // 4)),
+    )
+    manifest = materialize_graph(triples, out_dir, fingerprint=f"bench-{n_pages}",
+                                 num_partitions=32)
+    headline = time.time() - t0
+    n_triples = sum(e["rows"] for e in manifest["partitions"].values())
+
+    queries = {}
+    for name in ["q1_lineitem_agg", "events_hourly", "dedup_signature",
+                 "token_counts", "quality_scores", "knn_topk",
+                 "customer_order_totals", "augment_records"]:
+        fn = E.queries()[name]
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "count") and not hasattr(res, "shape"):
+            res.count()  # force full execution of lazy Datasets
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kg_e2e_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[1]) if "sf" in sf_dir else None,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_triples": int(n_triples),
+        "docs_per_sec": round(n_pages / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "cpus": [lo, hi],
+        "n_pages": r_lo["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -37,9 +37,10 @@ def partial_count_batch(batch: pa.Table, key_col: str, salt_mod: int = 0) -> pa.
         # the big exchange; the fold-up groupby then sees ≤ salt_mod rows/key.
         import hashlib
 
-        h = hashlib.md5(repr(batch.num_rows).encode()
-                        + (batch.column(key_col)[0].as_py() or "").encode("utf-8", "ignore")
-                        + repr(counts["partial"].sum()).encode()).digest()
+        first = batch.column(key_col)[0].as_py() if batch.num_rows else ""
+        h = hashlib.md5(
+            f"{batch.num_rows}:{first}:{counts['partial'].sum()}".encode()
+        ).digest()
         counts["salt"] = int.from_bytes(h[:4], "little") % salt_mod
     return pa.Table.from_pandas(counts, preserve_index=False)
 

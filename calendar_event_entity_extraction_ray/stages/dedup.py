@@ -82,10 +82,13 @@ def exact_dedup(
         lambda b: add_hash_column(b, key_cols), batch_format="pyarrow"
     )
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="stable").head(1)
+    def first_wins(g: pa.Table) -> pa.Table:
+        # pure-Arrow head(1)-by-order: ragged list columns (attendees) do not
+        # survive Ray's pandas<->tensor conversion, so stay in pyarrow
+        idx = pc.sort_indices(g, sort_keys=[(order_col, "ascending")])
+        return g.take(idx[:1])
 
-    out = ds.groupby("sig_hash").map_groups(first_wins, batch_format="pandas")
+    out = ds.groupby("sig_hash").map_groups(first_wins, batch_format="pyarrow")
     return out.drop_columns(["sig_hash"])
 
 

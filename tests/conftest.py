@@ -24,6 +24,9 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # ragged list<string> columns (attendees) are not tensor-convertible;
+    # keep them as plain object columns in pandas conversions
+    ctx.enable_tensor_extension_casting = False
     yield
     ray.shutdown()
 
