@@ -322,9 +322,10 @@ class TestAugmentation:
         assert not out.duplicated(
             subset=["event_text", "action", "date", "time", "location"]
         ).any()
-        # normalization applied to originals
+        # normalization applied to originals: dateutil dayfirst on the
+        # ambiguous ISO "2025-01-10" -> day=01, month=10 (reference semantics)
         originals = out[out["event_text"].str.startswith("Meet with")]
-        assert (originals["date"] == "10/01/2025").all()
+        assert (originals["date"] == "01/10/2025").all()
         assert (originals["time"] == "4:00 PM").all()
 
     def test_augment_deterministic_across_partitioning(self, ray_session):
