@@ -87,16 +87,21 @@ def q_lineitem_agg(sf_dir: str) -> Any:
                 np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)),
         })
 
-    out = ds.map_batches(prep, batch_format="pyarrow").groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).aggregate(
-        Sum("qty_i", alias_name="sum_qty"),
-        Sum("price_c", alias_name="sum_base_price_cents"),
-        Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
-        Count(alias_name="count_order"),
-    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+
+    # partial pre-aggregation: 6 output groups — the shuffle moves partials,
+    # not the 600k+ input rows
+    out = grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["l_returnflag", "l_linestatus"],
+        sum_cols=["qty_i", "price_c", "disc_price_e4"],
+        count_alias="count_order",
+    ).to_pandas().rename(columns={
+        "qty_i": "sum_qty", "price_c": "sum_base_price_cents",
+        "disc_price_e4": "sum_disc_price_e4",
+    })
     return _int64(out, ["sum_qty", "sum_base_price_cents", "sum_disc_price_e4",
-                         "count_order"])
+                        "count_order"])
 
 
 def q_revenue(sf_dir: str) -> Any:
@@ -136,12 +141,16 @@ def q_events_by_type(sf_dir: str) -> Any:
             "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
         })
 
-    out = ds.map_batches(prep, batch_format="pyarrow").groupby("event_type").aggregate(
-        Count(alias_name="n"),
-        Sum("value_c", alias_name="sum_value_cents"),
-        Min("value_c", alias_name="min_value_cents"),
-        Max("value_c", alias_name="max_value_cents"),
-    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+
+    out = grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["event_type"], sum_cols=["value_c"], count_alias="n",
+        min_cols=["value_c"], max_cols=["value_c"],
+    ).to_pandas().rename(columns={
+        "value_c": "sum_value_cents", "min_value_c": "min_value_cents",
+        "max_value_c": "max_value_cents",
+    })
     return _int64(out, ["n", "sum_value_cents", "min_value_cents",
                         "max_value_cents"])
 

@@ -35,7 +35,7 @@ def run_bench() -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "20000"))
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "150000"))
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -62,11 +62,12 @@ def run_bench() -> dict:
 
     t0 = time.time()
     pages = synth_pages_dataset(n_pages, seed=42,
-                                override_num_blocks=max(num_cpus * 2, 16))
+                                override_num_blocks=max(num_cpus * 4, 32))
     triples = kg_triples(
         pages,
-        extract_concurrency=(1, max(2, num_cpus - 4)),
-        link_concurrency=(1, max(2, num_cpus // 4)),
+        # fixed-size pool for the bench: all actors start up front, leaving
+        # a few CPUs for the generator tasks and the materialize shuffle
+        extract_concurrency=max(2, num_cpus - 3),
     )
     manifest = materialize_graph(triples, out_dir, fingerprint=f"bench-{n_pages}",
                                  num_partitions=32)

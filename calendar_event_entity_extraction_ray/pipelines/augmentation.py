@@ -42,7 +42,14 @@ def augment_pipeline(
     """records (RECORD_SCHEMA) -> augmented, deduped, shuffled dataset."""
     normalized = records.map_batches(normalize_records_batch, batch_format="pyarrow")
 
-    # Pipeline barrier (reference main.py:121): top-500 pools over the corpus.
+    # Pipeline barrier (reference main.py:121): the pool aggregate needs a
+    # full pass before augmentation can start, and the augment stage scans
+    # the same rows again — materialize the normalized corpus once so the
+    # normalize stage doesn't execute twice. (At petabyte scale this barrier
+    # would be a parquet checkpoint instead of object-store pinning; the
+    # barrier itself is inherent to the reference's semantics.)
+    normalized = normalized.materialize()
+
     att_pool, loc_pool = attendee_location_pools(normalized, k=500)
     att_ref, loc_ref = ray.put(att_pool), ray.put(loc_pool)
 

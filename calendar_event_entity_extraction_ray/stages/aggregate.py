@@ -83,27 +83,81 @@ def top_k_by_count(
 def attendee_location_pools(
     events_ds: "ray.data.Dataset", k: int = 500
 ) -> tuple[List[str], List[str]]:
-    """The reference's two pools over the distributed events table:
-    explode attendees (flat) then grouped count, top-k each."""
+    """The reference's two top-500 pools (entity_pools.py:7-20) in ONE pass:
+    explode attendees and project locations into (kind, name) rows, one
+    salted grouped count, split driver-side. One shuffle instead of two,
+    one scan of the input instead of two."""
 
-    def explode_attendees(batch: pa.Table) -> pa.Table:
-        out = []
+    def explode(batch: pa.Table) -> pa.Table:
+        kinds, names = [], []
         for lst in batch.column("attendees").to_pylist():
             if lst:
-                out.extend(a.strip() for a in lst if a and a.strip())
-        return pa.table({"name": pa.array(out, pa.string())})
+                for a in lst:
+                    if a and a.strip():
+                        kinds.append("a")
+                        names.append(a.strip())
+        for v in batch.column("location").to_pylist():
+            if isinstance(v, str) and v.strip():
+                kinds.append("l")
+                names.append(v.strip())
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "name": pa.array(names, pa.string())})
 
-    att = events_ds.map_batches(explode_attendees, batch_format="pyarrow")
-    att_top = top_k_by_count(att, "name", k=k)
+    both = events_ds.map_batches(explode, batch_format="pyarrow")
 
-    def project_locations(batch: pa.Table) -> pa.Table:
-        vals = [v.strip() for v in batch.column("location").to_pylist()
-                if isinstance(v, str) and v.strip()]
-        return pa.table({"location": pa.array(vals, pa.string())})
+    def partial(b: pa.Table) -> pa.Table:
+        return partial_count_batch2(b, ["kind", "name"])
 
-    loc = events_ds.map_batches(project_locations, batch_format="pyarrow")
-    loc_top = top_k_by_count(loc, "location", k=k)
-    return att_top["name"].tolist(), loc_top["location"].tolist()
+    partials = both.map_batches(partial, batch_format="pyarrow")
+    counts = partials.groupby(["kind", "name"]).aggregate(
+        Sum("partial", alias_name="n")
+    ).to_pandas()
+    counts = counts.sort_values(["n", "name"], ascending=[False, True])
+    att = counts[counts["kind"] == "a"]["name"].head(k).tolist()
+    loc = counts[counts["kind"] == "l"]["name"].head(k).tolist()
+    return att, loc
+
+
+def partial_count_batch2(batch: pa.Table, key_cols: List[str]) -> pa.Table:
+    """Multi-key per-batch partial count."""
+    df = batch.select(key_cols).to_pandas()
+    counts = df.groupby(key_cols, dropna=True).size().reset_index(name="partial")
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+def grouped_sums(
+    ds: "ray.data.Dataset",
+    key_cols: List[str],
+    sum_cols: List[str],
+    count_alias: str = "n",
+    min_cols: Optional[List[str]] = None,
+    max_cols: Optional[List[str]] = None,
+) -> "ray.data.Dataset":
+    """SUM/COUNT(/MIN/MAX) GROUP BY keys with per-batch partial aggregation:
+    the shuffle moves |groups| x |batches| partial rows, not every input row.
+    This is THE pattern for low-cardinality grouped aggregates at scale
+    (e.g. TPC-H Q1's 6 groups over 10^9 rows)."""
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(key_cols, dropna=False)
+        agg = g[sum_cols].sum() if sum_cols else g.size().to_frame()
+        agg.columns = [f"{c}__sum" for c in sum_cols]
+        agg[count_alias] = g.size()
+        for c in min_cols:
+            agg[f"{c}__min"] = g[c].min()
+        for c in max_cols:
+            agg[f"{c}__max"] = g[c].max()
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(f"{c}__sum", alias_name=c) for c in sum_cols]
+    aggs.append(Sum(count_alias, alias_name=count_alias))
+    aggs += [Min(f"{c}__min", alias_name=f"min_{c}") for c in min_cols]
+    aggs += [Max(f"{c}__max", alias_name=f"max_{c}") for c in max_cols]
+    return partials.groupby(key_cols).aggregate(*aggs)
 
 
 def entity_degree(triples_ds: "ray.data.Dataset", preds: Optional[List[str]] = None,

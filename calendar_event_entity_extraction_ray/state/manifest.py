@@ -46,11 +46,11 @@ def completed_partitions(out_dir: str, fingerprint: str) -> set:
     return set(int(k) for k in m["partitions"])
 
 
-def write_partition(
-    out_dir: str, part_id: int, table: pa.Table, fingerprint: str,
-    lineage: Optional[Dict] = None,
-) -> str:
-    """Atomic per-partition write + manifest update. Returns the file path."""
+def write_partition_file(out_dir: str, part_id: int, table: pa.Table) -> str:
+    """Atomic per-partition data write (temp file + rename). Safe to call
+    concurrently from many workers — it does NOT touch the manifest; the
+    DRIVER records completed partitions afterwards (a shared-manifest
+    read-modify-write from workers would race and lose entries)."""
     part_dir = os.path.join(out_dir, f"part_key={part_id}")
     os.makedirs(part_dir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".parquet.tmp")
@@ -58,19 +58,29 @@ def write_partition(
     pq.write_table(table, tmp)
     final = os.path.join(part_dir, "data.parquet")
     os.replace(tmp, final)
+    return final
 
+
+def record_partitions(
+    out_dir: str, fingerprint: str, entries: Dict[int, Dict],
+) -> Dict:
+    """Driver-side manifest update: merge completed-partition entries
+    (part_id -> {file, rows, lineage...}) under the given fingerprint."""
     manifest = load_manifest(out_dir)
     if manifest.get("fingerprint") != fingerprint:
         manifest = {"fingerprint": fingerprint, "partitions": {}, "lineage": []}
-    manifest["partitions"][str(part_id)] = {
-        "file": os.path.relpath(final, out_dir),
-        "rows": table.num_rows,
-        "written_at": time.time(),
-    }
-    if lineage:
-        manifest["lineage"].append({"part_id": part_id, **lineage})
+    now = time.time()
+    for part_id, e in entries.items():
+        manifest["partitions"][str(part_id)] = {
+            "file": e["file"],
+            "rows": e["rows"],
+            "written_at": now,
+        }
+        lineage = e.get("lineage")
+        if lineage:
+            manifest["lineage"].append({"part_id": part_id, **lineage})
     save_manifest(out_dir, manifest)
-    return final
+    return manifest
 
 
 def read_output(out_dir: str) -> pa.Table:
