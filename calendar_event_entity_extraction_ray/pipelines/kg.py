@@ -48,13 +48,16 @@ def synth_pages_dataset(
     def gen(batch: pa.Table) -> pa.Table:
         return pages_table(batch.column("id").to_pylist(), seed=seed)
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=512)
+    # batch_size=None: operate on whole blocks — Ray Data's cross-block batch
+    # slicing costs ~2x on sub-millisecond UDFs; granularity is controlled by
+    # override_num_blocks instead
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
 def extract_stage(
     pages: "ray.data.Dataset",
     extract_concurrency: int | tuple = (1, 8),
-    batch_size: int = 1024,
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
     """S1 + lang filter + S2: pages -> events dataset."""
     texted = pages.map_batches(html_to_text_batch, batch_format="pyarrow")
@@ -80,11 +83,16 @@ class FusedKgStage:
     actor in ``__init__``; the alias table arrives via a broadcast ObjectRef.
     """
 
-    def __init__(self, alias_ref=None) -> None:
+    def __init__(self, alias_ref=None, gen_seed: Optional[int] = None) -> None:
         self.extract = ExtractEvents()
         self.link = LinkEntities(alias_ref=alias_ref)
+        self.gen_seed = gen_seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.gen_seed is not None and "id" in batch.column_names:
+            # synthetic-source mode: the block is a range of page indices;
+            # render pages inside the same actor (no task->actor handoff)
+            batch = pages_table(batch.column("id").to_pylist(), seed=self.gen_seed)
         t = filter_lang(html_to_text_batch(batch))
         return dedup_triples_batch(
             self.link(emit_triples_batch(self.extract(t)))
@@ -96,8 +104,9 @@ def kg_triples(
     alias_rows: Optional[list] = None,
     extract_concurrency: int | tuple = (1, 8),
     link_concurrency: int | tuple = (1, 4),  # used only when fused=False
-    batch_size: int = 1024,
+    batch_size: int | None = None,
     fused: bool = True,
+    gen_seed: Optional[int] = None,  # fused synthetic-source mode: pages is a range of ids
 ) -> "ray.data.Dataset":
     """pages -> linked, deduped triples Dataset (lazy).
 
@@ -109,7 +118,7 @@ def kg_triples(
     if fused:
         return pages.map_batches(
             FusedKgStage,
-            fn_constructor_kwargs={"alias_ref": alias_ref},
+            fn_constructor_kwargs={"alias_ref": alias_ref, "gen_seed": gen_seed},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=extract_concurrency,
