@@ -358,6 +358,96 @@ def q_knn(sf_dir: str) -> Any:
     return t.select(["vec_id"])
 
 
+def q_sessionize(sf_dir: str) -> Any:
+    """Session windows per user (30-min inactivity gap) — the streaming-
+    shaped operator pattern: partition by key, sort by ts within group,
+    windowing logic in pandas inside map_groups (ray_guide.md
+    "Streaming-shaped workloads")."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gap.sum()) + 1
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [n_sessions],
+            "n_events": [len(g)],
+        })
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _int64(out, ["user_id", "n_sessions", "n_events"])
+
+
+def q_orders_priority(sf_dir: str) -> Any:
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy()
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "price_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    out = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                       key_cols=["o_orderpriority"], sum_cols=["price_c"],
+                       count_alias="n_orders").to_pandas().rename(
+        columns={"price_c": "total_price_cents"})
+    return _int64(out, ["n_orders", "total_price_cents"])
+
+
+def q_brand_revenue(sf_dir: str) -> Any:
+    """lineitem x part broadcast join -> revenue per brand."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def join(b: pa.Table) -> pa.Table:
+        brands = ray.get(brand_ref)
+        keys = b.column("l_partkey").to_pylist()
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "p_brand": pa.array([brands.get(k) for k in keys], pa.string()),
+            "rev_e4": pa.array(rev),
+        })
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+
+    out = grouped_sums(li.map_batches(join, batch_format="pyarrow"),
+                       key_cols=["p_brand"], sum_cols=["rev_e4"],
+                       count_alias="n_lines").to_pandas().rename(
+        columns={"rev_e4": "revenue_e4"})
+    return _int64(out, ["n_lines", "revenue_e4"])
+
+
+def q_supplier_balance(sf_dir: str) -> Any:
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    n_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def join(b: pa.Table) -> pa.Table:
+        names = ray.get(n_ref)
+        bal = b.column("s_acctbal").to_numpy()
+        return pa.table({
+            "n_name": pa.array([names.get(k) for k in
+                                b.column("s_nationkey").to_pylist()], pa.string()),
+            "bal_c": pa.array(np.floor(bal * 100 + 0.5).astype(np.int64)),
+        })
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+
+    out = grouped_sums(sup.map_batches(join, batch_format="pyarrow"),
+                       key_cols=["n_name"], sum_cols=["bal_c"],
+                       count_alias="n_suppliers").to_pandas().rename(
+        columns={"bal_c": "total_acctbal_cents"})
+    return _int64(out, ["n_suppliers", "total_acctbal_cents"])
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -511,6 +601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_totals": q_customer_order_totals,
         "nation_customers": q_nation_customers,
         "knn_topk": q_knn,
+        "sessionize": q_sessionize,
+        "orders_priority": q_orders_priority,
+        "brand_revenue": q_brand_revenue,
+        "supplier_balance": q_supplier_balance,
         # non-SQL-expressible (rows-only)
         "minhash_dedup_docs": q_minhash_dedup,
         "simhash_docs": q_simhash,
@@ -623,6 +717,41 @@ def oracle_sql() -> dict[str, str]:
                    (length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000)
                        // greatest(length(text), 1) AS punct_ppm
             FROM documents
+        """,
+        "sessionize": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               IS NULL THEN 0
+                          WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1
+                          ELSE 0 END AS new_s
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM d GROUP BY user_id
+        """,
+        "orders_priority": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price_cents
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "brand_revenue": """
+            SELECT p.p_brand AS p_brand,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "supplier_balance": """
+            SELECT n.n_name AS n_name,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "customer_order_totals": """
             SELECT c.c_mktsegment AS c_mktsegment,
