@@ -448,6 +448,92 @@ def q_supplier_balance(sf_dir: str) -> Any:
     return _int64(out, ["n_suppliers", "total_acctbal_cents"])
 
 
+def q_props_stats(sf_dir: str) -> Any:
+    """JSON payload extraction in the hot path: events.props is a JSON
+    string; the reference's brace-scan + safe parse (src/infer.py:22-48)
+    pulls the "k" field, then a salted grouped sum."""
+    from calendar_event_entity_extraction_ray.functions.jsonx import safe_json_load
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ks = []
+        for p in b.column("props").to_pylist():
+            obj = safe_json_load(p or "")
+            ks.append(int(obj.get("k", 0)) if isinstance(obj, dict) else 0)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    out = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                       key_cols=["event_type"], sum_cols=["k"],
+                       count_alias="n").to_pandas().rename(columns={"k": "sum_k"})
+    return _int64(out, ["n", "sum_k"])
+
+
+def q_embedding_dups(sf_dir: str) -> Any:
+    """Embedding-cosine near-duplicate pairs (exact): every (a < b) pair
+    with cosine >= 0.3. The comparison matrix is broadcast once
+    (ray.put); each batch computes its rows against the full matrix —
+    the brute-force baseline; the LSH-bucketed scale path is
+    ``embedding_dups_lsh``."""
+    from calendar_event_entity_extraction_ray.stages.knn import _batch_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = ds.to_pandas()
+    ids_all = full["vec_id"].to_numpy()
+    mat_all = np.asarray(full["embedding"].tolist(), dtype=np.float64)
+    mat_all = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
+    ref = ray.put((ids_all, mat_all))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids_a, mat_a = ray.get(ref)
+        mat = _batch_matrix(b, "embedding")
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = b.column("vec_id").to_numpy()
+        sims = mat @ mat_a.T
+        out_a, out_b = [], []
+        ai, bj = np.where(sims >= 0.3)
+        for i, j in zip(ai, bj):
+            if ids[i] < ids_a[j]:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids_a[j]))
+        return pa.table({"vec_id_a": pa.array(out_a, pa.int64()),
+                         "vec_id_b": pa.array(out_b, pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024)
+
+
+def q_embedding_dups_lsh(sf_dir: str) -> Any:
+    """Scale path for embedding near-dup: SRP-bucket the vectors, compare
+    only within buckets (rows-only check; recall < 1 by design)."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.knn import _SrpBucket, _batch_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    bucketed = ds.map_batches(
+        _SrpBucket,
+        fn_constructor_kwargs={"dim": dim, "n_planes": 4, "seed": 13},
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = g["vec_id"].to_numpy()
+        sims = mat @ mat.T
+        ai, bj = np.where(sims >= 0.3)
+        rows = [(int(ids[i]), int(ids[j])) for i, j in zip(ai, bj) if ids[i] < ids[j]]
+        return pd.DataFrame(rows, columns=["vec_id_a", "vec_id_b"]).astype("int64")
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -605,8 +691,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority": q_orders_priority,
         "brand_revenue": q_brand_revenue,
         "supplier_balance": q_supplier_balance,
+        "props_k_stats": q_props_stats,
+        "embedding_dups": q_embedding_dups,
         # non-SQL-expressible (rows-only)
         "minhash_dedup_docs": q_minhash_dedup,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         "simhash_docs": q_simhash,
         "langid_docs": q_langid,
         "fingerprint_docs": q_fingerprint,
@@ -752,6 +841,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "props_k_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
         """,
         "customer_order_totals": """
             SELECT c.c_mktsegment AS c_mktsegment,

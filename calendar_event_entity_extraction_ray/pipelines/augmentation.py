@@ -88,3 +88,18 @@ def split_records(
         lambda b: assign_split_batch(b, text_col=text_col), batch_format="pyarrow"
     )
     return drop_split_leakage(with_split, text_col=text_col)
+
+
+def write_splits(
+    splits: Dict[str, "ray.data.Dataset"], out_dir: str
+) -> Dict[str, int]:
+    """Write train/eval/test as JSONL directories (reference ``save_split``,
+    src/prepare_assignment_data.py:57-62). Returns row counts per split."""
+    import os
+
+    counts = {}
+    for name, ds in splits.items():
+        path = os.path.join(out_dir, name)
+        ds.write_json(path)
+        counts[name] = ds.count()
+    return counts

@@ -162,6 +162,12 @@ def materialize_graph(
     The driver records the manifest once at the end — workers never touch
     shared state. The hash key is uniform, so partitions stay balanced
     regardless of hub-entity skew.
+
+    Resume semantics: a re-run with the same fingerprint skips the WRITE of
+    completed partitions (and their spill+merge I/O). Upstream recompute is
+    unavoidable under subject-hash partitioning (the subject is only known
+    after extraction); INPUT-level resume is achieved by sharding the input
+    across jobs with per-shard fingerprints (scripts/run_job.py).
     """
     import shutil as _shutil
 
