@@ -153,7 +153,30 @@ def minhash_lsh_dup_ids(
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
                                "num_perm": num_perm, "num_bands": num_bands},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
+    )
+    # The band index is consumed twice (candidate count, then filtered
+    # verification) — pin it so the minhash signatures aren't recomputed.
+    # (At 10^12 docs the index would be a parquet checkpoint instead.)
+    bands = bands.materialize()
+
+    # Candidate pruning: only bands shared by >= 2 docs matter. A salted
+    # partial count finds them; the (small — proportional to the dup rate)
+    # multi-member key set broadcasts back as a filter, so the expensive
+    # per-group verification only ever runs on real candidate buckets.
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_count
+
+    counts = grouped_count(bands, "band_key", out_col="n", salt_mod=0).to_pandas()
+    multi = set(counts.loc[counts["n"] >= 2, "band_key"])
+    if not multi:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64())}))
+    multi_ref = ray.put(multi)
+    bands = bands.map_batches(
+        lambda b: b.filter(pa.array(
+            [k in ray.get(multi_ref) for k in b.column("band_key").to_pylist()],
+            pa.bool_())),
+        batch_format="pyarrow",
     )
 
     def drop_in_band(g: pd.DataFrame) -> pd.DataFrame:
