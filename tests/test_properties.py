@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): total functions never raise, are
+deterministic, and respect their invariants on arbitrary input."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from calendar_event_entity_extraction_ray import TARGET_KEYS
+from calendar_event_entity_extraction_ray.functions.dedup import (
+    char_ngrams,
+    jaccard,
+    simhash64,
+)
+from calendar_event_entity_extraction_ray.functions.extract import EventGrammar
+from calendar_event_entity_extraction_ray.functions.htmltext import html_to_text
+from calendar_event_entity_extraction_ray.functions.jsonx import safe_json_load
+from calendar_event_entity_extraction_ray.functions.normalize import (
+    normalize_date,
+    normalize_time,
+)
+from calendar_event_entity_extraction_ray.functions.schema import (
+    canonicalize_output,
+    ensure_output_schema_row,
+)
+from calendar_event_entity_extraction_ray.functions.textsig import (
+    event_text_signature,
+    hash64,
+    stable_bucket,
+)
+
+_GRAMMAR = EventGrammar()
+
+text_strategy = st.text(max_size=300)
+
+
+class TestTotality:
+    """No input may crash these functions (the reference's silent-None
+    contract, main.py:76-96)."""
+
+    @given(text_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_normalize_date_total(self, s):
+        out = normalize_date(s)
+        assert out is None or isinstance(out, str)
+
+    @given(text_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_normalize_time_total(self, s):
+        out = normalize_time(s)
+        assert out is None or isinstance(out, str)
+
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_safe_json_load_total(self, s):
+        safe_json_load(s)
+
+    @given(st.binary(max_size=500))
+    @settings(max_examples=100, deadline=None)
+    def test_html_to_text_total(self, b):
+        assert isinstance(html_to_text(b), str)
+
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_extract_sentence_total(self, s):
+        ev = _GRAMMAR.extract_sentence(s.replace("\n", " "))
+        if ev is not None:
+            assert set(ev) == set(TARGET_KEYS)
+
+
+class TestDeterminismAndInvariants:
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_signature_idempotent(self, s):
+        sig = event_text_signature(s)
+        assert event_text_signature(sig) == sig
+        assert sig == sig.strip().lower()
+
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_hashes_stable(self, s):
+        assert hash64(s) == hash64(s)
+        assert 0 <= stable_bucket(s, 10000) < 10000
+
+    @given(text_strategy)
+    @settings(max_examples=50, deadline=None)
+    def test_jaccard_self_is_one(self, s):
+        g = char_ngrams(s)
+        assert jaccard(g, g) == 1.0
+
+    @given(text_strategy, text_strategy)
+    @settings(max_examples=50, deadline=None)
+    def test_jaccard_bounded_symmetric(self, a, b):
+        ga, gb = char_ngrams(a), char_ngrams(b)
+        j = jaccard(ga, gb)
+        assert 0.0 <= j <= 1.0
+        assert j == jaccard(gb, ga)
+
+    @given(text_strategy)
+    @settings(max_examples=50, deadline=None)
+    def test_simhash_deterministic(self, s):
+        assert simhash64(s) == simhash64(s)
+        assert 0 <= simhash64(s) < (1 << 64)
+
+    @given(st.dictionaries(st.sampled_from(TARGET_KEYS + ["junk", "json"]),
+                           st.one_of(st.none(), st.text(max_size=20))))
+    @settings(max_examples=100, deadline=None)
+    def test_schema_coercion_shape(self, payload):
+        row = ensure_output_schema_row({"event_text": "t", "output": payload})
+        assert set(row["output"]) == set(TARGET_KEYS)
+        for v in row["output"].values():
+            assert v is None or (isinstance(v, str) and v.strip() != "")
+        rec = canonicalize_output({"event_text": "t", "output": payload})
+        assert set(rec["output"]) == set(TARGET_KEYS)
+
+    @given(st.integers(min_value=0, max_value=5000))
+    @settings(max_examples=30, deadline=None)
+    def test_page_generator_deterministic(self, i):
+        from calendar_event_entity_extraction_ray.sources.pages import synth_page
+
+        a_page, a_golden = synth_page(i, seed=42)
+        b_page, b_golden = synth_page(i, seed=42)
+        assert a_page == b_page
+        assert a_golden == b_golden
+        # the golden text is always byte-identical to the extraction rule
+        assert html_to_text(a_page["html"]) == a_page["text"]
+
+
+class TestNoise:
+    def test_noise_deterministic_and_bounded(self):
+        import random
+
+        from calendar_event_entity_extraction_ray.functions.noise import apply_noise
+
+        texts = [f"meeting about calendar in 30 minutes tomorrow #{i}"
+                 for i in range(200)]
+        a = [apply_noise(t, random.Random(f"n:{i}")) for i, t in enumerate(texts)]
+        b = [apply_noise(t, random.Random(f"n:{i}")) for i, t in enumerate(texts)]
+        assert a == b
+        changed = sum(1 for t, o in zip(texts, a) if t != o)
+        assert 0 < changed < 60  # ~10% gate
