@@ -534,6 +534,61 @@ def q_embedding_dups_lsh(sf_dir: str) -> Any:
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+def q_order_revenue_hashjoin(sf_dir: str) -> Any:
+    """Two-large-sides partitioned hash join (no broadcast): orders x
+    lineitem on orderkey, revenue per order priority."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "rev_e4": pa.array(rev)})
+
+    joined = hash_join(
+        orders, li.map_batches(prep, batch_format="pyarrow"),
+        key="o_orderkey",
+        left_cols=["o_orderkey", "o_orderpriority"],
+        right_cols=["o_orderkey", "rev_e4"],
+        num_buckets=32,
+    )
+    out = grouped_sums(joined, key_cols=["o_orderpriority"],
+                       sum_cols=["rev_e4"], count_alias="n_lines"
+                       ).to_pandas().rename(columns={"rev_e4": "revenue_e4"})
+    return _int64(out, ["n_lines", "revenue_e4"])
+
+
+def q_error_prev_click(sf_dir: str) -> Any:
+    """Backward as-of join: for each 'error' event, the most recent
+    preceding 'click' by the same user (partitioned merge_asof)."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    errors = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "error"))
+                   .select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow")
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click"))
+                   .select(["ts", "user_id"]),
+        batch_format="pyarrow")
+    out = asof_join(errors, clicks, on="ts", by="user_id",
+                    left_cols=["ts", "user_id", "event_id"],
+                    right_cols=["ts", "user_id"], suffix="_click")
+    df = out.to_pandas()[["event_id", "ts_click"]].rename(
+        columns={"ts_click": "prev_click_ts"})
+    df["event_id"] = df["event_id"].astype("int64")
+    return df
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -691,6 +746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority": q_orders_priority,
         "brand_revenue": q_brand_revenue,
         "supplier_balance": q_supplier_balance,
+        "order_revenue_hashjoin": q_order_revenue_hashjoin,
+        "error_prev_click": q_error_prev_click,
         "props_k_stats": q_props_stats,
         "embedding_dups": q_embedding_dups,
         # non-SQL-expressible (rows-only)
@@ -852,6 +909,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "order_revenue_hashjoin": """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "error_prev_click": """
+            SELECT e.event_id, c.ts AS prev_click_ts
+            FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT ts, user_id FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         "customer_order_totals": """
             SELECT c.c_mktsegment AS c_mktsegment,

@@ -1,0 +1,58 @@
+"""Partitioned hash join and as-of join unit tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+class TestHashJoin:
+    def test_inner_join_matches_pandas(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+        right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": [20, 30, 31, 40]})
+        out = hash_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            key="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+            num_buckets=4,
+        ).to_pandas()
+        expect = left.merge(right, on="k")
+        key = ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            out[key].sort_values(key).reset_index(drop=True),
+            expect[key].sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+class TestAsofJoin:
+    def test_backward_asof_matches_pandas(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import asof_join
+
+        left = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                                  "2024-01-01 09:00"]),
+            "uid": [1, 1, 2],
+            "eid": [100, 101, 102],
+        })
+        right = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 10:30",
+                                  "2024-01-01 12:00"]),
+            "uid": [1, 1, 2],
+        })
+        out = asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="ts", by="uid",
+            left_cols=["ts", "uid", "eid"], right_cols=["ts", "uid"],
+        ).to_pandas().sort_values("eid").reset_index(drop=True)
+        # eid 100 (10:00, u1) -> 09:30; eid 101 (11:00, u1) -> 10:30;
+        # eid 102 (09:00, u2) -> no preceding right row
+        assert out.loc[out["eid"] == 100, "ts_right"].iloc[0] == pd.Timestamp("2024-01-01 09:30")
+        assert out.loc[out["eid"] == 101, "ts_right"].iloc[0] == pd.Timestamp("2024-01-01 10:30")
+        assert pd.isna(out.loc[out["eid"] == 102, "ts_right"].iloc[0])
