@@ -690,6 +690,21 @@ def q_media_features(sf_dir: str) -> Any:
     return out.select_columns(["media_id", "kind", "mime"])
 
 
+def q_action_histogram(sf_dir: str) -> Any:
+    """Per-action histogram over extracted events (the reference's
+    analyze_dataset per-action histogram, prepare_assignment_data.py:64-102,
+    over the flagship extraction output)."""
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        extract_stage,
+        synth_pages_dataset,
+    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_count
+
+    events = extract_stage(synth_pages_dataset(_n_pages(sf_dir), seed=42))
+    out = grouped_count(events, "action", out_col="n", salt_mod=8)
+    return _int64(out.sort(["n", "action"], descending=[True, False]), ["n"])
+
+
 def q_eval_metrics(sf_dir: str) -> Any:
     """Evaluation pipeline self-check: golden-rendered predictions score 1.0
     and a poisoned tail scores 0 (fractions per evaluate_finetuned.py:48-99)."""
@@ -761,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degree": q_kg_entity_degree,
         "augment_records": q_augment,
         "media_features": q_media_features,
+        "action_histogram": q_action_histogram,
         "eval_metrics": q_eval_metrics,
     }
 
