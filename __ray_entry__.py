@@ -705,6 +705,23 @@ def q_action_histogram(sf_dir: str) -> Any:
     return _int64(out.sort(["n", "action"], descending=[True, False]), ["n"])
 
 
+def q_kg_events_view(sf_dir: str) -> Any:
+    """groupby(subj) canonicalization shuffle: linked triples folded back
+    into one row per event (stages/reassemble.py; north-star S5)."""
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        kg_triples,
+        synth_pages_dataset,
+    )
+    from calendar_event_entity_extraction_ray.stages.reassemble import (
+        reassemble_events,
+    )
+
+    triples = kg_triples(synth_pages_dataset(_n_pages(sf_dir), seed=42))
+    view = reassemble_events(triples)
+    return view.select_columns(["event_id", "url", "action", "date", "time",
+                                "location", "duration", "recurrence", "notes"])
+
+
 def q_eval_metrics(sf_dir: str) -> Any:
     """Evaluation pipeline self-check: golden-rendered predictions score 1.0
     and a poisoned tail scores 0 (fractions per evaluate_finetuned.py:48-99)."""
@@ -777,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_records": q_augment,
         "media_features": q_media_features,
         "action_histogram": q_action_histogram,
+        "kg_events_view": q_kg_events_view,
         "eval_metrics": q_eval_metrics,
     }
 
