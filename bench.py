@@ -113,13 +113,21 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 
-    def run(ncpu: int) -> dict:
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N: this host shows substantial run-to-run noise; the
+        # minimum wall time estimates each level's true capacity
+        results = [run_once(ncpu) for _ in range(repeats)]
+        return min(results, key=lambda r: r["value"])
 
     r_lo = run(lo)
     r_hi = run(hi)

@@ -156,6 +156,22 @@ def format_date_text(dt: datetime, style: int) -> str:
     return f"{d}-{m:02d}-{y}"
 
 
+def expected_normalized_date(dt: datetime, style: int) -> str:
+    """What ``normalize_date(format_date_text(dt, style))`` returns, computed
+    analytically (no dateutil) — the generator's golden-date fast path.
+
+    The only dayfirst ambiguity in the emitted styles is the ISO form
+    (style 1, ``Y-m-d``): dateutil with ``dayfirst=True`` swaps day/month
+    when both are <= 12. Exhaustively verified against dateutil over the
+    full (day, month, year, style) space in
+    tests/test_properties.py::TestAnalyticDateFastPath.
+    """
+    d, m, y = dt.day, dt.month, dt.year
+    if style % 6 == 1 and d <= 12:
+        return f"{m:02d}/{d:02d}/{y}"
+    return f"{d:02d}/{m:02d}/{y}"
+
+
 def format_time_text(dt: datetime, style: int) -> str:
     """Parseable time surface forms (subset of faker_synth.py:80-97 styles)."""
     h, m = dt.hour, dt.minute

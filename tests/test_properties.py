@@ -126,6 +126,27 @@ class TestDeterminismAndInvariants:
         assert html_to_text(a_page["html"]) == a_page["text"]
 
 
+class TestAnalyticDateFastPath:
+    def test_matches_dateutil_exhaustively(self):
+        """The generator's analytic golden-date fast path must equal the
+        reference normalization for EVERY (day, month, year, style) the
+        grammar can emit."""
+        import calendar
+        from datetime import datetime
+
+        from calendar_event_entity_extraction_ray.functions import grammar as G
+
+        for y in (2024, 2025, 2026):
+            for m in range(1, 13):
+                for d in range(1, calendar.monthrange(y, m)[1] + 1):
+                    dt = datetime(y, m, d)
+                    for style in range(6):
+                        surface = G.format_date_text(dt, style)
+                        assert (normalize_date(surface)
+                                == G.expected_normalized_date(dt, style)), (
+                            surface, style)
+
+
 class TestNoise:
     def test_noise_deterministic_and_bounded(self):
         import random
