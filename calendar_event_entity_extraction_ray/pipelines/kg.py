@@ -211,7 +211,9 @@ def materialize_graph(
                 os.makedirs(pdir, exist_ok=True)
                 fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
                 os.close(fd)
-                pq.write_table(sub, tmp)
+                # spill files are intermediate (merged then deleted):
+                # uncompressed write saves CPU in the map phase
+                pq.write_table(sub, tmp, compression="none")
                 os.replace(tmp, tmp[:-4] + ".parquet")
                 parts.append(int(part_id))
                 rows.append(sub.num_rows)
