@@ -65,6 +65,10 @@ def main() -> int:
     else:
         if not args.input:
             ap.error("either --input or --pages is required")
+        import os
+
+        if not (os.path.exists(args.input) or "://" in args.input):
+            ap.error(f"--input path not found: {args.input}")
         pages = ray.data.read_parquet(
             args.input, columns=["url", "warc_ts", "html", "lang"])
         n_docs = pages.count()
