@@ -47,5 +47,9 @@ def stable_bucket(s: str, n_buckets: int) -> int:
 
 
 def event_id(url: str, event_ordinal: int) -> str:
-    """Deterministic subject id: hash of (url, ordinal) (SURVEY.md §7.1)."""
-    return "ev_" + hashlib.sha1(f"{url}#{event_ordinal}".encode("utf-8")).hexdigest()[:16]
+    """Deterministic subject id: hash of (url, ordinal) (SURVEY.md §7.1).
+
+    128 bits: subject ids are IDENTITY, not partition keys — 64 bits would
+    see birthday collisions at 10^12 events and silently merge two events'
+    triples; at 128 bits the collision probability is ~1e-14."""
+    return "ev_" + hashlib.sha1(f"{url}#{event_ordinal}".encode("utf-8")).hexdigest()[:32]

@@ -47,12 +47,10 @@ def dedup_triples_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).cast(batch.schema)
 
 
-def add_hash_column(
-    batch: pa.Table, cols: List[str], out_col: str = "sig_hash"
-) -> pa.Table:
-    """Deterministic md5-based 63-bit content key over the given columns.
-    Handles nested (list) columns via canonical repr; None is a distinct
-    sentinel (never collides with the string "None")."""
+def key_strings(batch: pa.Table, cols: List[str]) -> List[str]:
+    """Canonical per-row key string over the given columns. Handles nested
+    (list) columns via repr; None is a distinct sentinel (never collides
+    with the string "None")."""
     col_vals = []
     for c in cols:
         col = batch.column(c)
@@ -61,14 +59,42 @@ def add_hash_column(
             col_vals.append([None if v is None else repr(v) for v in vals])
         else:
             col_vals.append([None if v is None else str(v) for v in vals])
-    hashes = []
-    for tup in zip(*col_vals) if cols else []:
-        s = "\x1f".join("\x00" if v is None else v for v in tup)
-        hashes.append(
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-            & 0x7FFF_FFFF_FFFF_FFFF
-        )
+    return [
+        "\x1f".join("\x00" if v is None else v for v in tup)
+        for tup in (zip(*col_vals) if cols else [])
+    ]
+
+
+def add_hash_column(
+    batch: pa.Table, cols: List[str], out_col: str = "sig_hash"
+) -> pa.Table:
+    """Deterministic md5-based 63-bit content key over the given columns
+    (shuffle key only — exact equality is re-checked inside the bucket)."""
+    hashes = [
+        int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+        & 0x7FFF_FFFF_FFFF_FFFF
+        for s in key_strings(batch, cols)
+    ]
     return batch.append_column(out_col, pa.array(hashes, pa.int64()))
+
+
+def first_wins_in_bucket(
+    g: pa.Table, key_cols: List[str], order_col: str
+) -> pa.Table:
+    """Keep the first row (smallest order_col) per DISTINCT key tuple inside
+    one hash bucket. The bucket key is a 63-bit hash — at 10^12-row scale
+    birthday collisions are certain, so two different keys CAN share a
+    bucket; deduping on the hash alone would silently merge them. Exact key
+    comparison here keeps the operator correct at any scale."""
+    idx = pc.sort_indices(g, sort_keys=[(order_col, "ascending")])
+    g = g.take(idx)
+    seen = set()
+    keep = []
+    for i, k in enumerate(key_strings(g, key_cols)):
+        if k not in seen:
+            seen.add(k)
+            keep.append(i)
+    return g.take(keep)
 
 
 def exact_dedup(
@@ -82,13 +108,12 @@ def exact_dedup(
         lambda b: add_hash_column(b, key_cols), batch_format="pyarrow"
     )
 
-    def first_wins(g: pa.Table) -> pa.Table:
-        # pure-Arrow head(1)-by-order: ragged list columns (attendees) do not
-        # survive Ray's pandas<->tensor conversion, so stay in pyarrow
-        idx = pc.sort_indices(g, sort_keys=[(order_col, "ascending")])
-        return g.take(idx[:1])
-
-    out = ds.groupby("sig_hash").map_groups(first_wins, batch_format="pyarrow")
+    # pure-Arrow group fold: ragged list columns (attendees) do not survive
+    # Ray's pandas<->tensor conversion, so stay in pyarrow
+    out = ds.groupby("sig_hash").map_groups(
+        lambda g: first_wins_in_bucket(g, key_cols, order_col),
+        batch_format="pyarrow",
+    )
     return out.drop_columns(["sig_hash"])
 
 

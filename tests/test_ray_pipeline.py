@@ -113,6 +113,24 @@ class TestKgPipeline:
 
 
 class TestExactDedup:
+    def test_hash_bucket_collision_keeps_distinct_keys(self):
+        """Two DIFFERENT keys landing in one hash bucket (certain at
+        10^12-row scale) must each survive — dedup is on exact keys, not
+        on the bucket hash."""
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            first_wins_in_bucket,
+        )
+
+        g = pa.table({
+            "text": ["aaa", "bbb", "aaa"],   # simulated collision bucket
+            "ord": [2, 1, 3],
+            "sig_hash": [7, 7, 7],
+        })
+        out = first_wins_in_bucket(g, ["text"], "ord")
+        got = sorted(zip(out.column("text").to_pylist(),
+                         out.column("ord").to_pylist()))
+        assert got == [("aaa", 2), ("bbb", 1)]
+
     def test_first_wins_by_order_col(self, ray_session):
         import ray
 
