@@ -209,12 +209,17 @@ def minhash_lsh_dup_ids(
         if len(ids) < 2:
             return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
         texts = ray.get(lookup_ref)
-        keep = ids[0]
+        # greedy clustering in id order: an id similar to ANY kept
+        # representative is dropped (not only vs the single smallest id —
+        # a band can hold several distinct near-dup clusters)
+        reps: list = []
         dropped = []
-        base = word_shingles(texts.get(keep) or "")
-        for other in ids[1:]:
-            if jaccard(base, word_shingles(texts.get(other) or "")) >= threshold:
-                dropped.append(other)
+        for i in ids:
+            sh = word_shingles(texts.get(i) or "")
+            if any(jaccard(sh, rs) >= threshold for _, rs in reps):
+                dropped.append(i)
+            else:
+                reps.append((i, sh))
         return pd.DataFrame({id_col: pd.Series(dropped, dtype="int64")})
 
     dups = bands.groupby("band_key").map_groups(drop_in_band, batch_format="pandas")

@@ -34,6 +34,8 @@ class LinkEntities:
         self.linker = EntityLinker(alias_rows=alias_rows, canonicals=canonicals)
         self.memo: Dict[Tuple[str, str], Optional[str]] = {}
 
+    _MEMO_CAP = 1_000_000  # per-actor; web-scale distinct surfaces are unbounded
+
     def _link(self, surface: Optional[str], kind: str) -> Optional[str]:
         if surface is None or not kind:
             return surface
@@ -41,6 +43,8 @@ class LinkEntities:
         hit = self.memo.get(key)
         if hit is None and key not in self.memo:
             hit = self.linker.link(surface, kind)
+            if len(self.memo) >= self._MEMO_CAP:
+                self.memo.clear()
             self.memo[key] = hit
         return hit
 
