@@ -840,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_users": """
             SELECT user_id, COUNT(*) AS n FROM events
+            WHERE user_id IS NOT NULL
             GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
         """,
         "doc_stats": """
@@ -850,7 +851,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SUM(length(text)) * 100) // COUNT(*) AS BIGINT) AS avg_chars_x100
             FROM documents
         """,
-        "lang_histogram": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "lang_histogram": "SELECT lang, COUNT(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang",
         "dedup_documents": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,

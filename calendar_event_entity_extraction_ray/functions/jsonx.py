@@ -39,4 +39,4 @@ def safe_json_load(text: str) -> Optional[Dict[str, Any]]:
         obj = json.loads(blob)
     except Exception:
         return None
-    return obj if isinstance(obj, dict) else obj
+    return obj if isinstance(obj, dict) else None

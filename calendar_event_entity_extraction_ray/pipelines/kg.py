@@ -198,7 +198,13 @@ def materialize_graph(
             batch_format="pyarrow",
         )
 
+    # A crashed prior run (manifest written only at the end) or a prior
+    # same-fingerprint attempt may have left spill files behind — merging
+    # them would duplicate triples. Phase 1 always starts clean.
+    _shutil.rmtree(spill_dir, ignore_errors=True)
+
     def spill(b: pa.Table) -> pa.Table:
+        import hashlib
         import tempfile
 
         parts, rows = [], []
@@ -209,12 +215,19 @@ def materialize_graph(
                 sub = sub.drop_columns(["part_key"])
                 pdir = os.path.join(spill_dir, f"part={int(part_id)}")
                 os.makedirs(pdir, exist_ok=True)
+                # CONTENT-derived file name: a Ray task retry (at-least-once
+                # execution) rewrites the same file instead of adding a
+                # duplicate; temp+rename keeps each write atomic
+                digest = hashlib.md5(
+                    ("\n".join(sub.column("subj").to_pylist()[:64])
+                     + f":{sub.num_rows}").encode()
+                ).hexdigest()[:20]
                 fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
                 os.close(fd)
                 # spill files are intermediate (merged then deleted):
                 # uncompressed write saves CPU in the map phase
                 pq.write_table(sub, tmp, compression="none")
-                os.replace(tmp, tmp[:-4] + ".parquet")
+                os.replace(tmp, os.path.join(pdir, f"{digest}.parquet"))
                 parts.append(int(part_id))
                 rows.append(sub.num_rows)
         return pa.table({"part_id": pa.array(parts, pa.int64()),

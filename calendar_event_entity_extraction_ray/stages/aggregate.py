@@ -52,7 +52,9 @@ def grouped_count(
 
     Two-phase: map_batches partial counts keyed (key, salt) -> shuffle ->
     fold salts -> final (key, n). The second groupby is over ≤ |keys| x
-    salt_mod rows — tiny.
+    salt_mod rows — tiny. NULL keys are DROPPED (oracle SQL pairs with
+    ``WHERE key IS NOT NULL``); ``grouped_sums`` keeps NULL groups,
+    matching plain SQL GROUP BY.
     """
     partials = ds.map_batches(
         lambda b: partial_count_batch(b, key_col, salt_mod=salt_mod),

@@ -128,8 +128,14 @@ def synth_records_batch(indices, seed: int = 42) -> pa.Table:
     from calendar_event_entity_extraction_ray.sources.pages import _make_event
 
     rows = []
+    # synth ids live in a disjoint high space: augmented variants use
+    # 2*row_id(+1), so any overlap would break the explicit total order that
+    # makes first-wins dedup deterministic. Base 2^42 is disjoint from
+    # doubled corpus ids (valid while input row_id < 2^41 ≈ 2.2e12) and
+    # survives ~20 further doublings without int64 overflow.
+    base = 1 << 42
     for i in indices:
         rng = random.Random(f"synth:{seed}:{int(i)}")
         sent, slots = _make_event(rng)
-        rows.append({"event_text": sent, "row_id": 10_000_000 + int(i), **slots})
+        rows.append({"event_text": sent, "row_id": base + int(i), **slots})
     return records_to_table(rows)

@@ -197,12 +197,13 @@ def minhash_lsh_dup_ids(
         return ray.data.from_arrow(
             pa.table({id_col: pa.array([], pa.int64())}))
     multi_ref = ray.put(multi)
-    bands = bands.map_batches(
-        lambda b: b.filter(pa.array(
-            [k in ray.get(multi_ref) for k in b.column("band_key").to_pylist()],
-            pa.bool_())),
-        batch_format="pyarrow",
-    )
+
+    def keep_multi(b: pa.Table) -> pa.Table:
+        keys = ray.get(multi_ref)  # fetched ONCE per batch, not per row
+        return b.filter(pa.array(
+            [k in keys for k in b.column("band_key").to_pylist()], pa.bool_()))
+
+    bands = bands.map_batches(keep_multi, batch_format="pyarrow")
 
     def drop_in_band(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[id_col].tolist()))
