@@ -675,6 +675,19 @@ def q_augment(sf_dir: str) -> Any:
                                "location", "duration", "recurrence", "notes"])
 
 
+def q_media_frames(sf_dir: str) -> Any:
+    """Video frame sampling: 1->N binary-row explosion (bounded per row)."""
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        frame_sample_batch,
+        synth_media_table,
+    )
+
+    n = max(100, int(10_000 * _sf_of(sf_dir)))
+    ds = ray.data.from_arrow(synth_media_table(n))
+    out = ds.map_batches(frame_sample_batch, batch_format="pyarrow", batch_size=64)
+    return out.select_columns(["media_id", "frame_ix", "frame_ts_ms"])
+
+
 def q_media_features(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.multimodal import (
         DecodeFeatures,
@@ -793,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degree": q_kg_entity_degree,
         "augment_records": q_augment,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "action_histogram": q_action_histogram,
         "kg_events_view": q_kg_events_view,
         "eval_metrics": q_eval_metrics,

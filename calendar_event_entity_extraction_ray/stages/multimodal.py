@@ -62,6 +62,66 @@ class DecodeFeatures:
         )
 
 
+class ResizeImages:
+    """Actor-pool stage: image payload -> resized payload + updated typed
+    metadata. The pixel kernel is STUBBED (no codec libs in this container:
+    deterministic md5-derived bytes of the right length); the Ray-side
+    mechanics are real — binary in/out stays Arrow, width/height metadata
+    updated, small batches for wide rows."""
+
+    def __init__(self, width: int = 64, height: int = 64, strict: bool = False):
+        self.w, self.h, self.strict = width, height, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("image resize needs a codec library")
+        out_payload = []
+        for p, kind in zip(batch.column("payload").to_pylist(),
+                           batch.column("kind").to_pylist()):
+            if kind != "image":
+                out_payload.append(p)
+                continue
+            seed_bytes = hashlib.md5((p or b"") + b"resize").digest()
+            reps = (self.w * self.h * 3) // 16 + 1
+            out_payload.append((seed_bytes * reps)[: self.w * self.h * 3])
+        names = batch.column_names
+        batch = batch.set_column(names.index("payload"), "payload",
+                                 pa.array(out_payload, pa.binary()))
+        n = batch.num_rows
+        kinds = batch.column("kind").to_pylist()
+        batch = batch.set_column(
+            names.index("width"), "width",
+            pa.array([self.w if k == "image" else None for k in kinds], pa.int32()))
+        return batch.set_column(
+            names.index("height"), "height",
+            pa.array([self.h if k == "image" else None for k in kinds], pa.int32()))
+
+
+def frame_sample_batch(batch: pa.Table, every_ms: int = 500) -> pa.Table:
+    """Stateless flat explosion: one row per sampled frame of each video
+    (deterministic fake frame ids; a real decoder would seek). Shows the
+    1->N binary-row expansion pattern with bounded output per row."""
+    out = {"media_id": [], "frame_ix": [], "frame_ts_ms": [], "frame": []}
+    for mid, kind, payload, dur in zip(
+        batch.column("media_id").to_pylist(), batch.column("kind").to_pylist(),
+        batch.column("payload").to_pylist(), batch.column("duration_ms").to_pylist(),
+    ):
+        if kind != "video" or not dur:
+            continue
+        n_frames = min(dur // every_ms + 1, 64)  # cap per-row output
+        for i in range(n_frames):
+            out["media_id"].append(mid)
+            out["frame_ix"].append(i)
+            out["frame_ts_ms"].append(i * every_ms)
+            out["frame"].append(hashlib.md5((payload or b"") + bytes([i])).digest())
+    return pa.table({
+        "media_id": pa.array(out["media_id"], pa.int64()),
+        "frame_ix": pa.array(out["frame_ix"], pa.int32()),
+        "frame_ts_ms": pa.array(out["frame_ts_ms"], pa.int32()),
+        "frame": pa.array(out["frame"], pa.binary()),
+    })
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media rows (payload = seeded bytes)."""
     rows = {k: [] for k in ("media_id", "kind", "payload", "mime",

@@ -293,6 +293,40 @@ class TestMultimodal:
         assert "payload" not in out.columns
         assert all(len(f) == 8 for f in out["feature"])
 
+    def test_resize_plumbing(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.multimodal import (
+            ResizeImages,
+            synth_media_table,
+        )
+
+        ds = ray.data.from_arrow(synth_media_table(24))
+        out = ds.map_batches(
+            ResizeImages, fn_constructor_kwargs={"width": 32, "height": 16},
+            batch_format="pyarrow", batch_size=8, concurrency=(1, 2),
+        ).to_pandas()
+        imgs = out[out["kind"] == "image"]
+        assert (imgs["width"] == 32).all() and (imgs["height"] == 16).all()
+        assert all(len(p) == 32 * 16 * 3 for p in imgs["payload"])
+        # non-images untouched
+        assert (out[out["kind"] != "image"]["width"].isna()).all()
+
+    def test_frame_sampling(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.multimodal import (
+            frame_sample_batch,
+            synth_media_table,
+        )
+
+        ds = ray.data.from_arrow(synth_media_table(24))
+        frames = ds.map_batches(frame_sample_batch, batch_format="pyarrow").to_pandas()
+        assert len(frames) > 0
+        assert set(frames.columns) == {"media_id", "frame_ix", "frame_ts_ms", "frame"}
+        # only videos produce frames; bounded per row
+        assert frames.groupby("media_id").size().max() <= 64
+
     def test_strict_raises(self):
         from calendar_event_entity_extraction_ray.stages.multimodal import (
             DecodeFeatures,
