@@ -312,10 +312,14 @@ def q_customer_order_totals(sf_dir: str) -> Any:
         seg = ray.get(seg_ref)
         keys = b.column("o_custkey").to_pylist()
         price = b.column("o_totalprice").to_numpy()
-        return pa.table({
+        t = pa.table({
             "c_mktsegment": pa.array([seg.get(k) for k in keys], pa.string()),
             "price_c": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
         })
+        # INNER-join semantics (the oracle drops unmatched keys)
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t.column("c_mktsegment")))
 
     out = orders.map_batches(join, batch_format="pyarrow").groupby(
         "c_mktsegment"
@@ -331,11 +335,14 @@ def q_nation_customers(sf_dir: str) -> Any:
     cust = _read(sf_dir, "customer", columns=["c_nationkey"])
 
     def join(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         names = ray.get(n_ref)
-        return pa.table({
+        t = pa.table({
             "n_name": pa.array([names.get(k) for k in
                                 b.column("c_nationkey").to_pylist()], pa.string()),
         })
+        return t.filter(pc.is_valid(t.column("n_name")))  # INNER semantics
 
     out = cust.map_batches(join, batch_format="pyarrow").groupby("n_name").aggregate(
         Count(alias_name="n_customers")
@@ -411,10 +418,13 @@ def q_brand_revenue(sf_dir: str) -> Any:
         price = b.column("l_extendedprice").to_numpy()
         disc = b.column("l_discount").to_numpy()
         rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
-        return pa.table({
+        t = pa.table({
             "p_brand": pa.array([brands.get(k) for k in keys], pa.string()),
             "rev_e4": pa.array(rev),
         })
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t.column("p_brand")))  # INNER semantics
 
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
 
@@ -433,11 +443,14 @@ def q_supplier_balance(sf_dir: str) -> Any:
     def join(b: pa.Table) -> pa.Table:
         names = ray.get(n_ref)
         bal = b.column("s_acctbal").to_numpy()
-        return pa.table({
+        t = pa.table({
             "n_name": pa.array([names.get(k) for k in
                                 b.column("s_nationkey").to_pylist()], pa.string()),
             "bal_c": pa.array(np.floor(bal * 100 + 0.5).astype(np.int64)),
         })
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t.column("n_name")))  # INNER semantics
 
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
 

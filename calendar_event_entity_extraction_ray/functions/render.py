@@ -1,9 +1,13 @@
 """JSON -> text rendering (the reference's augmentation candidate B).
 
 Reference: augmentation/renderers.py:7-40. Same four templates, same optional
-clause markers (`with` / `for` / `repeating` / `(note:)`), same defaults; the
-RNG is injected (seeded per partition in the distributed pipeline) instead of
-the reference's module-global ``random``.
+clause markers (`with` / `for` / `repeating` / `(note:)`), same default
+semantics — including the reference's quirk that ``j.get("action", "create")``
+only defaults on a MISSING key: since ``ensure_schema`` materializes all 8
+keys, a null slot renders as the literal string ``"None"`` (e.g. "... at
+None on None ..."), exactly as the reference's pipeline does. The RNG is
+injected (seeded per row in the distributed stage) instead of the
+reference's module-global ``random``.
 """
 
 from __future__ import annotations
@@ -36,10 +40,10 @@ def render_from_json(j: Dict[str, Any], rng: random.Random) -> str:
     notes_clause = _clause("(note:)", j.get("notes"))
     tpl = rng.choice(TEMPLATES)
     return tpl.format(
-        action=j.get("action") or "create",
-        location=j.get("location") or "the office",
-        date=j.get("date") or "01/01/2025",
-        time=j.get("time") or "10:00 AM",
+        action=j.get("action", "create"),
+        location=j.get("location", "the office"),
+        date=j.get("date", "01/01/2025"),
+        time=j.get("time", "10:00 AM"),
         attendees_clause=attendees_clause,
         duration_clause=duration_clause,
         recurrence_clause=recurrence_clause,

@@ -215,13 +215,16 @@ def materialize_graph(
                 sub = sub.drop_columns(["part_key"])
                 pdir = os.path.join(spill_dir, f"part={int(part_id)}")
                 os.makedirs(pdir, exist_ok=True)
-                # CONTENT-derived file name: a Ray task retry (at-least-once
-                # execution) rewrites the same file instead of adding a
-                # duplicate; temp+rename keeps each write atomic
-                digest = hashlib.md5(
-                    ("\n".join(sub.column("subj").to_pylist()[:64])
-                     + f":{sub.num_rows}").encode()
-                ).hexdigest()[:20]
+                # CONTENT-derived file name over the FULL key column: a Ray
+                # task retry (at-least-once execution) rewrites the same
+                # file instead of adding a duplicate, and two different
+                # blocks can never collide on a prefix; temp+rename keeps
+                # each write atomic
+                h = hashlib.md5()
+                for s in sub.column("subj").to_pylist():
+                    h.update(s.encode())
+                    h.update(b"\x1f")
+                digest = h.hexdigest()[:24]
                 fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
                 os.close(fd)
                 # spill files are intermediate (merged then deleted):

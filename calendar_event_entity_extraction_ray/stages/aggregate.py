@@ -145,8 +145,11 @@ def grouped_sums(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby(key_cols, dropna=False)
-        agg = g[sum_cols].sum() if sum_cols else g.size().to_frame()
-        agg.columns = [f"{c}__sum" for c in sum_cols]
+        if sum_cols:
+            agg = g[sum_cols].sum()
+            agg.columns = [f"{c}__sum" for c in sum_cols]
+        else:
+            agg = pd.DataFrame(index=g.size().index)
         agg[count_alias] = g.size()
         for c in min_cols:
             agg[f"{c}__min"] = g[c].min()

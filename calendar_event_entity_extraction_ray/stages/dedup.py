@@ -59,8 +59,10 @@ def key_strings(batch: pa.Table, cols: List[str]) -> List[str]:
             col_vals.append([None if v is None else repr(v) for v in vals])
         else:
             col_vals.append([None if v is None else str(v) for v in vals])
+    # length-prefixed encoding: unambiguous under any byte content (a raw
+    # separator join would let ('a\x1fb','c') collide with ('a','b\x1fc'))
     return [
-        "\x1f".join("\x00" if v is None else v for v in tup)
+        "|".join("n" if v is None else f"{len(v)}:{v}" for v in tup)
         for tup in (zip(*col_vals) if cols else [])
     ]
 

@@ -97,13 +97,21 @@ def asof_join(
     """Backward as-of join: for each left row, the latest right row with
     ``right.on <= left.on`` within the same ``by`` key. Partitioning
     assumption: all rows of one ``by`` key fit in one group."""
+    import pyarrow.compute as pc
+
     lt = left.select_columns(left_cols).map_batches(
         lambda b: b.append_column("_side", pa.array(["l"] * b.num_rows)),
         batch_format="pyarrow")
     r_only = [c for c in right_cols if c not in (on, by)]
+    # SQL equality never matches NULL = NULL: drop right rows with a NULL
+    # key so they can't as-of-match a NULL-keyed left row (left NULL-key
+    # rows still pass through unmatched, like an ASOF LEFT JOIN)
+    def _tag_right(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(by)))
+        return b.append_column("_side", pa.array(["r"] * b.num_rows))
+
     rt = right.select_columns(right_cols).map_batches(
-        lambda b: b.append_column("_side", pa.array(["r"] * b.num_rows)),
-        batch_format="pyarrow")
+        _tag_right, batch_format="pyarrow")
 
     l_only = [c for c in left_cols if c not in (on, by)]
 
@@ -119,16 +127,24 @@ def asof_join(
     rt = rt.map_batches(pad(l_only), batch_format="pyarrow")
     both = lt.union(rt)
 
+    out_cols = [on, by] + l_only + [on + suffix] + r_only
+
     def asof_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "l"][[on, by] + l_only].sort_values(on, kind="stable")
         rg = g[g["_side"] == "r"][[on] + r_only].sort_values(on, kind="stable")
         rg = rg.rename(columns={on: on + suffix})
         if lg.empty:
-            return lg.iloc[0:0]
+            # right-only group: emit a 0-row frame with the FULL output
+            # schema so every block the operator yields is schema-consistent
+            empty = lg.copy()
+            empty[on + suffix] = pd.Series([], dtype=rg[on + suffix].dtype)
+            for c in r_only:
+                empty[c] = pd.Series([], dtype=rg[c].dtype)
+            return empty[out_cols]
         out = pd.merge_asof(
             lg, rg, left_on=on, right_on=on + suffix, direction="backward",
             tolerance=tolerance,
         )
-        return out
+        return out[out_cols]
 
     return both.groupby(by).map_groups(asof_group, batch_format="pandas")

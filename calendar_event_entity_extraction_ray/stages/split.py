@@ -45,7 +45,12 @@ def assign_split_batch(
     texts = batch.column(text_col).to_pylist()
     splits = []
     for t in texts:
-        b = stable_bucket(t or "", n_buckets)
+        if t is None:
+            # SQL CASE on md5(NULL) is NULL -> falls through to 'test';
+            # mirror that so the oracle contract holds on NULL text
+            splits.append("test")
+            continue
+        b = stable_bucket(t, n_buckets)
         splits.append("train" if b < t_hi else ("eval" if b < e_hi else "test"))
     return batch.append_column("split", pa.array(splits, pa.string()))
 
@@ -69,9 +74,13 @@ def drop_split_leakage(
     """Input: dataset with a ``split`` column. Output: per-split datasets with
     eval := eval ∖ train, test := test ∖ (train ∪ eval) on normalized
     signature; train untouched (reference precedence)."""
+    # sigged is consumed by four branches (train-sig collection, eval
+    # filter + collection, test filter, and the returned splits) — pin it so
+    # the upstream pipeline + md5 pass run once, not per branch. (At 10^12
+    # rows this barrier would be a parquet checkpoint.)
     sigged = ds.map_batches(
         lambda b: add_signature_batch(b, text_col), batch_format="pyarrow"
-    )
+    ).materialize()
 
     def part(split_name: str) -> "ray.data.Dataset":
         return sigged.map_batches(

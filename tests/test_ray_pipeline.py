@@ -74,14 +74,15 @@ class TestKgPipeline:
 
         from calendar_event_entity_extraction_ray.functions.textsig import hash64
 
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            add_hash_column,
+        )
+
         for pid, entry in manifest["partitions"].items():
             t = pq.read_table(os.path.join(out_dir, entry["file"]))
-            for s in t.column("subj").to_pylist()[:5]:
-                # partition key must equal hash64(subj || sep) % 8 as computed
-                # by add_hash_column (single column -> no separator)
-                import hashlib
-
-                h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") & 0x7FFFFFFFFFFFFFFF
+            # partition key must equal the engine's content hash % 8
+            hashed = add_hash_column(t.select(["subj"]).slice(0, 5), ["subj"])
+            for h in hashed.column("sig_hash").to_pylist():
                 assert h % 8 == int(pid)
 
     def test_resume_skips_completed_partitions(self, ray_session, tmp_path):
