@@ -602,6 +602,56 @@ def q_error_prev_click(sf_dir: str) -> Any:
     return df
 
 
+def q_approx_distinct(sf_dir: str) -> Any:
+    """HyperLogLog approximate distinct: one serialized sketch per batch,
+    merged in a tiny final fold (functions/sketch.py). Reported alongside
+    the exact count so the driver's rows-only check still records a stable
+    shape; the test suite asserts the <2% typical HLL error."""
+    from calendar_event_entity_extraction_ray.functions.sketch import HyperLogLog
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = HyperLogLog(p=12).add_many(b.column("user_id").to_pylist())
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    merged = HyperLogLog(p=12)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for s in b.column("sketch").to_pylist():
+            merged.merge(HyperLogLog.deserialize(s))
+    return pd.DataFrame([{"approx_distinct_users": int(round(merged.estimate()))}])
+
+
+def q_events_sliding(sf_dir: str) -> Any:
+    """Sliding 1-hour windows advancing every 15 minutes: each event lands
+    in 4 windows (flat window-assignment explode -> salted grouped count)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = b.column("ts").to_pylist()
+        et = b.column("event_type").to_pylist()
+        out_t, out_w = [], []
+        for t, e in zip(ts, et):
+            # epoch floored to 15 min; the 4 hour-long windows covering t
+            base = t.timestamp() // 900 * 900
+            for k in range(4):
+                start = base - 900 * k
+                out_t.append(e)
+                out_w.append(pd.Timestamp(int(start), unit="s"))
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "window_start": pa.array(out_w, pa.timestamp("us"))})
+
+    out = grouped_sums(ds.map_batches(explode, batch_format="pyarrow"),
+                       key_cols=["event_type", "window_start"], sum_cols=[],
+                       count_alias="n").to_pandas()
+    return _int64(out, ["n"])
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -806,11 +856,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance": q_supplier_balance,
         "order_revenue_hashjoin": q_order_revenue_hashjoin,
         "error_prev_click": q_error_prev_click,
+        "events_sliding": q_events_sliding,
         "props_k_stats": q_props_stats,
         "embedding_dups": q_embedding_dups,
         # non-SQL-expressible (rows-only)
         "minhash_dedup_docs": q_minhash_dedup,
         "embedding_dups_lsh": q_embedding_dups_lsh,
+        "approx_distinct_users": q_approx_distinct,
         "simhash_docs": q_simhash,
         "langid_docs": q_langid,
         "fingerprint_docs": q_fingerprint,
@@ -984,6 +1036,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error') e
             ASOF LEFT JOIN (SELECT ts, user_id FROM events WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "events_sliding": """
+            SELECT event_type,
+                   to_timestamp(CAST(floor(epoch(ts) / 900) * 900 - 900 * k AS BIGINT))::TIMESTAMP AS window_start,
+                   COUNT(*) AS n
+            FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
+            GROUP BY 1, 2
         """,
         "customer_order_totals": """
             SELECT c.c_mktsegment AS c_mktsegment,

@@ -1,0 +1,61 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+Standard HLL (Flajolet et al.): md5-hash each value, bucket by the first
+``p`` bits, track the max leading-zero rank per bucket; merge = elementwise
+max — the mergeability is what makes it a per-batch partial aggregate
+(ray_guide.md "Aggregation at scale": emit one serialized sketch per batch,
+merge in a tiny second stage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add(self, value: str) -> None:
+        h = int.from_bytes(hashlib.md5(value.encode("utf-8")).digest()[:8], "big")
+        bucket = h >> (64 - self.p)
+        rest = h & ((1 << (64 - self.p)) - 1)
+        rank = (64 - self.p) - rest.bit_length() + 1
+        if rank > self.registers[bucket]:
+            self.registers[bucket] = rank
+
+    def add_many(self, values) -> "HyperLogLog":
+        for v in values:
+            if v is not None:
+                self.add(str(v))
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        s = np.sum(2.0 ** -self.registers.astype(np.float64))
+        e = alpha * m * m / s
+        if e <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                e = m * math.log(m / zeros)
+        return e
+
+    def serialize(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "HyperLogLog":
+        h = cls(p=data[0])
+        h.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
+        return h

@@ -1,0 +1,34 @@
+"""HyperLogLog sketch: accuracy, mergeability, serialization."""
+
+from __future__ import annotations
+
+from calendar_event_entity_extraction_ray.functions.sketch import HyperLogLog
+
+
+class TestHLL:
+    def test_accuracy_within_2pct(self):
+        h = HyperLogLog(p=12)
+        n = 50_000
+        h.add_many(f"user-{i}" for i in range(n))
+        est = h.estimate()
+        assert abs(est - n) / n < 0.02
+
+    def test_merge_equals_union(self):
+        a = HyperLogLog(p=12).add_many(f"x{i}" for i in range(10_000))
+        b = HyperLogLog(p=12).add_many(f"x{i}" for i in range(5_000, 15_000))
+        u = HyperLogLog(p=12).add_many(f"x{i}" for i in range(15_000))
+        a.merge(b)
+        assert abs(a.estimate() - u.estimate()) < 1e-9  # identical registers
+
+    def test_serialize_roundtrip(self):
+        h = HyperLogLog(p=10).add_many(str(i) for i in range(1000))
+        h2 = HyperLogLog.deserialize(h.serialize())
+        assert h2.estimate() == h.estimate()
+
+    def test_small_cardinality_linear_counting(self):
+        h = HyperLogLog(p=12).add_many(["a", "b", "c", "a"])
+        assert round(h.estimate()) == 3
+
+    def test_none_skipped(self):
+        h = HyperLogLog(p=12).add_many(["a", None, "b"])
+        assert round(h.estimate()) == 2
