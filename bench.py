@@ -119,7 +119,7 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
