@@ -122,7 +122,10 @@ def run_scaling() -> dict:
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        # GRAFT_BENCH_REPEATS=1: the repeat loop lives HERE, not inside the
+        # child bench process (best-of-3x1, not best-of-3x2)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SKIP_QUERIES="1", GRAFT_BENCH_REPEATS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
