@@ -71,7 +71,17 @@ def main() -> int:
             ap.error(f"--input path not found: {args.input}")
         pages = ray.data.read_parquet(
             args.input, columns=["url", "warc_ts", "html", "lang"])
-        n_docs = pages.count()
+        # doc count from parquet metadata — never a data scan
+        import pyarrow.parquet as _pq
+
+        if os.path.isfile(args.input):
+            n_docs = _pq.read_metadata(args.input).num_rows
+        elif os.path.isdir(args.input):
+            n_docs = sum(
+                _pq.read_metadata(os.path.join(args.input, f)).num_rows
+                for f in os.listdir(args.input) if f.endswith(".parquet"))
+        else:
+            n_docs = pages.count()
         triples = kg_triples(pages, extract_concurrency=conc)
         fingerprint = args.fingerprint or f"input-{args.input}"
 
