@@ -1,0 +1,118 @@
+"""Generic two-phase hash exchange (partition -> per-partition fold).
+
+Ray Data's built-in ``groupby``/``sort`` shuffle is sort-based and, for the
+many-small-blocks / few-partitions shapes this engine produces, costs more
+than the compute it feeds (measured in round 1; see CLAUDE.md). This module
+generalizes the explicit exchange already used by
+``pipelines/kg.py:materialize_graph`` into a reusable operator:
+
+  phase 1 (map, no barrier): each block splits its rows by
+    ``hash % num_partitions`` and appends one spill file per touched
+    partition (atomic temp+rename, content-named so a Ray task retry
+    rewrites the same file instead of duplicating rows). Local disk here;
+    shared object storage on a real multi-node cluster.
+  phase 2 (reduce, parallel ray tasks): one task per touched partition
+    reads its spill files and applies ``fold_fn`` to the whole partition
+    table; the folded tables stay in the object store
+    (``ray.data.from_arrow_refs`` — never collected to the driver).
+
+Because the partition key is a uniform content hash, partitions stay
+balanced regardless of key skew in the data (hot KEYS still co-locate —
+salt upstream if a single key exceeds a worker, as grouped_count does).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Callable, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+
+def default_num_partitions(cap: int = 64) -> int:
+    """~2x cluster CPUs (CLAUDE.md: granularity via block/partition count)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, min(cap, cpus * 2))
+
+
+def hash_partition_map(
+    ds: "ray.data.Dataset",
+    hash_col: str,
+    fold_fn: Callable[[pa.Table], pa.Table],
+    num_partitions: Optional[int] = None,
+    spill_root: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Partition ``ds`` by ``hash_col % num_partitions`` and apply
+    ``fold_fn`` once per whole partition table.
+
+    ``hash_col`` must be a non-null int64 column (a uniform content hash —
+    see ``stages/dedup.py:add_hash_column``). Rows with equal hash values
+    are guaranteed to land in the same partition, so any fold whose
+    semantics only need equal-key co-location (dedup, set-difference,
+    grouped fold) is exact.
+
+    This is an execution barrier: phase 1 runs to completion before phase 2
+    starts (the price of any all-to-all exchange).
+    """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    spill_dir = spill_root or tempfile.mkdtemp(prefix="cee_exchange_")
+    shutil.rmtree(spill_dir, ignore_errors=True)  # retries of a crashed run
+    os.makedirs(spill_dir, exist_ok=True)
+    n_parts = int(num_partitions)
+
+    def spill(b: pa.Table) -> pa.Table:
+        # Spark-style attempt commit: every attempt writes UNIQUE file names
+        # and returns them; only files listed in the summary the driver
+        # receives (i.e. from the one attempt Ray kept) are read in phase 2.
+        # Duplicate files from retried/speculative attempts are ignored, so
+        # the exchange is exactly-once without content-addressed naming.
+        touched: List[int] = []
+        names: List[str] = []
+        if b.num_rows:
+            h = b.column(hash_col).to_numpy()
+            part = (h % n_parts).astype(np.int64)
+            for part_id in np.unique(part):
+                sub = b.filter(pa.array(part == part_id))
+                pdir = os.path.join(spill_dir, f"part={int(part_id)}")
+                os.makedirs(pdir, exist_ok=True)
+                fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
+                os.close(fd)
+                # intermediate (merged then deleted): uncompressed saves CPU
+                pq.write_table(sub, tmp, compression="none")
+                final = tmp[:-4] + ".parquet"
+                os.replace(tmp, final)  # atomic: readers never see partials
+                touched.append(int(part_id))
+                names.append(os.path.basename(final))
+        return pa.table({"part_id": pa.array(touched, pa.int64()),
+                         "file": pa.array(names, pa.string())})
+
+    touched_df = ds.map_batches(spill, batch_format="pyarrow").to_pandas()
+
+    if touched_df.empty:
+        # preserve the output schema on empty input
+        empty_in = ds.schema().base_schema.empty_table()
+        return ray.data.from_arrow(fold_fn(empty_in))
+
+    @ray.remote(num_cpus=1)
+    def fold(part_id: int, files: List[str]) -> pa.Table:
+        pdir = os.path.join(spill_dir, f"part={part_id}")
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(pdir, f)) for f in sorted(files)])
+        return fold_fn(t)
+
+    by_part = touched_df.groupby("part_id")["file"].apply(list)
+    refs = [fold.remote(int(p), files) for p, files in by_part.items()]
+    ray.wait(refs, num_returns=len(refs))  # spill files consumed; safe to drop
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    return ray.data.from_arrow_refs(refs)

@@ -28,15 +28,15 @@ import ray.data
 def _tag_and_bucket(ds: "ray.data.Dataset", key: str, side: str,
                     num_buckets: int, cols: List[str]) -> "ray.data.Dataset":
     def prep(b: pa.Table) -> pa.Table:
-        import hashlib
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            hash64_columns,
+        )
 
         b = b.select(cols)
-        keys = b.column(key).to_pylist()
-        buckets = [
-            int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8], "little")
-            % num_buckets
-            for k in keys
-        ]
+        # vectorized content hash (stable across processes); the join itself
+        # re-checks exact key equality inside the bucket (pandas merge), so
+        # the bucket hash only needs equal-keys-co-locate
+        buckets = (hash64_columns(b, [key]) % num_buckets).astype("int32")
         b = b.append_column("_bucket", pa.array(buckets, pa.int32()))
         return b.append_column("_side", pa.array([side] * b.num_rows, pa.string()))
 
