@@ -10,11 +10,13 @@ Reference semantics:
     precedence train > eval > test; train is never filtered
     (augmentation/augmentors.py:64-78).
 
-Scale note: the signature sets are collected to the driver and broadcast
-(``ray.put``) — correct while |distinct signatures| fits one node (the
-reference's regime). At 10^12 docs the same stage swaps in a hash-partitioned
-per-partition set-difference (partition both sides on sig_hash, subtract
-within partition) — the filter body is unchanged.
+Scale note: the default path is the hash-PARTITIONED set-difference — one
+two-phase exchange on sig_hash (stages/exchange.py) co-locates every row of
+an equal signature, so the full train > eval > test precedence runs locally
+per partition and no node ever holds a global signature set. The legacy
+``mode="broadcast"`` path (collect train/eval sig sets to the driver,
+``ray.put``) remains for small inputs where one exchange costs more than a
+broadcast.
 """
 
 from __future__ import annotations
@@ -68,12 +70,66 @@ def _collect_sigs(ds: "ray.data.Dataset") -> set:
     return out
 
 
+def leakage_fold(t: pa.Table) -> pa.Table:
+    """Per-partition precedence filter (exact when partitioned by sig):
+    keep all train rows; eval rows whose sig is not in train; test rows
+    whose sig is in neither train nor the KEPT eval set (the reference
+    builds eval sigs from the filtered eval set, augmentors.py:71).
+    Vectorized pandas ``isin``; row selection stays in Arrow so ragged
+    list columns survive."""
+    import pandas as pd
+
+    if t.num_rows == 0:
+        return t
+    df = pd.DataFrame({
+        "sig": t.column("sig").to_pandas(),
+        "split": t.column("split").to_pandas(),
+    })
+    is_train = df["split"] == "train"
+    train_sigs = set(df.loc[is_train, "sig"])
+    eval_keep = (df["split"] == "eval") & ~df["sig"].isin(train_sigs)
+    eval_sigs = set(df.loc[eval_keep, "sig"])
+    test_keep = ((df["split"] == "test")
+                 & ~df["sig"].isin(train_sigs)
+                 & ~df["sig"].isin(eval_sigs))
+    keep = (is_train | eval_keep | test_keep).to_numpy()
+    return t.filter(pa.array(keep))
+
+
 def drop_split_leakage(
-    ds: "ray.data.Dataset", text_col: str = "event_text"
+    ds: "ray.data.Dataset",
+    text_col: str = "event_text",
+    mode: str = "partitioned",
+    num_partitions: int | None = None,
 ) -> Dict[str, "ray.data.Dataset"]:
     """Input: dataset with a ``split`` column. Output: per-split datasets with
     eval := eval ∖ train, test := test ∖ (train ∪ eval) on normalized
     signature; train untouched (reference precedence)."""
+    if mode == "partitioned":
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            add_hash_column,
+        )
+        from calendar_event_entity_extraction_ray.stages.exchange import (
+            hash_partition_map,
+        )
+
+        sigged = ds.map_batches(
+            lambda b: add_hash_column(
+                add_signature_batch(b, text_col), ["sig"]),
+            batch_format="pyarrow",
+        )
+        kept = hash_partition_map(
+            sigged, "sig_hash", leakage_fold, num_partitions=num_partitions
+        ).drop_columns(["sig", "sig_hash"])
+
+        def part(split_name: str) -> "ray.data.Dataset":
+            return kept.map_batches(
+                lambda b, s=split_name: b.filter(pc.equal(b.column("split"), s)),
+                batch_format="pyarrow",
+            )
+
+        return {"train": part("train"), "eval": part("eval"),
+                "test": part("test")}
     # sigged is consumed by four branches (train-sig collection, eval
     # filter + collection, test filter, and the returned splits) — pin it so
     # the upstream pipeline + md5 pass run once, not per branch. (At 10^12

@@ -209,6 +209,31 @@ class TestSplit:
         assert not (set(dfs["test"]["event_text"].map(event_text_signature))
                     & set(dfs["eval"]["event_text"].map(event_text_signature)))
 
+    def test_partitioned_equals_broadcast_leakage(self, ray_session):
+        """The scale path (sig-hash exchange, per-partition precedence) and
+        the legacy broadcast path must keep exactly the same rows."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.split import (
+            assign_split_batch,
+            drop_split_leakage,
+        )
+
+        rows = [{"event_text": f"row {i % 80} text", "row_id": i}
+                for i in range(400)]  # heavy cross-split sig duplication
+        ds = ray.data.from_items(rows).map_batches(
+            lambda b: assign_split_batch(b, text_col="event_text"),
+            batch_format="pyarrow")
+
+        def collect(mode):
+            parts = drop_split_leakage(ds, text_col="event_text", mode=mode)
+            return {
+                k: sorted(v.to_pandas()["row_id"].tolist())
+                for k, v in parts.items()
+            }
+
+        assert collect("partitioned") == collect("broadcast")
+
 
 class TestKnn:
     def test_bruteforce_matches_numpy(self, ray_session):
