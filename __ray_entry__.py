@@ -495,10 +495,17 @@ def q_embedding_dups(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.knn import _batch_matrix
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    full = ds.to_pandas()
-    ids_all = full["vec_id"].to_numpy()
-    mat_all = np.asarray(full["embedding"].tolist(), dtype=np.float64)
-    mat_all = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
+    # The comparison matrix is assembled from STREAMED Arrow batches (never
+    # ds.to_pandas() of the table) and broadcast once. Brute force is
+    # inherently O(n^2) and the matrix must exist somewhere — the scale
+    # path is embedding_dups_lsh; this is the exact baseline/oracle.
+    id_chunks, mat_chunks = [], []
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        m = _batch_matrix(b, "embedding")
+        mat_chunks.append(m / np.linalg.norm(m, axis=1, keepdims=True))
+        id_chunks.append(b.column("vec_id").to_numpy())
+    ids_all = np.concatenate(id_chunks)
+    mat_all = np.vstack(mat_chunks)
     ref = ray.put((ids_all, mat_all))
 
     def pairs(b: pa.Table) -> pa.Table:
