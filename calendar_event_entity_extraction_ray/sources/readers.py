@@ -47,3 +47,39 @@ def parse_records_batch(batch: pa.Table) -> pa.Table:
 def load_records(path: str) -> "ray.data.Dataset":
     """read_json + 4-way dispatch -> unified (prompt_text, completion_text)."""
     return read_jsonl(path).map_batches(parse_records_batch, batch_format="pyarrow")
+
+
+_MESSAGE_TYPE = pa.list_(pa.struct([("role", pa.string()),
+                                    ("content", pa.string())]))
+
+
+def to_messages_batch(batch: pa.Table, text_col: str = "event_text") -> pa.Table:
+    """(event_text + 8 slot columns) -> chat ``messages`` training records —
+    the reference's enhanced-training-data on-disk shape
+    (create_enhanced_training_data.py:303-313). write_jsonl of the result
+    round-trips through the 4-way dispatch reader."""
+    from calendar_event_entity_extraction_ray.functions.render_enhanced import (
+        build_messages_record,
+    )
+
+    rows = batch.to_pylist()
+    msgs = [build_messages_record(r.get(text_col) or "", r)["messages"]
+            for r in rows]
+    return pa.table({"messages": pa.array(msgs, _MESSAGE_TYPE)})
+
+
+def to_chatml_text_batch(batch: pa.Table, text_col: str = "event_text") -> pa.Table:
+    """Same records rendered as the legacy ChatML ``text`` shape
+    (src/data.py:38-40)."""
+    from calendar_event_entity_extraction_ray.functions.render_enhanced import (
+        build_messages_record,
+    )
+    from calendar_event_entity_extraction_ray.functions.tokenizer import (
+        render_chatml,
+    )
+
+    rows = batch.to_pylist()
+    texts = [render_chatml(
+        build_messages_record(r.get(text_col) or "", r)["messages"])
+        for r in rows]
+    return pa.table({"text": pa.array(texts, pa.string())})
