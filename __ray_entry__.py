@@ -759,6 +759,8 @@ def q_media_frames(sf_dir: str) -> Any:
 
 
 def q_media_features(sf_dir: str) -> Any:
+    """Image rows decode for REAL (PPM kernel): exact per-channel pixel
+    statistics; stubbed kinds carry the -1 sentinel."""
     from calendar_event_entity_extraction_ray.stages.multimodal import (
         DecodeFeatures,
         synth_media_table,
@@ -770,7 +772,9 @@ def q_media_features(sf_dir: str) -> Any:
         DecodeFeatures, fn_constructor_kwargs={"feature_dim": 16},
         batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1,
     )
-    return out.select_columns(["media_id", "kind", "mime"])
+    return out.select_columns(["media_id", "kind", "mime", "px_width",
+                               "px_height", "mean_r_e4", "mean_g_e4",
+                               "mean_b_e4", "std_gray_e4"])
 
 
 def q_action_histogram(sf_dir: str) -> Any:

@@ -1,13 +1,17 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Image/audio decode libraries are not available in this environment, so the
-DECODE KERNEL is stubbed (deterministic md5-derived fake features, or
-``NotImplementedError`` in strict mode) — but the Ray-side plumbing is real
-and tested: binary columns stay in ``batch_format="pyarrow"`` end-to-end
-(no pandas object-dtype round-trip), the stage is an actor pool (a real
-decoder would load codecs/models once per actor), and ``batch_size`` is
-small because payload rows are wide (ray_guide.md "Pitfalls": memory-aware
-batch sizing for binary columns).
+Image rows carry REAL uncompressed PPM (P6) payloads and the decode /
+resize kernels are real numpy operations (``functions/imagecodec.py``) —
+pixel statistics and nearest-neighbor resize are exact. Compressed codecs
+(JPEG/PNG) and audio/video decode need libraries not present in this
+container, so those kernels remain honest stubs: deterministic md5-derived
+fakes by default, ``NotImplementedError`` in strict mode.
+
+Ray-side mechanics are real throughout: binary columns stay in
+``batch_format="pyarrow"`` end-to-end (no pandas object-dtype round-trip),
+the stages are actor pools (a real decoder would load codecs/models once
+per actor), and ``batch_size`` is small because payload rows are wide
+(ray_guide.md "Pitfalls": memory-aware batch sizing for binary columns).
 """
 
 from __future__ import annotations
@@ -16,6 +20,14 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from calendar_event_entity_extraction_ray.functions.imagecodec import (
+    channel_stats,
+    decode_ppm,
+    encode_ppm,
+    is_ppm,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -29,14 +41,20 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+_NO_STATS = {"px_width": -1, "px_height": -1, "mean_r_e4": -1,
+             "mean_g_e4": -1, "mean_b_e4": -1, "std_gray_e4": -1}
+_STAT_COLS = list(_NO_STATS)
+
 
 class DecodeFeatures:
-    """Actor-pool stage: binary payload -> fixed-size feature vector.
+    """Actor-pool stage: binary payload -> feature vector + pixel stats.
 
-    ``strict=True`` raises NotImplementedError (no decoder in this
-    container); default emits a deterministic md5-derived fake feature so
-    the downstream plumbing (schema, batching, partitioning) is testable.
-    """
+    PPM image payloads decode for REAL (exact numpy channel statistics; the
+    feature vector is mean/std per channel + a gray histogram). Other kinds
+    fall back to a deterministic md5-derived fake feature, or raise
+    ``NotImplementedError`` when ``strict=True`` (no codec libs here).
+    Non-decoded rows carry -1 stats (not null: keeps the stats columns
+    plain int64 end-to-end)."""
 
     def __init__(self, feature_dim: int = 16, strict: bool = False) -> None:
         self.dim = feature_dim
@@ -47,47 +65,73 @@ class DecodeFeatures:
         rng = np.random.RandomState(int.from_bytes(digest[:4], "little"))
         return rng.standard_normal(self.dim).astype(np.float32)
 
+    def _image_feature(self, pixels: np.ndarray, stats: dict) -> np.ndarray:
+        """Real feature: [means/255, stds/255, gray histogram] -> dim."""
+        gray = pixels.reshape(-1, 3).mean(axis=1)
+        n_hist = max(self.dim - 6, 1)
+        hist, _ = np.histogram(gray, bins=n_hist, range=(0.0, 255.0))
+        hist = hist.astype(np.float64) / max(gray.size, 1)
+        vec = np.concatenate([stats["_means"] / 255.0,
+                              stats["_stds"] / 255.0, hist])
+        if vec.size < self.dim:
+            vec = np.pad(vec, (0, self.dim - vec.size))
+        return vec[: self.dim].astype(np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "real image/audio decode requires codec libraries not present "
-                "in this environment; run with strict=False for the "
-                "deterministic stub"
-            )
-        feats = [self._fake_feature(p) for p in batch.column("payload").to_pylist()]
+        feats, stat_rows = [], []
+        for p in batch.column("payload").to_pylist():
+            if p is not None and is_ppm(p):
+                pixels = decode_ppm(p)
+                stats = channel_stats(pixels)
+                feats.append(self._image_feature(pixels, stats))
+                stat_rows.append({k: stats[k] for k in _STAT_COLS})
+            elif self.strict:
+                raise NotImplementedError(
+                    "only uncompressed PPM decodes in this environment; "
+                    "JPEG/PNG/audio/video need codec libraries (run with "
+                    "strict=False for the deterministic stub)")
+            else:
+                feats.append(self._fake_feature(p))
+                stat_rows.append(_NO_STATS)
         out = batch.drop_columns(["payload"])  # features replace wide bytes
-        return out.append_column(
+        out = out.append_column(
             "feature",
             pa.array([f.tolist() for f in feats], pa.list_(pa.float32(), self.dim)),
         )
+        for k in _STAT_COLS:
+            out = out.append_column(
+                k, pa.array([r[k] for r in stat_rows], pa.int64()))
+        return out
 
 
 class ResizeImages:
     """Actor-pool stage: image payload -> resized payload + updated typed
-    metadata. The pixel kernel is STUBBED (no codec libs in this container:
-    deterministic md5-derived bytes of the right length); the Ray-side
-    mechanics are real — binary in/out stays Arrow, width/height metadata
-    updated, small batches for wide rows."""
+    metadata. PPM payloads resize for REAL (numpy nearest-neighbor);
+    non-PPM images keep the md5-derived stub bytes (no codec libs; strict
+    raises). Binary in/out stays Arrow; small batches for wide rows."""
 
     def __init__(self, width: int = 64, height: int = 64, strict: bool = False):
         self.w, self.h, self.strict = width, height, strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("image resize needs a codec library")
         out_payload = []
         for p, kind in zip(batch.column("payload").to_pylist(),
                            batch.column("kind").to_pylist()):
             if kind != "image":
                 out_payload.append(p)
-                continue
-            seed_bytes = hashlib.md5((p or b"") + b"resize").digest()
-            reps = (self.w * self.h * 3) // 16 + 1
-            out_payload.append((seed_bytes * reps)[: self.w * self.h * 3])
+            elif p is not None and is_ppm(p):
+                out_payload.append(
+                    encode_ppm(resize_nearest(decode_ppm(p), self.w, self.h)))
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-PPM image resize needs a codec library")
+            else:
+                seed_bytes = hashlib.md5((p or b"") + b"resize").digest()
+                reps = (self.w * self.h * 3) // 16 + 1
+                out_payload.append((seed_bytes * reps)[: self.w * self.h * 3])
         names = batch.column_names
         batch = batch.set_column(names.index("payload"), "payload",
                                  pa.array(out_payload, pa.binary()))
-        n = batch.num_rows
         kinds = batch.column("kind").to_pylist()
         batch = batch.set_column(
             names.index("width"), "width",
@@ -122,20 +166,40 @@ def frame_sample_batch(batch: pa.Table, every_ms: int = 500) -> pa.Table:
     })
 
 
+def synth_pixels(media_id: int, width: int, height: int, seed: int) -> np.ndarray:
+    """Deterministic RGB gradient + seeded texture for one synthetic image."""
+    digest = hashlib.md5(f"pixels:{seed}:{media_id}".encode()).digest()
+    rng = np.random.RandomState(int.from_bytes(digest[:4], "little"))
+    y = np.linspace(0, 255, height, dtype=np.float64)[:, None]
+    x = np.linspace(0, 255, width, dtype=np.float64)[None, :]
+    base = np.stack([y + 0 * x, 0 * y + x, (y + x) / 2], axis=2)
+    noise = rng.randint(0, 32, size=(height, width, 3)).astype(np.float64)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded bytes)."""
+    """Deterministic fake media rows. Image rows carry REAL PPM payloads
+    (decodable by the real kernel); audio/video payloads are opaque seeded
+    bytes for the stubbed kinds."""
     rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
                             "width", "height", "duration_ms")}
-    kinds = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
+    kinds = [("image", "image/x-portable-pixmap"), ("audio", "audio/wav"),
+             ("video", "video/mp4")]
     for i in range(n):
         kind, mime = kinds[i % 3]
-        payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * (4 + i % 5)
+        if kind == "image":
+            w = 16 + (i % 8) * 4
+            h = 12 + (i % 6) * 4
+            payload = encode_ppm(synth_pixels(i, w, h, seed))
+        else:
+            w = h = None
+            payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * (4 + i % 5)
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
         rows["mime"].append(mime)
-        rows["width"].append(64 + (i % 8) * 16 if kind == "image" else None)
-        rows["height"].append(48 + (i % 6) * 16 if kind == "image" else None)
+        rows["width"].append(w)
+        rows["height"].append(h)
         rows["duration_ms"].append(1000 + i * 37 if kind != "image" else None)
     return pa.table(
         {

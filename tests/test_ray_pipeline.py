@@ -332,9 +332,15 @@ class TestMultimodal:
             ResizeImages, fn_constructor_kwargs={"width": 32, "height": 16},
             batch_format="pyarrow", batch_size=8, concurrency=(1, 2),
         ).to_pandas()
+        from calendar_event_entity_extraction_ray.functions.imagecodec import (
+            decode_ppm,
+        )
+
         imgs = out[out["kind"] == "image"]
         assert (imgs["width"] == 32).all() and (imgs["height"] == 16).all()
-        assert all(len(p) == 32 * 16 * 3 for p in imgs["payload"])
+        # REAL resize: payloads are decodable PPMs of the new geometry
+        assert all(decode_ppm(bytes(p)).shape == (16, 32, 3)
+                   for p in imgs["payload"])
         # non-images untouched
         assert (out[out["kind"] != "image"]["width"].isna()).all()
 
@@ -372,6 +378,57 @@ class TestMultimodal:
         a = DecodeFeatures(feature_dim=4)(synth_media_table(5))
         b = DecodeFeatures(feature_dim=4)(synth_media_table(5))
         assert a.column("feature").to_pylist() == b.column("feature").to_pylist()
+
+    def test_ppm_roundtrip_and_real_stats(self):
+        """The image kernel is REAL: PPM round-trips exactly and the decode
+        stage's channel means match independent numpy over the pixels."""
+        from calendar_event_entity_extraction_ray.functions.imagecodec import (
+            decode_ppm,
+            encode_ppm,
+            resize_nearest,
+        )
+        from calendar_event_entity_extraction_ray.stages.multimodal import (
+            DecodeFeatures,
+            synth_media_table,
+            synth_pixels,
+        )
+
+        px = synth_pixels(0, 16, 12, seed=42)
+        assert (decode_ppm(encode_ppm(px)) == px).all()
+        # comment + whitespace tolerant header
+        with_comment = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+        assert decode_ppm(with_comment).shape == (1, 2, 3)
+        small = resize_nearest(px, 4, 3)
+        assert small.shape == (3, 4, 3)
+        assert set(np.unique(small)) <= set(np.unique(px))
+
+        out = DecodeFeatures(feature_dim=8)(synth_media_table(6))
+        df = out.to_pandas()
+        img = df[df["kind"] == "image"].iloc[0]
+        mid = int(img["media_id"])
+        w, h = 16 + (mid % 8) * 4, 12 + (mid % 6) * 4
+        expect = synth_pixels(mid, w, h, 42).reshape(-1, 3).mean(axis=0)
+        assert img["mean_r_e4"] == int(np.floor(expect[0] * 10_000 + 0.5))
+        assert img["px_width"] == w and img["px_height"] == h
+        # stubbed kinds carry the -1 sentinel
+        assert (df[df["kind"] != "image"]["mean_r_e4"] == -1).all()
+
+    def test_strict_decodes_real_ppm(self):
+        """strict=True raises only for kinds with no real decoder — PPM
+        images pass through the real kernel."""
+        import pyarrow as pa_
+
+        from calendar_event_entity_extraction_ray.stages.multimodal import (
+            DecodeFeatures,
+            synth_media_table,
+        )
+
+        t = synth_media_table(6)
+        imgs_only = t.filter(
+            pa_.compute.equal(t.column("kind"), "image"))
+        out = DecodeFeatures(strict=True)(imgs_only)
+        assert out.num_rows == imgs_only.num_rows
+        assert (out.to_pandas()["px_width"] > 0).all()
 
 
 class TestAugmentation:
