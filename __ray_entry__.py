@@ -18,6 +18,7 @@ per-row double arithmetic + floor is bit-identical between numpy and DuckDB.
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -611,10 +612,13 @@ def q_error_prev_click(sf_dir: str) -> Any:
 
 def q_approx_distinct(sf_dir: str) -> Any:
     """HyperLogLog approximate distinct: one serialized sketch per batch,
-    merged in a tiny final fold (functions/sketch.py). Reported alongside
-    the exact count so the driver's rows-only check still records a stable
-    shape; the test suite asserts the <2% typical HLL error."""
+    merged in a tiny final fold (functions/sketch.py). Oracle-checkable
+    shape: the EXACT distinct count (scalable salted grouped count -> row
+    count) is returned next to an ``hll_ok`` indicator that the HLL
+    estimate landed within 5% of it (p=12 => ~1.6% typical error; the
+    test suite asserts <2% on its fixtures)."""
     from calendar_event_entity_extraction_ray.functions.sketch import HyperLogLog
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_count
 
     ds = _read(sf_dir, "events", columns=["user_id"])
 
@@ -627,7 +631,12 @@ def q_approx_distinct(sf_dir: str) -> Any:
             batch_format="pyarrow"):
         for s in b.column("sketch").to_pylist():
             merged.merge(HyperLogLog.deserialize(s))
-    return pd.DataFrame([{"approx_distinct_users": int(round(merged.estimate()))}])
+    est = merged.estimate()
+    exact = grouped_count(ds, "user_id", out_col="n", salt_mod=8).count()
+    return pd.DataFrame([{
+        "exact_distinct_users": int(exact),
+        "hll_ok": int(abs(est - exact) <= 0.05 * exact),
+    }])
 
 
 def q_events_sliding(sf_dir: str) -> Any:
@@ -827,6 +836,96 @@ def q_eval_metrics(sf_dir: str) -> Any:
     return pd.DataFrame([evaluate(ds)])
 
 
+def _synth_records(sf_dir: str, seed: int = 7) -> "ray.data.Dataset":
+    from calendar_event_entity_extraction_ray.stages.augment import (
+        synth_records_batch,
+    )
+
+    n = max(200, int(20_000 * _sf_of(sf_dir)))
+    return ray.data.range(n).map_batches(
+        lambda b: synth_records_batch(b.column("id").to_pylist(), seed=seed),
+        batch_format="pyarrow",
+    )
+
+
+def q_tokenize(sf_dir: str) -> Any:
+    """Tokenized training features (reference build_feature, src/data.py:
+    60-222): records -> assignment-format prompt/completion -> actor-pool
+    TokenizeRecords -> per-record integer summary (oracle-hashable)."""
+    from calendar_event_entity_extraction_ray import TARGET_KEYS
+    from calendar_event_entity_extraction_ray.functions.formats import (
+        format_for_base_model,
+    )
+    from calendar_event_entity_extraction_ray.functions.tokenizer import (
+        IGNORE_INDEX,
+    )
+    from calendar_event_entity_extraction_ray.stages.tokenize import (
+        TokenizeRecords,
+    )
+
+    def to_pc(b: pa.Table) -> pa.Table:
+        ids, prompts, comps = [], [], []
+        for r in b.to_pylist():
+            f = format_for_base_model(
+                r["event_text"], {k: r.get(k) for k in TARGET_KEYS})
+            ids.append(r["row_id"])
+            prompts.append(f["prompt"])
+            comps.append(f["completion"])
+        return pa.table({"rec_id": pa.array(ids, pa.int64()),
+                         "prompt": pa.array(prompts, pa.string()),
+                         "completion": pa.array(comps, pa.string())})
+
+    feats = _synth_records(sf_dir).map_batches(
+        to_pc, batch_format="pyarrow"
+    ).map_batches(
+        TokenizeRecords,
+        fn_constructor_kwargs={"fmt": "assignment", "id_col": "rec_id"},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+    def summarize(b: pa.Table) -> pa.Table:
+        out = {"rec_id": b.column("rec_id").to_pylist(),
+               "n_tokens": [], "n_masked": [], "sum_ids": [], "sum_labels": []}
+        for ids, labels in zip(b.column("input_ids").to_pylist(),
+                               b.column("labels").to_pylist()):
+            out["n_tokens"].append(len(ids))
+            out["n_masked"].append(sum(1 for l in labels if l == IGNORE_INDEX))
+            out["sum_ids"].append(sum(ids))
+            out["sum_labels"].append(sum(l for l in labels if l != IGNORE_INDEX))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_chatml(sf_dir: str) -> Any:
+    """Approach-B (enhanced) rendering + messages-record emission
+    (create_enhanced_training_data.py:96-210, 303-313): deterministic
+    per-record RNG, user/assistant contents as strings."""
+    import random as _random
+
+    from calendar_event_entity_extraction_ray import TARGET_KEYS
+    from calendar_event_entity_extraction_ray.functions.render_enhanced import (
+        build_messages_record,
+        render_enhanced,
+    )
+
+    def render(b: pa.Table) -> pa.Table:
+        ids, users, assists = [], [], []
+        for r in b.to_pylist():
+            slots = {k: r.get(k) for k in TARGET_KEYS}
+            rng = _random.Random(f"enh:7:{r['row_id']}")
+            text = render_enhanced(slots, rng)
+            rec = build_messages_record(text, slots)
+            ids.append(r["row_id"])
+            users.append(rec["messages"][0]["content"])
+            assists.append(rec["messages"][1]["content"])
+        return pa.table({"rec_id": pa.array(ids, pa.int64()),
+                         "user_content": pa.array(users, pa.string()),
+                         "assistant_content": pa.array(assists, pa.string())})
+
+    return _synth_records(sf_dir).map_batches(render, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -886,7 +985,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "action_histogram": q_action_histogram,
         "kg_events_view": q_kg_events_view,
         "eval_metrics": q_eval_metrics,
+        "tokenize_records": q_tokenize,
+        "chatml_records": q_chatml,
     }
+
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "oracle")
+
+
+def _golden(name: str) -> str:
+    """Frozen golden-oracle parquet recomputed SINGLE-PROCESS by
+    scripts/make_goldens.py (reference-semantics emitter / sequential
+    mirrors) — checks the distributed execution against an independent
+    sequential run of the same semantics."""
+    return f"read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1075,4 +1188,45 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ) ORDER BY s DESC, vec_id LIMIT 10
         """,
+        "approx_distinct_users": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+                   1 AS hll_ok
+            FROM events
+        """,
+        # --- golden-parquet oracles: independent SINGLE-PROCESS recompute
+        # (scripts/make_goldens.py); the KG goldens come from the
+        # reference-semantics emitter (functions/oracle.py) and the derived
+        # views are plain SQL over that one emitter output.
+        "kg_flagship": f"SELECT subj, pred, obj, url FROM {_golden('kg_flagship')}",
+        "kg_entity_degree": f"""
+            SELECT obj, COUNT(*) AS degree FROM {_golden('kg_flagship')}
+            WHERE pred IN ('hasAttendee', 'hasLocation') GROUP BY obj
+        """,
+        "action_histogram": f"""
+            SELECT obj AS action, COUNT(*) AS n FROM {_golden('kg_flagship')}
+            WHERE pred = 'hasAction' GROUP BY obj
+        """,
+        "kg_events_view": f"""
+            SELECT subj AS event_id, MIN(url) AS url,
+                   MAX(CASE WHEN pred = 'hasAction' THEN obj END) AS action,
+                   MAX(CASE WHEN pred = 'hasDate' THEN obj END) AS date,
+                   MAX(CASE WHEN pred = 'hasTime' THEN obj END) AS time,
+                   MAX(CASE WHEN pred = 'hasLocation' THEN obj END) AS location,
+                   MAX(CASE WHEN pred = 'hasDuration' THEN obj END) AS duration,
+                   MAX(CASE WHEN pred = 'hasRecurrence' THEN obj END) AS recurrence,
+                   MAX(CASE WHEN pred = 'hasNote' THEN obj END) AS notes
+            FROM {_golden('kg_flagship')} GROUP BY subj
+        """,
+        "simhash_docs": f"SELECT * FROM {_golden('simhash_docs')}",
+        "langid_docs": f"SELECT * FROM {_golden('langid_docs')}",
+        "fingerprint_docs": f"SELECT * FROM {_golden('fingerprint_docs')}",
+        "minhash_dedup_docs": f"SELECT * FROM {_golden('minhash_dedup_docs')}",
+        "embedding_dups_lsh": f"SELECT * FROM {_golden('embedding_dups_lsh')}",
+        "knn_lsh": f"SELECT * FROM {_golden('knn_lsh')}",
+        "augment_records": f"SELECT * FROM {_golden('augment_records')}",
+        "eval_metrics": f"SELECT * FROM {_golden('eval_metrics')}",
+        "media_features": f"SELECT * FROM {_golden('media_features')}",
+        "media_frames": f"SELECT * FROM {_golden('media_frames')}",
+        "tokenize_records": f"SELECT * FROM {_golden('tokenize_records')}",
+        "chatml_records": f"SELECT * FROM {_golden('chatml_records')}",
     }

@@ -1,0 +1,380 @@
+"""Generate the frozen golden-oracle parquet files under
+``tests/golden/oracle/`` — SINGLE-PROCESS, no Ray session.
+
+Every golden is recomputed from scratch by a plain-Python mirror of the
+operator's semantics (the reference-semantics oracle emitter for the KG
+queries, pure numeric kernels + sequential orchestration for the rest), so
+the driver's DuckDB comparison (``SELECT ... FROM read_parquet(golden)``)
+independently checks the DISTRIBUTED execution: partitioning, shuffles,
+actor pools, and batch boundaries cannot silently change results.
+
+Scale parameters are pinned to the driver's correctness gate (sf0.01):
+n_pages=500, n_records=200, n_media=100 — the same values
+``__ray_entry__._n_pages`` / ``_synth_records`` derive from sf0.01.
+
+Usage: python scripts/make_goldens.py [name ...]
+Regenerating after an intentional semantic change is expected; an
+UNINTENTIONAL diff in these files is a regression
+(tests/test_golden_oracles.py re-derives and compares a sample each run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "tests", "golden", "oracle")
+SF_DIR = "/root/testdata/sf0.01"
+
+N_PAGES = 500      # == __ray_entry__._n_pages("sf0.01")
+N_RECORDS = 200    # == __ray_entry__._synth_records at sf0.01
+N_MEDIA = 100      # == q_media_* at sf0.01
+
+
+# ---------------------------------------------------------------------------
+# single-process mirrors
+# ---------------------------------------------------------------------------
+
+def golden_kg_flagship() -> pa.Table:
+    """Reference-semantics oracle emitter over the deterministic page
+    fixture (functions/oracle.py) — fully independent of the Ray pipeline."""
+    from calendar_event_entity_extraction_ray.functions.oracle import (
+        oracle_triples,
+    )
+    from calendar_event_entity_extraction_ray.sources.pages import pages_table
+
+    pages = pages_table(list(range(N_PAGES)), seed=42).to_pylist()
+    rows = oracle_triples(pages)
+    return pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+        "url": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+def _documents() -> pd.DataFrame:
+    return pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+
+def golden_simhash_docs() -> pa.Table:
+    from calendar_event_entity_extraction_ray.functions.dedup import simhash64
+
+    df = _documents()
+    vals = [simhash64(t or "") for t in df["text"]]
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], pa.int64()),
+        "simhash": pa.array(
+            [v - (1 << 63) if v >= (1 << 63) else v for v in vals], pa.int64()),
+    })
+
+
+def golden_langid_docs() -> pa.Table:
+    from calendar_event_entity_extraction_ray.stages.text_analysis import (
+        langid_batch,
+    )
+
+    return pa.Table.from_pandas(langid_batch(_documents()), preserve_index=False)
+
+
+def golden_fingerprint_docs() -> pa.Table:
+    from calendar_event_entity_extraction_ray.stages.text_analysis import (
+        fingerprint_batch,
+    )
+
+    return pa.Table.from_pandas(
+        fingerprint_batch(_documents()), preserve_index=False)
+
+
+def golden_minhash_dedup_docs() -> pa.Table:
+    """Sequential mirror of stages/dedup.py:minhash_lsh_dup_ids (threshold
+    0.8, 64 perms, 16 bands): band index -> multi-member bands -> per-band
+    greedy verify in id order -> distinct dropped ids."""
+    from calendar_event_entity_extraction_ray.functions.dedup import (
+        MinHasher,
+        jaccard,
+        word_shingles,
+    )
+
+    df = _documents()
+    hasher = MinHasher(num_perm=64)
+    shingles = {}
+    band_to_ids: dict = {}
+    for i, t in zip(df["doc_id"], df["text"]):
+        sh = word_shingles(t or "", 3)
+        shingles[i] = word_shingles(t or "")  # verify uses default k
+        sig = hasher.signature(sh)
+        for key in hasher.band_keys(sig, 16):
+            band_to_ids.setdefault(key, []).append(int(i))
+    dropped = set()
+    for key, ids in band_to_ids.items():
+        ids = sorted(set(ids))
+        if len(ids) < 2:
+            continue
+        reps = []
+        for i in ids:
+            if any(jaccard(shingles[i], rs) >= 0.8 for _, rs in reps):
+                dropped.add(i)
+            else:
+                reps.append((i, shingles[i]))
+    return pa.table({"doc_id": pa.array(sorted(dropped), pa.int64())})
+
+
+def _embeddings() -> pd.DataFrame:
+    return pq.read_table(
+        f"{SF_DIR}/embeddings.parquet",
+        columns=["vec_id", "embedding"]).to_pandas()
+
+
+def golden_embedding_dups_lsh() -> pa.Table:
+    """Sequential mirror of q_embedding_dups_lsh: SRP bucket (4 planes,
+    seed 13), all pairs >= 0.3 cosine within a bucket."""
+    from calendar_event_entity_extraction_ray.stages.knn import _SrpBucket
+
+    df = _embeddings()
+    dim = len(df["embedding"].iloc[0])
+    bucketer = _SrpBucket(dim=dim, n_planes=4, seed=13)
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    bits = (mat @ bucketer.planes) > 0
+    buckets = bits @ (1 << np.arange(4))
+    out_a, out_b = [], []
+    ids_all = df["vec_id"].to_numpy()
+    for bkt in np.unique(buckets):
+        sel = buckets == bkt
+        sub = mat[sel]
+        sub = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        ids = ids_all[sel]
+        sims = sub @ sub.T
+        ai, bj = np.where(sims >= 0.3)
+        for i, j in zip(ai, bj):
+            if ids[i] < ids[j]:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+    order = np.lexsort((out_b, out_a))
+    return pa.table({
+        "vec_id_a": pa.array([out_a[k] for k in order], pa.int64()),
+        "vec_id_b": pa.array([out_b[k] for k in order], pa.int64()),
+    })
+
+
+def golden_knn_lsh() -> pa.Table:
+    """Sequential mirror of q_knn_lsh: 6-plane SRP, Hamming-1 probes around
+    the first row's bucket, exact cosine top-10 among candidates."""
+    from calendar_event_entity_extraction_ray.stages.knn import _SrpBucket
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    q = np.asarray(df["embedding"].iloc[0], dtype=np.float64)
+    bucketer = _SrpBucket(dim=len(q), n_planes=6, seed=13)
+    qb = bucketer.bucket_of(q)
+    probes = {qb} | {qb ^ (1 << i) for i in range(6)}
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    bits = (mat @ bucketer.planes) > 0
+    buckets = bits @ (1 << np.arange(6))
+    sel = np.isin(buckets, sorted(probes))
+    cand = mat[sel]
+    ids = df["vec_id"].to_numpy()[sel]
+    norms = np.linalg.norm(cand, axis=1) * np.linalg.norm(q)
+    norms = np.where(norms == 0, 1e-12, norms)
+    scores = (cand @ q) / norms
+    order = np.lexsort((ids, -scores))[:10]
+    return pa.table({"vec_id": pa.array(ids[order], pa.int64())})
+
+
+def golden_augment_records() -> pa.Table:
+    """Sequential mirror of pipelines/augmentation.py:augment_pipeline over
+    the seed-7 synthetic records (n_synth=0): normalize -> top-500 pools ->
+    1-per-row augment -> first-wins dedup by row_id on the 9-column key."""
+    from calendar_event_entity_extraction_ray import TARGET_KEYS
+    from calendar_event_entity_extraction_ray.stages.augment import (
+        AugmentRecords,
+        normalize_records_batch,
+        synth_records_batch,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import key_strings
+
+    records = synth_records_batch(list(range(N_RECORDS)), seed=7)
+    normalized = normalize_records_batch(records)
+
+    # pools: mirror stages/aggregate.py:attendee_location_pools
+    kinds, names = [], []
+    for lst in normalized.column("attendees").to_pylist():
+        for a in lst or []:
+            if a and a.strip():
+                kinds.append("a")
+                names.append(a.strip())
+    for v in normalized.column("location").to_pylist():
+        if isinstance(v, str) and v.strip():
+            kinds.append("l")
+            names.append(v.strip())
+    counts = (pd.DataFrame({"kind": kinds, "name": names})
+              .groupby(["kind", "name"]).size().reset_index(name="n")
+              .sort_values(["n", "name"], ascending=[False, True]))
+    att = counts[counts["kind"] == "a"]["name"].head(500).tolist()
+    loc = counts[counts["kind"] == "l"]["name"].head(500).tolist()
+
+    augmented = AugmentRecords(att_pool_ref=att, loc_pool_ref=loc, seed=7)(
+        normalized)
+
+    key_cols = ["event_text"] + TARGET_KEYS
+    idx = np.argsort(augmented.column("row_id").to_numpy(), kind="stable")
+    ordered = augmented.take(idx)
+    seen, keep = set(), []
+    for i, k in enumerate(key_strings(ordered, key_cols)):
+        if k not in seen:
+            seen.add(k)
+            keep.append(i)
+    out = ordered.take(keep).select(
+        ["event_text", "action", "date", "time", "location", "duration",
+         "recurrence", "notes"])
+    return out
+
+
+def golden_eval_metrics() -> pa.Table:
+    """Sequential mirror of q_eval_metrics: same golden/poisoned prediction
+    construction, per-row indicators, plain means (sums of 0/1 and eighths
+    are exact in binary, so order never changes the result)."""
+    from calendar_event_entity_extraction_ray import TARGET_KEYS
+    from calendar_event_entity_extraction_ray.functions.jsonx import (
+        safe_json_load,
+    )
+    from calendar_event_entity_extraction_ray.functions.metrics import (
+        row_indicators,
+    )
+    from calendar_event_entity_extraction_ray.sources.pages import synth_page
+
+    rows = []
+    for i in range(300):
+        _, golden = synth_page(i, seed=42)
+        for g in golden:
+            slots = {k: g.get(k) for k in TARGET_KEYS}
+            pred = json.dumps(slots) if i % 10 else "no json at all"
+            rows.append(row_indicators(safe_json_load(pred), slots))
+    names = ["json_validity", "field_accuracy", "exact_match"] + [
+        f"{k}_accuracy" for k in TARGET_KEYS]
+    means = {n: float(np.mean([r[n] for r in rows])) for n in names}
+    return pa.table({n: pa.array([means[n]], pa.float64()) for n in names})
+
+
+def golden_media_features() -> pa.Table:
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        DecodeFeatures,
+        synth_media_table,
+    )
+
+    out = DecodeFeatures(feature_dim=16)(synth_media_table(N_MEDIA))
+    return out.select(["media_id", "kind", "mime", "px_width", "px_height",
+                       "mean_r_e4", "mean_g_e4", "mean_b_e4", "std_gray_e4"])
+
+
+def golden_media_frames() -> pa.Table:
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        frame_sample_batch,
+        synth_media_table,
+    )
+
+    out = frame_sample_batch(synth_media_table(N_MEDIA))
+    return out.select(["media_id", "frame_ix", "frame_ts_ms"])
+
+
+def golden_tokenize_records() -> pa.Table:
+    from calendar_event_entity_extraction_ray import TARGET_KEYS
+    from calendar_event_entity_extraction_ray.functions.formats import (
+        format_for_base_model,
+    )
+    from calendar_event_entity_extraction_ray.functions.tokenizer import (
+        IGNORE_INDEX,
+        ToyTokenizer,
+        build_feature,
+    )
+    from calendar_event_entity_extraction_ray.stages.augment import (
+        synth_records_batch,
+    )
+
+    tok = ToyTokenizer()
+    rows = synth_records_batch(list(range(N_RECORDS)), seed=7).to_pylist()
+    out = {"rec_id": [], "n_tokens": [], "n_masked": [], "sum_ids": [],
+           "sum_labels": []}
+    for r in rows:
+        fmt = format_for_base_model(
+            r["event_text"], {k: r.get(k) for k in TARGET_KEYS})
+        f = build_feature(
+            {"prompt": fmt["prompt"], "completion": fmt["completion"]}, tok, 512)
+        out["rec_id"].append(r["row_id"])
+        out["n_tokens"].append(len(f["input_ids"]))
+        out["n_masked"].append(
+            sum(1 for l in f["labels"] if l == IGNORE_INDEX))
+        out["sum_ids"].append(sum(f["input_ids"]))
+        out["sum_labels"].append(
+            sum(l for l in f["labels"] if l != IGNORE_INDEX))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def golden_chatml_records() -> pa.Table:
+    from calendar_event_entity_extraction_ray import TARGET_KEYS
+    from calendar_event_entity_extraction_ray.functions.render_enhanced import (
+        build_messages_record,
+        render_enhanced,
+    )
+    from calendar_event_entity_extraction_ray.stages.augment import (
+        synth_records_batch,
+    )
+
+    rows = synth_records_batch(list(range(N_RECORDS)), seed=7).to_pylist()
+    ids, users, assists = [], [], []
+    for r in rows:
+        slots = {k: r.get(k) for k in TARGET_KEYS}
+        rng = random.Random(f"enh:7:{r['row_id']}")
+        rec = build_messages_record(render_enhanced(slots, rng), slots)
+        ids.append(r["row_id"])
+        users.append(rec["messages"][0]["content"])
+        assists.append(rec["messages"][1]["content"])
+    return pa.table({"rec_id": pa.array(ids, pa.int64()),
+                     "user_content": pa.array(users, pa.string()),
+                     "assistant_content": pa.array(assists, pa.string())})
+
+
+GOLDENS = {
+    "kg_flagship": golden_kg_flagship,
+    "simhash_docs": golden_simhash_docs,
+    "langid_docs": golden_langid_docs,
+    "fingerprint_docs": golden_fingerprint_docs,
+    "minhash_dedup_docs": golden_minhash_dedup_docs,
+    "embedding_dups_lsh": golden_embedding_dups_lsh,
+    "knn_lsh": golden_knn_lsh,
+    "augment_records": golden_augment_records,
+    "eval_metrics": golden_eval_metrics,
+    "media_features": golden_media_features,
+    "media_frames": golden_media_frames,
+    "tokenize_records": golden_tokenize_records,
+    "chatml_records": golden_chatml_records,
+}
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, fn in GOLDENS.items():
+        if only and name not in only:
+            continue
+        t = fn()
+        path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+        pq.write_table(t, path)
+        print(f"{name}: {t.num_rows} rows -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
