@@ -204,10 +204,14 @@ def materialize_graph(
     _shutil.rmtree(spill_dir, ignore_errors=True)
 
     def spill(b: pa.Table) -> pa.Table:
-        import hashlib
+        # Spark-style attempt commit (same protocol as stages/exchange.py):
+        # every attempt writes UNIQUE file names and RETURNS them; phase 2
+        # reads only files listed by the one attempt Ray kept, so retried /
+        # speculative attempts cannot duplicate rows and no content-derived
+        # naming (a per-row hash pass) is needed.
         import tempfile
 
-        parts, rows = [], []
+        parts, rows, names = [], [], []
         if b.num_rows:
             keys = b.column("part_key").to_numpy()
             for part_id in np.unique(keys):
@@ -215,47 +219,38 @@ def materialize_graph(
                 sub = sub.drop_columns(["part_key"])
                 pdir = os.path.join(spill_dir, f"part={int(part_id)}")
                 os.makedirs(pdir, exist_ok=True)
-                # CONTENT-derived file name over the FULL key column: a Ray
-                # task retry (at-least-once execution) rewrites the same
-                # file instead of adding a duplicate, and two different
-                # blocks can never collide on a prefix; temp+rename keeps
-                # each write atomic
-                h = hashlib.md5()
-                for s in sub.column("subj").to_pylist():
-                    h.update(s.encode())
-                    h.update(b"\x1f")
-                digest = h.hexdigest()[:24]
                 fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
                 os.close(fd)
                 # spill files are intermediate (merged then deleted):
                 # uncompressed write saves CPU in the map phase
                 pq.write_table(sub, tmp, compression="none")
-                os.replace(tmp, os.path.join(pdir, f"{digest}.parquet"))
+                final = tmp[:-4] + ".parquet"
+                os.replace(tmp, final)  # atomic: readers never see partials
                 parts.append(int(part_id))
                 rows.append(sub.num_rows)
+                names.append(os.path.basename(final))
         return pa.table({"part_id": pa.array(parts, pa.int64()),
-                         "rows": pa.array(rows, pa.int64())})
+                         "rows": pa.array(rows, pa.int64()),
+                         "file": pa.array(names, pa.string())})
 
     spilled = keyed.map_batches(spill, batch_format="pyarrow").to_pandas()
 
     @ray.remote(num_cpus=1)
-    def merge(part_id: int) -> tuple:
+    def merge(part_id: int, files: list) -> tuple:
         pdir = os.path.join(spill_dir, f"part={part_id}")
-        files = sorted(
-            os.path.join(pdir, f) for f in os.listdir(pdir)
-            if f.endswith(".parquet")
-        )
-        t = pa.concat_tables([pq.read_table(f) for f in files])
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(pdir, f)) for f in sorted(files)])
         t = t.sort_by([("subj", "ascending"), ("pred", "ascending"),
                        ("obj", "ascending")])
         M.write_partition_file(out_dir, part_id, t)
         return part_id, t.num_rows
 
     if spilled.empty or "part_id" not in spilled.columns:
-        todo = []
+        results = []
     else:
-        todo = sorted(set(int(p) for p in spilled["part_id"].unique()))
-    results = ray.get([merge.remote(p) for p in todo])
+        by_part = spilled.groupby("part_id")["file"].apply(list)
+        results = ray.get(
+            [merge.remote(int(p), files) for p, files in by_part.items()])
     _shutil.rmtree(spill_dir, ignore_errors=True)
 
     entries = {

@@ -273,6 +273,55 @@ class TestKnn:
         approx = set(knn_lsh(ds, q, k=10, n_planes=4, probe_radius=1).to_pandas()["vec_id"])
         assert len(exact & approx) >= 3  # probing 5/16 buckets
 
+    def test_embedding_lsh_pairs_subset_and_recall(self, ray_session):
+        """The SRP-bucketed near-dup pairs are a SUBSET of the brute-force
+        pairs (same threshold, no false positives by construction) and, at
+        a genuine near-dup threshold, recall vs the exact twin is high:
+        cos >= 0.95 means a ~18 degree angle, so each of the 4 hyperplanes
+        separates a true pair with p ~ 0.1 — most pairs share a bucket."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.knn import _SrpBucket
+
+        rng = np.random.RandomState(7)
+        centers = rng.standard_normal((40, 16))
+        rows, vid = [], 0
+        for c in centers:
+            for _ in range(3):  # 3 near-copies per center
+                v = c + 0.02 * rng.standard_normal(16)
+                rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+                vid += 1
+        ids = pa.array([r[0] for r in rows], pa.int64())
+        embs = pa.array([r[1] for r in rows], pa.list_(pa.float32()))
+        mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ai, bj = np.where(sims >= 0.95)
+        brute = {(int(i), int(j)) for i, j in zip(ai, bj) if i < j}
+
+        ds = ray.data.from_arrow(pa.table({"vec_id": ids, "embedding": embs}))
+        bucketed = ds.map_batches(
+            _SrpBucket,
+            fn_constructor_kwargs={"dim": 16, "n_planes": 4, "seed": 13},
+            batch_format="pyarrow", concurrency=1)
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            m = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            gids = g["vec_id"].to_numpy()
+            s = m @ m.T
+            xi, xj = np.where(s >= 0.95)
+            rows = [(int(gids[i]), int(gids[j]))
+                    for i, j in zip(xi, xj) if gids[i] < gids[j]]
+            return pd.DataFrame(rows, columns=["a", "b"]).astype("int64")
+
+        lsh = {(int(r.a), int(r.b)) for r in
+               bucketed.groupby("bucket").map_groups(
+                   pairs, batch_format="pandas").to_pandas().itertuples()}
+        assert lsh <= brute  # no false positives
+        assert len(brute) > 0
+        assert len(lsh) / len(brute) >= 0.5  # recall floor vs exact twin
+
 
 class TestMinHashDedup:
     def test_finds_near_duplicates(self, ray_session):
