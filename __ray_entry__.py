@@ -714,6 +714,17 @@ def q_knn_lsh(sf_dir: str) -> Any:
     return knn_lsh(ds, q, k=10, n_planes=6, probe_radius=1).select(["vec_id"])
 
 
+def q_knn_ivf(sf_dir: str) -> Any:
+    """IVF coarse-quantizer ANN: driver-trained k-means codebook
+    (broadcast), distributed cell assignment, brute force over the n_probe
+    nearest cells only."""
+    from calendar_event_entity_extraction_ray.stages.knn import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    return knn_ivf(ds, q, k=10, n_cells=16, n_probe=4).select(["vec_id"])
+
+
 def q_kg_flagship(sf_dir: str) -> Any:
     """Flagship: synthetic pages (deterministic, sized by sf) -> triples."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -987,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": q_eval_metrics,
         "tokenize_records": q_tokenize,
         "chatml_records": q_chatml,
+        "knn_ivf": q_knn_ivf,
     }
 
 
@@ -1229,4 +1241,5 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": f"SELECT * FROM {_golden('media_frames')}",
         "tokenize_records": f"SELECT * FROM {_golden('tokenize_records')}",
         "chatml_records": f"SELECT * FROM {_golden('chatml_records')}",
+        "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
     }

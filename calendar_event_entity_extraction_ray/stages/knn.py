@@ -7,6 +7,11 @@
   - ``knn_lsh``: scale path — sign-random-projection (SimHash) bucketing:
     vectors land in 2^n_planes buckets; the query probes its own bucket plus
     neighbors at Hamming distance <= probe_radius, brute-forcing only those.
+  - ``knn_ivf``: scale path — IVF (inverted-file) coarse quantizer: a small
+    k-means codebook is trained on a SAMPLE (driver-side Lloyd iterations
+    over a few thousand vectors — the codebook is tiny and broadcast), every
+    vector is assigned to its nearest centroid in one vectorized pass, and
+    the query brute-forces only the ``n_probe`` nearest cells.
 """
 
 from __future__ import annotations
@@ -80,6 +85,85 @@ class _SrpBucket:
         bits = (mat @ self.planes) > 0
         buckets = bits @ (1 << np.arange(self.planes.shape[1]))
         return batch.append_column("bucket", pa.array(buckets.astype(np.int64)))
+
+
+def train_ivf_codebook(
+    sample: np.ndarray, n_cells: int = 16, n_iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Seeded Lloyd k-means on L2-normalized vectors (cosine ~ dot). Pure
+    numpy, deterministic; the sample is small (driver-side training is the
+    standard IVF recipe — the codebook broadcasts, the data never moves)."""
+    rng = np.random.RandomState(seed)
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+class _IvfAssign:
+    """Actor: assign each vector to its nearest codebook centroid."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        import ray as _ray
+
+        cents = (_ray.get(centroids)
+                 if isinstance(centroids, _ray.ObjectRef) else centroids)
+        self.cents = np.asarray(cents, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-12, None)
+        cell = np.argmax(mat @ self.cents.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 13,
+) -> pa.Table:
+    """Approximate top-k via IVF: brute-force only the ``n_probe`` cells
+    whose centroids are nearest the query. One codebook-training sample
+    pass (``ds.limit(sample_size)`` — deterministic), one assignment pass,
+    then the filtered brute force."""
+    import pyarrow.compute as pc
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cents = train_ivf_codebook(sample, n_cells=n_cells, seed=seed)
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cents @ qn))[: n_probe].astype(np.int64)
+
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(
+        _IvfAssign,
+        fn_constructor_kwargs={"centroids": cents_ref, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    cand = assigned.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("ivf_cell"),
+                                    value_set=pa.array(sorted(probes)))),
+        batch_format="pyarrow",
+    )
+    return knn_bruteforce(cand, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def knn_lsh(

@@ -193,6 +193,35 @@ def golden_knn_lsh() -> pa.Table:
     return pa.table({"vec_id": pa.array(ids[order], pa.int64())})
 
 
+def golden_knn_ivf() -> pa.Table:
+    """Sequential mirror of q_knn_ivf: same sample (first 4096 rows), same
+    seeded k-means codebook, full-table assignment, exact cosine top-10
+    among the 4 probed cells (same float32->float64 conversions and
+    zero-norm guard as stages/knn.py)."""
+    from calendar_event_entity_extraction_ray.stages.knn import (
+        train_ivf_codebook,
+    )
+
+    df = _embeddings()
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    q = mat[0]
+    sample = mat[:4096]
+    cents = train_ivf_codebook(sample, n_cells=16, seed=13)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = set(np.argsort(-(cents @ qn))[:4].tolist())
+    norm_rows = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12, None)
+    cells = np.argmax(norm_rows @ cents.T, axis=1)
+    sel = np.isin(cells, sorted(probes))
+    cand = mat[sel]
+    ids = df["vec_id"].to_numpy()[sel]
+    norms = np.linalg.norm(cand, axis=1) * np.linalg.norm(q)
+    norms = np.where(norms == 0, 1e-12, norms)
+    scores = (cand @ q) / norms
+    order = np.lexsort((ids, -scores))[:10]
+    return pa.table({"vec_id": pa.array(ids[order], pa.int64())})
+
+
 def golden_augment_records() -> pa.Table:
     """Sequential mirror of pipelines/augmentation.py:augment_pipeline over
     the seed-7 synthetic records (n_synth=0): normalize -> top-500 pools ->
@@ -354,6 +383,7 @@ GOLDENS = {
     "minhash_dedup_docs": golden_minhash_dedup_docs,
     "embedding_dups_lsh": golden_embedding_dups_lsh,
     "knn_lsh": golden_knn_lsh,
+    "knn_ivf": golden_knn_ivf,
     "augment_records": golden_augment_records,
     "eval_metrics": golden_eval_metrics,
     "media_features": golden_media_features,

@@ -273,6 +273,36 @@ class TestKnn:
         approx = set(knn_lsh(ds, q, k=10, n_planes=4, probe_radius=1).to_pandas()["vec_id"])
         assert len(exact & approx) >= 3  # probing 5/16 buckets
 
+    def test_ivf_recall_and_codebook_determinism(self, ray_session):
+        """IVF coarse quantizer: deterministic codebook, candidates only
+        from probed cells, decent recall vs the exact twin when probing
+        4/8 cells of well-separated clusters."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.knn import (
+            knn_bruteforce,
+            knn_ivf,
+            train_ivf_codebook,
+        )
+
+        rng = np.random.RandomState(5)
+        centers = 3.0 * rng.standard_normal((8, 16))
+        mat = np.vstack([c + 0.3 * rng.standard_normal((60, 16))
+                         for c in centers])
+        cb1 = train_ivf_codebook(mat[:200], n_cells=8, seed=13)
+        cb2 = train_ivf_codebook(mat[:200], n_cells=8, seed=13)
+        assert (cb1 == cb2).all()
+
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }))
+        q = mat[0]
+        exact = set(knn_bruteforce(ds, q, k=10).to_pandas()["vec_id"])
+        approx = set(knn_ivf(ds, q, k=10, n_cells=8, n_probe=4,
+                             sample_size=200).to_pandas()["vec_id"])
+        assert len(exact & approx) >= 8  # query's own cluster is probed
+
     def test_embedding_lsh_pairs_subset_and_recall(self, ray_session):
         """The SRP-bucketed near-dup pairs are a SUBSET of the brute-force
         pairs (same threshold, no false positives by construction) and, at
