@@ -367,24 +367,13 @@ def q_knn(sf_dir: str) -> Any:
 
 
 def q_sessionize(sf_dir: str) -> Any:
-    """Session windows per user (30-min inactivity gap) — the streaming-
-    shaped operator pattern: partition by key, sort by ts within group,
-    windowing logic in pandas inside map_groups (ray_guide.md
-    "Streaming-shaped workloads")."""
+    """Session windows per user (30-min inactivity gap) — key-hash exchange
+    + ONE vectorized sessionization pass per partition
+    (stages/windows.py:sessionize)."""
+    from calendar_event_entity_extraction_ray.stages.windows import sessionize
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        n_sessions = int(gap.sum()) + 1
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_sessions": [n_sessions],
-            "n_events": [len(g)],
-        })
-
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return _int64(out, ["user_id", "n_sessions", "n_events"])
+    return _int64(sessionize(ds), ["user_id", "n_sessions", "n_events"])
 
 
 def q_orders_priority(sf_dir: str) -> Any:

@@ -131,8 +131,11 @@ def hash_partition_map(
     @ray.remote(num_cpus=1)
     def fold(part_id: int, files: List[str]) -> pa.Table:
         pdir = os.path.join(spill_dir, f"part={part_id}")
+        # permissive promote: unioned two-sided inputs (joins) carry the
+        # same column NAMES but differing order / null-typed pad columns
         t = pa.concat_tables(
-            [pq.read_table(os.path.join(pdir, f)) for f in sorted(files)])
+            [pq.read_table(os.path.join(pdir, f)) for f in sorted(files)],
+            promote_options="permissive")
         return fold_fn(t)
 
     by_part = touched_df.groupby("part_id")["file"].apply(list)

@@ -4,14 +4,19 @@ The reference has no relational joins (SURVEY.md §2.4) — these are the
 engine-level operators a 100 TB pipeline needs when neither side fits a
 broadcast:
 
-  - ``hash_join``: explicit partitioned hash join (ray_guide.md "Joins"):
-    both sides get a ``bucket = hash64(key) % B`` column and a side tag,
-    are unioned, and matching buckets join pairwise inside ``map_groups``
-    (one all-to-all on a uniform hash key; salt a hot key by widening B).
-  - ``asof_join``: per-key backward as-of join: hash-partition both sides
-    on the equality key, sort by timestamp within the group, and run
-    ``pandas.merge_asof`` per group. Assumes per-key data fits a worker
-    (document the partitioning assumption; compound keys salt naturally).
+  - ``hash_join``: partitioned hash join — both sides get a vectorized
+    content-hash column and a side tag, are unioned, and each partition of
+    the two-phase exchange (stages/exchange.py) joins its co-located sides
+    with ONE vectorized ``pandas.merge`` (exact key equality — the hash is
+    only the routing key). Salt a hot key by widening ``num_partitions``.
+  - ``asof_join``: backward as-of join — both sides exchange on the
+    equality key's hash, then each partition runs ONE ``pandas.merge_asof``
+    with ``by=<key>`` over all of its keys (vectorized across keys; round 1
+    ran a Python ``merge_asof`` per key via ``groupby.map_groups``).
+    Partitioning assumption: all rows of one ``by`` key fit a worker's
+    partition (uniform hash => partitions stay balanced; a single
+    pathological key that exceeds a partition needs a range split on
+    ``on`` — documented, not implemented).
 """
 
 from __future__ import annotations
@@ -25,20 +30,26 @@ import pyarrow as pa
 import ray.data
 
 
-def _tag_and_bucket(ds: "ray.data.Dataset", key: str, side: str,
-                    num_buckets: int, cols: List[str]) -> "ray.data.Dataset":
-    def prep(b: pa.Table) -> pa.Table:
-        from calendar_event_entity_extraction_ray.stages.dedup import (
-            hash64_columns,
-        )
+def _tag_side(ds: "ray.data.Dataset", key: str, side: str,
+              cols: List[str], pad_cols: List[str],
+              drop_null_key: bool = False) -> "ray.data.Dataset":
+    """Select + side-tag + null-pad to the union schema + vectorized key
+    hash (the exchange routing column)."""
+    import pyarrow.compute as pc
 
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        hash64_columns,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
         b = b.select(cols)
-        # vectorized content hash (stable across processes); the join itself
-        # re-checks exact key equality inside the bucket (pandas merge), so
-        # the bucket hash only needs equal-keys-co-locate
-        buckets = (hash64_columns(b, [key]) % num_buckets).astype("int32")
-        b = b.append_column("_bucket", pa.array(buckets, pa.int32()))
-        return b.append_column("_side", pa.array([side] * b.num_rows, pa.string()))
+        if drop_null_key:
+            b = b.filter(pc.is_valid(b.column(key)))
+        b = b.append_column("_side", pa.array([side] * b.num_rows, pa.string()))
+        for c in pad_cols:
+            b = b.append_column(c, pa.nulls(b.num_rows))
+        return b.append_column(
+            "_kh", pa.array(hash64_columns(b, [key]), pa.int64()))
 
     return ds.map_batches(prep, batch_format="pyarrow")
 
@@ -49,39 +60,33 @@ def hash_join(
     key: str,
     left_cols: List[str],
     right_cols: List[str],
-    num_buckets: int = 32,
+    num_buckets: int = 32,  # kept name for callers; = exchange partitions
 ) -> "ray.data.Dataset":
     """Inner join on ``key``; output columns = left_cols ∪ right_cols.
 
     Column sets must be disjoint apart from ``key``.
     """
-    lt = _tag_and_bucket(left, key, "l", num_buckets, left_cols)
-    rt = _tag_and_bucket(right, key, "r", num_buckets, right_cols)
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
 
-    # union of two differently-shaped tables: pad each side with the other's
-    # columns as nulls so blocks share one schema
     l_only = [c for c in left_cols if c != key]
     r_only = [c for c in right_cols if c != key]
-
-    def pad(missing: List[str]):
-        def fn(b: pa.Table) -> pa.Table:
-            for c in missing:
-                b = b.append_column(c, pa.nulls(b.num_rows))
-            return b
-
-        return fn
-
-    lt = lt.map_batches(pad(r_only), batch_format="pyarrow")
-    rt = rt.map_batches(pad(l_only), batch_format="pyarrow")
+    lt = _tag_side(left, key, "l", left_cols, r_only)
+    rt = _tag_side(right, key, "r", right_cols, l_only)
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"][[key] + l_only]
-        rg = g[g["_side"] == "r"][[key] + r_only]
-        out = lg.merge(rg, on=key, how="inner")
-        return out
+    out_cols = [key] + l_only + r_only
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    def join_fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lg = df[df["_side"] == "l"][[key] + l_only]
+        rg = df[df["_side"] == "r"][[key] + r_only]
+        out = lg.merge(rg, on=key, how="inner")[out_cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return hash_partition_map(both, "_kh", join_fold,
+                              num_partitions=num_buckets)
 
 
 def asof_join(
@@ -95,56 +100,56 @@ def asof_join(
     tolerance: Optional[pd.Timedelta] = None,
 ) -> "ray.data.Dataset":
     """Backward as-of join: for each left row, the latest right row with
-    ``right.on <= left.on`` within the same ``by`` key. Partitioning
-    assumption: all rows of one ``by`` key fit in one group."""
-    import pyarrow.compute as pc
-
-    lt = left.select_columns(left_cols).map_batches(
-        lambda b: b.append_column("_side", pa.array(["l"] * b.num_rows)),
-        batch_format="pyarrow")
-    r_only = [c for c in right_cols if c not in (on, by)]
-    # SQL equality never matches NULL = NULL: drop right rows with a NULL
-    # key so they can't as-of-match a NULL-keyed left row (left NULL-key
-    # rows still pass through unmatched, like an ASOF LEFT JOIN)
-    def _tag_right(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column(by)))
-        return b.append_column("_side", pa.array(["r"] * b.num_rows))
-
-    rt = right.select_columns(right_cols).map_batches(
-        _tag_right, batch_format="pyarrow")
+    ``right.on <= left.on`` within the same ``by`` key (LEFT join: unmatched
+    left rows keep nulls). SQL equality never matches NULL = NULL, so right
+    rows with a NULL key are dropped up front and NULL-key left rows pass
+    through unmatched."""
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
 
     l_only = [c for c in left_cols if c not in (on, by)]
-
-    def pad(missing):
-        def fn(b: pa.Table) -> pa.Table:
-            for c in missing:
-                b = b.append_column(c, pa.nulls(b.num_rows))
-            return b
-
-        return fn
-
-    lt = lt.map_batches(pad(r_only), batch_format="pyarrow")
-    rt = rt.map_batches(pad(l_only), batch_format="pyarrow")
+    r_only = [c for c in right_cols if c not in (on, by)]
+    lt = _tag_side(left, by, "l", left_cols, r_only)
+    rt = _tag_side(right, by, "r", right_cols, l_only, drop_null_key=True)
     both = lt.union(rt)
 
-    out_cols = [on, by] + l_only + [on + suffix] + r_only
+    on_r = on + suffix
+    out_cols = [on, by] + l_only + [on_r] + r_only
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"][[on, by] + l_only].sort_values(on, kind="stable")
-        rg = g[g["_side"] == "r"][[on] + r_only].sort_values(on, kind="stable")
-        rg = rg.rename(columns={on: on + suffix})
+    def asof_fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lg = df[df["_side"] == "l"][[on, by] + l_only]
+        rg = (df[df["_side"] == "r"][[on, by] + r_only]
+              .rename(columns={on: on_r}))
         if lg.empty:
-            # right-only group: emit a 0-row frame with the FULL output
-            # schema so every block the operator yields is schema-consistent
             empty = lg.copy()
-            empty[on + suffix] = pd.Series([], dtype=rg[on + suffix].dtype)
+            empty[on_r] = pd.Series([], dtype=rg[on_r].dtype)
             for c in r_only:
                 empty[c] = pd.Series([], dtype=rg[c].dtype)
-            return empty[out_cols]
-        out = pd.merge_asof(
-            lg, rg, left_on=on, right_on=on + suffix, direction="backward",
-            tolerance=tolerance,
-        )
-        return out[out_cols]
+            return pa.Table.from_pandas(empty[out_cols], preserve_index=False)
+        # NULL-key left rows can never match — route them around merge_asof
+        null_l = lg[lg[by].isna()].copy()
+        lg = lg[lg[by].notna()]
+        if lg.empty or rg.empty:
+            out = lg.copy()
+            out[on_r] = pd.Series([pd.NaT] * len(out), dtype=rg[on_r].dtype,
+                                  index=out.index)
+            for c in r_only:
+                out[c] = pd.Series([None] * len(out), index=out.index)
+        else:
+            # ONE vectorized merge_asof across every key in the partition
+            out = pd.merge_asof(
+                lg.sort_values(on, kind="stable"),
+                rg.sort_values(on_r, kind="stable"),
+                left_on=on, right_on=on_r, by=by,
+                direction="backward", tolerance=tolerance,
+            )
+        if len(null_l):
+            null_l[on_r] = pd.NaT
+            for c in r_only:
+                null_l[c] = None
+            out = pd.concat([out, null_l], ignore_index=True)
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
 
-    return both.groupby(by).map_groups(asof_group, batch_format="pandas")
+    return hash_partition_map(both, "_kh", asof_fold)
