@@ -668,6 +668,18 @@ def q_minhash_dedup(sf_dir: str) -> Any:
     return minhash_lsh_dup_ids(ds, "text", "doc_id", threshold=0.8)
 
 
+def q_jaccard_pairs(sf_dir: str) -> Any:
+    """EXACT char-3-gram Jaccard >= 0.6 pairs via prefix filtering — the
+    oracle is a brute-force all-pairs recompute, so this checks that the
+    prefix-filter candidate generation misses nothing."""
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.6, n=3)
+
+
 def q_simhash(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.dedup import add_simhash_column
 
@@ -988,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_records": q_tokenize,
         "chatml_records": q_chatml,
         "knn_ivf": q_knn_ivf,
+        "jaccard_pairs_docs": q_jaccard_pairs,
     }
 
 
@@ -1231,4 +1244,5 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_records": f"SELECT * FROM {_golden('tokenize_records')}",
         "chatml_records": f"SELECT * FROM {_golden('chatml_records')}",
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
+        "jaccard_pairs_docs": f"SELECT * FROM {_golden('jaccard_pairs_docs')}",
     }

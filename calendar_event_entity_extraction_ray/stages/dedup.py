@@ -31,6 +31,7 @@ import ray.data
 
 from calendar_event_entity_extraction_ray.functions.dedup import (
     MinHasher,
+    char_ngrams,
     jaccard,
     simhash64,
     word_shingles,
@@ -285,6 +286,156 @@ def minhash_lsh_dup_ids(
     dups = bands.groupby("band_key").map_groups(drop_in_band, batch_format="pandas")
     # distinct ids (a doc can be dropped via several bands)
     return exact_dedup(dups, [id_col], id_col)
+
+
+class JaccardPrefixTokens:
+    """Actor stage: text -> (ptok, id, set_size) prefix-index rows.
+
+    Prefix filtering (SSJoin/AllPairs family): grams are globally ordered
+    by a stable md5 key; a doc with gram-set size s indexes only its first
+    ``s - ceil(t*s) + 1`` grams. Any pair with Jaccard >= t shares at least
+    one gram inside both prefixes (|x ∩ y| >= t*|x|), so grouping by prefix
+    token finds ALL qualifying pairs — the operator is EXACT, the prefix
+    only prunes. The md5 order is a rarity-agnostic stand-in for the usual
+    ascending-document-frequency order: correct for any fixed total order,
+    just prunes less than df-order would (skew note: a globally common
+    gram landing in many prefixes is the hot-bucket risk; df-ordering is
+    the standard mitigation and would add one grouped-count pass)."""
+
+    def __init__(self, text_col: str, id_col: str, n: int = 3,
+                 threshold: float = 0.8) -> None:
+        import hashlib as _hashlib
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.t = threshold
+        self._order = lambda g: _hashlib.md5(g.encode("utf-8")).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        out_tok, out_id, out_sz = [], [], []
+        for i, txt in zip(batch.column(self.id_col).to_pylist(),
+                          batch.column(self.text_col).to_pylist()):
+            grams = char_ngrams(txt or "", self.n)
+            s = len(grams)
+            if not s:
+                continue
+            p = s - math.ceil(self.t * s) + 1
+            for g in sorted(grams, key=self._order)[:p]:
+                out_tok.append(g)
+                out_id.append(i)
+                out_sz.append(s)
+        return pa.table({
+            "ptok": pa.array(out_tok, pa.string()),
+            self.id_col: pa.array(out_id, pa.int64()),
+            "set_size": pa.array(out_sz, pa.int32()),
+        })
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> "ray.data.Dataset":
+    """EXACT set-similarity self-join: all (a < b) pairs with char-n-gram
+    Jaccard >= threshold, via prefix filtering — no all-pairs pass.
+
+    prefix-index explode -> multi-member-token filter -> per-token
+    candidate pairs (size-ratio pruned: min >= t*max) -> distinct pairs ->
+    verify exact Jaccard on the (small) candidate set only (the same
+    candidate-id broadcast + re-read pattern as minhash_lsh_dup_ids).
+    Returns (``{id_col}_a``, ``{id_col}_b``, ``jacc_e4``).
+    """
+    import math
+
+    import ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+
+    a_col, b_col = f"{id_col}_a", f"{id_col}_b"
+    empty = pa.table({a_col: pa.array([], pa.int64()),
+                      b_col: pa.array([], pa.int64()),
+                      "jacc_e4": pa.array([], pa.int64())})
+
+    index = ds.map_batches(
+        JaccardPrefixTokens,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
+                               "n": n, "threshold": threshold},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).materialize()
+
+    counts = grouped_count(index, "ptok", out_col="n", salt_mod=0).to_pandas()
+    multi = set(counts.loc[counts["n"] >= 2, "ptok"])
+    if not multi:
+        return ray.data.from_arrow(empty)
+    multi_ref = ray.put(multi)
+
+    def keep_multi(b: pa.Table) -> pa.Table:
+        keys = ray.get(multi_ref)
+        return b.filter(pa.array(
+            [k in keys for k in b.column("ptok").to_pylist()], pa.bool_()))
+
+    cand_index = index.map_batches(keep_multi, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = (g[[id_col, "set_size"]].drop_duplicates(id_col)
+                .sort_values(id_col).to_numpy())
+        out = []
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                sa, sb = int(rows[x][1]), int(rows[y][1])
+                if min(sa, sb) >= threshold * max(sa, sb):  # size pruning
+                    out.append((int(rows[x][0]), int(rows[y][0])))
+        return pd.DataFrame(out, columns=[a_col, b_col]).astype("int64")
+
+    pairs = cand_index.groupby("ptok").map_groups(
+        bucket_pairs, batch_format="pandas")
+    pairs = exact_dedup(pairs, [a_col, b_col], a_col)  # pair found via many tokens
+
+    # candidate-only verification (driver never holds the corpus)
+    cand_ids = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b.column(a_col).to_pylist())
+        cand_ids.update(b.column(b_col).to_pylist())
+    if not cand_ids:
+        return ray.data.from_arrow(empty)
+    cand_ref = ray.put(cand_ids)
+
+    def cand_rows(b: pa.Table) -> pa.Table:
+        ids = ray.get(cand_ref)
+        return b.filter(pa.array(
+            [i in ids for i in b.column(id_col).to_pylist()], pa.bool_()))
+
+    grams_of = {}
+    for b in (ds.select_columns([id_col, text_col])
+              .map_batches(cand_rows, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for i, txt in zip(b.column(id_col).to_pylist(),
+                          b.column(text_col).to_pylist()):
+            grams_of[i] = char_ngrams(txt or "", n)
+    grams_ref = ray.put(grams_of)
+
+    def verify(b: pa.Table) -> pa.Table:
+        grams = ray.get(grams_ref)
+        keep_a, keep_b, jac = [], [], []
+        for a, bb in zip(b.column(a_col).to_pylist(),
+                         b.column(b_col).to_pylist()):
+            j = jaccard(grams.get(a, set()), grams.get(bb, set()))
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(bb)
+                jac.append(int(math.floor(j * 10_000 + 0.5)))
+        return pa.table({a_col: pa.array(keep_a, pa.int64()),
+                         b_col: pa.array(keep_b, pa.int64()),
+                         "jacc_e4": pa.array(jac, pa.int64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def add_simhash_column(batch: pa.Table, text_col: str, out_col: str = "simhash") -> pa.Table:

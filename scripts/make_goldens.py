@@ -193,6 +193,39 @@ def golden_knn_lsh() -> pa.Table:
     return pa.table({"vec_id": pa.array(ids[order], pa.int64())})
 
 
+def golden_jaccard_pairs_docs() -> pa.Table:
+    """BRUTE-FORCE all-pairs char-3-gram Jaccard >= 0.6 — an independent
+    oracle for the prefix-filtering join (which must find exactly these
+    pairs; prefix filtering is a pruning, not an approximation)."""
+    import math
+
+    from calendar_event_entity_extraction_ray.functions.dedup import (
+        char_ngrams,
+        jaccard,
+    )
+
+    df = _documents()
+    grams = [char_ngrams(t or "", 3) for t in df["text"]]
+    ids = df["doc_id"].to_numpy()
+    out_a, out_b, out_j = [], [], []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            j = jaccard(grams[x], grams[y])
+            if j >= 0.6:
+                a, b = int(ids[x]), int(ids[y])
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(math.floor(j * 10_000 + 0.5)))
+    order = np.lexsort((out_b, out_a))
+    return pa.table({
+        "doc_id_a": pa.array([out_a[k] for k in order], pa.int64()),
+        "doc_id_b": pa.array([out_b[k] for k in order], pa.int64()),
+        "jacc_e4": pa.array([out_j[k] for k in order], pa.int64()),
+    })
+
+
 def golden_knn_ivf() -> pa.Table:
     """Sequential mirror of q_knn_ivf: same sample (first 4096 rows), same
     seeded k-means codebook, full-table assignment, exact cosine top-10
@@ -384,6 +417,7 @@ GOLDENS = {
     "embedding_dups_lsh": golden_embedding_dups_lsh,
     "knn_lsh": golden_knn_lsh,
     "knn_ivf": golden_knn_ivf,
+    "jaccard_pairs_docs": golden_jaccard_pairs_docs,
     "augment_records": golden_augment_records,
     "eval_metrics": golden_eval_metrics,
     "media_features": golden_media_features,

@@ -353,6 +353,40 @@ class TestKnn:
         assert len(lsh) / len(brute) >= 0.5  # recall floor vs exact twin
 
 
+class TestJaccardPrefixJoin:
+    def test_exact_vs_bruteforce(self, ray_session):
+        """Prefix filtering is a PRUNING, not an approximation: the join
+        must return exactly the brute-force pair set."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.functions.dedup import (
+            char_ngrams,
+            jaccard,
+        )
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog near the river"
+        docs = [{"doc_id": 0, "text": base},
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": base.replace("dog", "cat")},
+                {"doc_id": 3, "text": base.replace("quick", "slow")
+                                          .replace("river", "road")},
+                {"doc_id": 4, "text": "completely unrelated content about "
+                                      "arrow batches and object stores"},
+                {"doc_id": 5, "text": ""}]
+        grams = {d["doc_id"]: char_ngrams(d["text"], 3) for d in docs}
+        brute = {(a, b) for a in range(6) for b in range(a + 1, 6)
+                 if jaccard(grams[a], grams[b]) >= 0.6}
+        ds = ray.data.from_items(docs)
+        got = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.6).to_pandas()
+        assert {(int(r.doc_id_a), int(r.doc_id_b))
+                for r in got.itertuples()} == brute
+        assert (got["jacc_e4"] >= 6000).all()
+        assert (0, 1) in brute  # sanity: exact dup pair present
+
+
 class TestMinHashDedup:
     def test_finds_near_duplicates(self, ray_session):
         import ray
