@@ -153,9 +153,16 @@ def exact_dedup(
         hash_partition_map,
     )
 
-    hashed = ds.map_batches(
-        lambda b: add_hash_column(b, key_cols), batch_format="pyarrow"
-    )
+    def combine(b: pa.Table) -> pa.Table:
+        # COMBINER: local first-wins per batch before the exchange. Keeping
+        # the smallest-order row per key within each batch commutes with the
+        # global first-wins (min of mins), and a hot duplicate key — which
+        # hash-co-location necessarily routes to ONE partition — ships one
+        # row per batch instead of every copy.
+        return add_hash_column(
+            first_wins_partition(b, key_cols, order_col), key_cols)
+
+    hashed = ds.map_batches(combine, batch_format="pyarrow")
     out = hash_partition_map(
         hashed, "sig_hash",
         lambda t: first_wins_partition(t, key_cols, order_col),

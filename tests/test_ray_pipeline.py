@@ -148,6 +148,21 @@ class TestExactDedup:
         out = exact_dedup(ds, ["text"], "ord").to_pandas().sort_values("text")
         assert out["tag"].tolist() == ["first", "only"]
 
+    def test_hot_key_combiner_keeps_global_first(self, ray_session):
+        """One key dominating the corpus (the exchange skew case): the
+        per-batch combiner must still yield the GLOBAL smallest order row,
+        with block boundaries chosen so the winner sits in a late block."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.dedup import exact_dedup
+
+        rows = [{"text": "hot", "ord": 1000 - i} for i in range(900)]
+        rows += [{"text": f"cold {i}", "ord": 10_000 + i} for i in range(100)]
+        ds = ray.data.from_items(rows).repartition(16)
+        out = exact_dedup(ds, ["text"], "ord").to_pandas()
+        assert len(out) == 101
+        assert int(out.loc[out["text"] == "hot", "ord"].iloc[0]) == 101
+
 
 class TestGroupedCount:
     def test_matches_pandas(self, ray_session):
