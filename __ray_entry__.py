@@ -566,7 +566,6 @@ def q_order_revenue_hashjoin(sf_dir: str) -> Any:
         key="o_orderkey",
         left_cols=["o_orderkey", "o_orderpriority"],
         right_cols=["o_orderkey", "rev_e4"],
-        num_buckets=32,
     )
     out = grouped_sums(joined, key_cols=["o_orderpriority"],
                        sum_cols=["rev_e4"], count_alias="n_lines"

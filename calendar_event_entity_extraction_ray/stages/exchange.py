@@ -75,19 +75,25 @@ def hash_partition_map(
         table costs ~4096 tiny files — measured 4x slower than the fold);
       - large inputs get ``rows / TARGET_ROWS_PER_PARTITION`` partitions
         (bounded by [default, 256]) so spill files stay chunky.
+
+    Passing ``num_partitions`` explicitly SKIPS the materialize+count: the
+    input streams straight into phase-1 spill with backpressure and is
+    never pinned in the object store — the path a 100 TB job takes (size
+    the partition count from the job's input manifest instead).
     """
-    ds = ds.materialize()
-    n_rows = ds.count()
-    if n_rows == 0:
-        schema = ds.schema()
-        if schema is None:
-            return ds
-        return ray.data.from_arrow(fold_fn(schema.base_schema.empty_table()))
-    if n_rows <= SMALL_ROWS:
-        # single-task global fold: all keys trivially co-locate
-        return ds.repartition(1).map_batches(
-            fold_fn, batch_format="pyarrow", batch_size=None)
     if num_partitions is None:
+        ds = ds.materialize()
+        n_rows = ds.count()
+        if n_rows == 0:
+            schema = ds.schema()
+            if schema is None:
+                return ds
+            return ray.data.from_arrow(
+                fold_fn(schema.base_schema.empty_table()))
+        if n_rows <= SMALL_ROWS:
+            # single-task global fold: all keys trivially co-locate
+            return ds.repartition(1).map_batches(
+                fold_fn, batch_format="pyarrow", batch_size=None)
         num_partitions = max(default_num_partitions(),
                              min(256, n_rows // TARGET_ROWS_PER_PARTITION))
     spill_dir = spill_root or tempfile.mkdtemp(prefix="cee_exchange_")

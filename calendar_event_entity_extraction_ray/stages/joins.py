@@ -60,7 +60,7 @@ def hash_join(
     key: str,
     left_cols: List[str],
     right_cols: List[str],
-    num_buckets: int = 32,  # kept name for callers; = exchange partitions
+    num_buckets: Optional[int] = None,  # None = exchange sizes itself
 ) -> "ray.data.Dataset":
     """Inner join on ``key``; output columns = left_cols ∪ right_cols.
 
