@@ -67,7 +67,10 @@ def run_bench() -> dict:
         # page rendering, extraction, linking and dedup all run inside one
         # actor pool (no task->actor handoff). Fixed-size pool: all actors
         # start up front, one CPU left for the spill/merge tasks.
-        ids = ray.data.range(n_pages, override_num_blocks=max(num_cpus * 2, 8))
+        # 4 blocks per CPU: measured sweet spot (64/128/192 blocks at 32
+        # cpus -> 12.0/11.6/13.3 s) — finer granularity balances the actor
+        # pool's tail without per-block overhead taking over
+        ids = ray.data.range(n_pages, override_num_blocks=max(num_cpus * 4, 8))
         triples = kg_triples(
             ids,
             extract_concurrency=max(2, num_cpus - 1),

@@ -59,7 +59,7 @@ def main() -> int:
     t0 = time.time()
     if args.pages:
         n_docs = args.pages
-        ids = ray.data.range(args.pages, override_num_blocks=max(ncpu * 2, 8))
+        ids = ray.data.range(args.pages, override_num_blocks=max(ncpu * 4, 8))
         triples = kg_triples(ids, extract_concurrency=conc, gen_seed=args.seed)
         fingerprint = args.fingerprint or f"synth-{args.seed}-{args.pages}"
     else:
