@@ -667,6 +667,17 @@ def q_minhash_dedup(sf_dir: str) -> Any:
     return minhash_lsh_dup_ids(ds, "text", "doc_id", threshold=0.8)
 
 
+def q_corpus_clean(sf_dir: str) -> Any:
+    """Composed corpus-cleanup pipeline (quality filter -> langid filter ->
+    exact dedup -> MinHash near-dup anti-join): surviving doc_ids."""
+    from calendar_event_entity_extraction_ray.pipelines.corpus import (
+        corpus_clean,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return corpus_clean(ds).select_columns(["doc_id"])
+
+
 def q_jaccard_pairs(sf_dir: str) -> Any:
     """EXACT char-3-gram Jaccard >= 0.6 pairs via prefix filtering — the
     oracle is a brute-force all-pairs recompute, so this checks that the
@@ -1000,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chatml_records": q_chatml,
         "knn_ivf": q_knn_ivf,
         "jaccard_pairs_docs": q_jaccard_pairs,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -1244,4 +1256,5 @@ def oracle_sql() -> dict[str, str]:
         "chatml_records": f"SELECT * FROM {_golden('chatml_records')}",
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
         "jaccard_pairs_docs": f"SELECT * FROM {_golden('jaccard_pairs_docs')}",
+        "corpus_clean": f"SELECT * FROM {_golden('corpus_clean')}",
     }

@@ -97,38 +97,60 @@ def golden_fingerprint_docs() -> pa.Table:
         fingerprint_batch(_documents()), preserve_index=False)
 
 
-def golden_minhash_dedup_docs() -> pa.Table:
-    """Sequential mirror of stages/dedup.py:minhash_lsh_dup_ids (threshold
-    0.8, 64 perms, 16 bands): band index -> multi-member bands -> per-band
-    greedy verify in id order -> distinct dropped ids."""
+def _minhash_drop_ids(ids, texts, threshold: float = 0.8) -> set:
+    """Sequential mirror of stages/dedup.py:minhash_lsh_dup_ids (64 perms,
+    16 bands): band index -> multi-member bands -> per-band greedy verify
+    in id order -> distinct dropped ids."""
     from calendar_event_entity_extraction_ray.functions.dedup import (
         MinHasher,
         jaccard,
         word_shingles,
     )
 
-    df = _documents()
     hasher = MinHasher(num_perm=64)
     shingles = {}
     band_to_ids: dict = {}
-    for i, t in zip(df["doc_id"], df["text"]):
+    for i, t in zip(ids, texts):
         sh = word_shingles(t or "", 3)
-        shingles[i] = word_shingles(t or "")  # verify uses default k
+        shingles[i] = sh
         sig = hasher.signature(sh)
         for key in hasher.band_keys(sig, 16):
             band_to_ids.setdefault(key, []).append(int(i))
     dropped = set()
-    for key, ids in band_to_ids.items():
-        ids = sorted(set(ids))
-        if len(ids) < 2:
+    for key, members in band_to_ids.items():
+        members = sorted(set(members))
+        if len(members) < 2:
             continue
         reps = []
-        for i in ids:
-            if any(jaccard(shingles[i], rs) >= 0.8 for _, rs in reps):
+        for i in members:
+            if any(jaccard(shingles[i], rs) >= threshold for _, rs in reps):
                 dropped.add(i)
             else:
                 reps.append((i, shingles[i]))
+    return dropped
+
+
+def golden_minhash_dedup_docs() -> pa.Table:
+    df = _documents()
+    dropped = _minhash_drop_ids(df["doc_id"], df["text"])
     return pa.table({"doc_id": pa.array(sorted(dropped), pa.int64())})
+
+
+def golden_corpus_clean() -> pa.Table:
+    """Sequential mirror of pipelines/corpus.py:corpus_clean: quality +
+    langid filters (same pure batch functions), exact first-wins dedup on
+    text (min doc_id), MinHash near-dup anti-join."""
+    from calendar_event_entity_extraction_ray.pipelines.corpus import (
+        langid_filter_batch,
+        quality_filter_batch,
+    )
+
+    df = _documents()
+    df = langid_filter_batch(quality_filter_batch(df))
+    df = df.sort_values("doc_id").drop_duplicates("text", keep="first")
+    dropped = _minhash_drop_ids(df["doc_id"], df["text"])
+    keep = df[~df["doc_id"].isin(dropped)]
+    return pa.table({"doc_id": pa.array(sorted(keep["doc_id"]), pa.int64())})
 
 
 def _embeddings() -> pd.DataFrame:
@@ -418,6 +440,7 @@ GOLDENS = {
     "knn_lsh": golden_knn_lsh,
     "knn_ivf": golden_knn_ivf,
     "jaccard_pairs_docs": golden_jaccard_pairs_docs,
+    "corpus_clean": golden_corpus_clean,
     "augment_records": golden_augment_records,
     "eval_metrics": golden_eval_metrics,
     "media_features": golden_media_features,
