@@ -160,3 +160,69 @@ class TestNoise:
         assert a == b
         changed = sum(1 for t, o in zip(texts, a) if t != o)
         assert 0 < changed < 60  # ~10% gate
+
+
+class TestTokenizerProperties:
+    """Invariants of the tokenized-feature operator on arbitrary input."""
+
+    @given(text_strategy, text_strategy)
+    @settings(max_examples=150, deadline=None)
+    def test_prefix_consistency(self, prefix, rest):
+        """tokenize(prefix) is always a prefix of tokenize(prefix + ' ' +
+        rest) — the property the prompt-masking boundary relies on (the
+        space forces a piece boundary; whitespace carries no token)."""
+        from calendar_event_entity_extraction_ray.functions.tokenizer import (
+            ToyTokenizer,
+        )
+
+        tok = ToyTokenizer()
+        p = tok.encode(prefix)
+        full = tok.encode(prefix + " " + rest)
+        assert full[: len(p)] == p
+
+    @given(text_strategy, text_strategy)
+    @settings(max_examples=150, deadline=None)
+    def test_feature_invariants(self, prompt, completion):
+        """Aligned lengths, attention all-ones, masked region exactly the
+        prompt tokens, unmasked labels equal the input ids."""
+        from calendar_event_entity_extraction_ray.functions.tokenizer import (
+            IGNORE_INDEX,
+            ToyTokenizer,
+            build_feature,
+        )
+
+        tok = ToyTokenizer()
+        f = build_feature({"prompt": prompt, "completion": completion},
+                          tok, max_length=64)
+        n = len(f["input_ids"])
+        assert len(f["labels"]) == n and len(f["attention_mask"]) == n
+        assert n <= 64
+        assert all(m == 1 for m in f["attention_mask"])
+        plen = len(tok.encode(prompt))
+        if plen < n:
+            assert f["labels"][:plen] == [IGNORE_INDEX] * plen
+            assert f["labels"][plen:] == f["input_ids"][plen:]
+        else:
+            assert f["labels"] == f["input_ids"]  # guard skipped the mask
+
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_enhanced_renderer_total(self, action):
+        """render_enhanced never raises, never leaks placeholders, and is
+        deterministic for a fixed seed."""
+        import random
+
+        from calendar_event_entity_extraction_ray.functions.render_enhanced import (
+            render_enhanced,
+        )
+
+        slots = {k: None for k in TARGET_KEYS}
+        slots["action"] = action or None
+        a = render_enhanced(dict(slots), random.Random(3))
+        b = render_enhanced(dict(slots), random.Random(3))
+        assert a == b
+        if not set(action or "") & {"{", "}"}:
+            # braces inside slot VALUES legitimately survive (the cleanup
+            # regex targets placeholder-shaped spans only — reference
+            # semantics); otherwise no placeholder may leak
+            assert "{" not in a and "}" not in a
