@@ -90,7 +90,10 @@ def run_bench() -> dict:
     query_names = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
         "q1_lineitem_agg", "events_hourly", "dedup_signature",
         "token_counts", "quality_scores", "knn_topk",
-        "customer_order_totals", "augment_records"]
+        "customer_order_totals", "augment_records",
+        # round-2 operators
+        "order_revenue_hashjoin", "sessionize", "tokenize_records",
+        "corpus_clean"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()

@@ -220,12 +220,16 @@ def minhash_lsh_dup_ids(
     """
     import ray
 
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
     bands = ds.map_batches(
         MinHashBands,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
                                "num_perm": num_perm, "num_bands": num_bands},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=(1, 8),
     )
     # The band index is consumed twice (candidate count, then filtered
     # verification) — pin it so the minhash signatures aren't recomputed.
@@ -272,27 +276,53 @@ def minhash_lsh_dup_ids(
                            b.column(text_col).to_pylist()))
     lookup_ref = ray.put(id_text)
 
-    def drop_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+    def verify_fold(t: pa.Table) -> pa.Table:
+        # whole-partition verification: bands grouped in C (pandas), texts
+        # fetched once, shingles memoized per id across the partition's
+        # bands. Greedy clustering in id order per band: an id similar to
+        # ANY kept representative is dropped (not only vs the single
+        # smallest id — a band can hold several distinct near-dup clusters).
+        df = t.select(["band_key", id_col]).to_pandas()
         texts = ray.get(lookup_ref)
-        # greedy clustering in id order: an id similar to ANY kept
-        # representative is dropped (not only vs the single smallest id —
-        # a band can hold several distinct near-dup clusters)
-        reps: list = []
-        dropped = []
-        for i in ids:
-            sh = word_shingles(texts.get(i) or "")
-            if any(jaccard(sh, rs) >= threshold for _, rs in reps):
-                dropped.append(i)
-            else:
-                reps.append((i, sh))
-        return pd.DataFrame({id_col: pd.Series(dropped, dtype="int64")})
+        sh_cache: dict = {}
 
-    dups = bands.groupby("band_key").map_groups(drop_in_band, batch_format="pandas")
-    # distinct ids (a doc can be dropped via several bands)
-    return exact_dedup(dups, [id_col], id_col)
+        def sh(i):
+            s = sh_cache.get(i)
+            if s is None:
+                s = word_shingles(texts.get(i) or "")
+                sh_cache[i] = s
+            return s
+
+        dropped = set()
+        for _, g in df.groupby("band_key", sort=False):
+            ids = sorted(set(g[id_col].tolist()))
+            if len(ids) < 2:
+                continue
+            # bands are verified independently (exactly as the per-group
+            # version did): cross-band drops do not change a band's greedy
+            # representative choice — only the final union of drops matters
+            reps: list = []
+            for i in ids:
+                s = sh(i)
+                if any(jaccard(s, rs) >= threshold for _, rs in reps):
+                    dropped.add(i)
+                else:
+                    reps.append((i, s))
+        return pa.table({id_col: pa.array(sorted(dropped), pa.int64())})
+
+    hashed = bands.map_batches(
+        lambda b: add_hash_column(b, ["band_key"], out_col="_bh"),
+        batch_format="pyarrow")
+    dups = hash_partition_map(hashed, "_bh", verify_fold)
+    # distinct ids (a doc can be dropped via several bands/partitions): the
+    # drop set is small by construction (proportional to the dup rate —
+    # the same bound that justified the candidate broadcast above), so the
+    # driver folds it directly instead of paying another exchange
+    distinct: set = set()
+    for b in dups.iter_batches(batch_format="pyarrow"):
+        distinct.update(b.column(id_col).to_pylist())
+    return ray.data.from_arrow(
+        pa.table({id_col: pa.array(sorted(distinct), pa.int64())}))
 
 
 class JaccardPrefixTokens:
