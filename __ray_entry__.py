@@ -667,6 +667,24 @@ def q_minhash_dedup(sf_dir: str) -> Any:
     return minhash_lsh_dup_ids(ds, "text", "doc_id", threshold=0.8)
 
 
+def q_doc_sample(sf_dir: str) -> Any:
+    """Deterministic 5% sample by md5 text bucket — the scalable,
+    re-runnable replacement for ``ds.random_sample`` (same rows on every
+    run and every partitioning; SQL-checkable via the md5 parity)."""
+    from calendar_event_entity_extraction_ray.functions.textsig import (
+        stable_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        keep = [t is not None and stable_bucket(t, 100) < 5
+                for t in b.column("text").to_pylist()]
+        return b.filter(pa.array(keep, pa.bool_())).select(["doc_id"])
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 def q_corpus_clean(sf_dir: str) -> Any:
     """Composed corpus-cleanup pipeline (quality filter -> langid filter ->
     exact dedup -> MinHash near-dup anti-join): surviving doc_ids."""
@@ -1012,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "jaccard_pairs_docs": q_jaccard_pairs,
         "corpus_clean": q_corpus_clean,
+        "doc_sample": q_doc_sample,
     }
 
 
@@ -1257,4 +1276,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
         "jaccard_pairs_docs": f"SELECT * FROM {_golden('jaccard_pairs_docs')}",
         "corpus_clean": f"SELECT * FROM {_golden('corpus_clean')}",
+        "doc_sample": """
+            SELECT doc_id FROM documents
+            WHERE text IS NOT NULL
+              AND CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 5
+        """,
     }
