@@ -168,9 +168,13 @@ def q_events_hourly(sf_dir: str) -> Any:
             "hour": pc.floor_temporal(b.column("ts"), unit="hour"),
         })
 
-    out = ds.map_batches(prep, batch_format="pyarrow").groupby(
-        ["event_type", "hour"]
-    ).aggregate(Count(alias_name="n"))
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+
+    # partial pre-aggregation: the shuffle moves |groups| x |batches|
+    # partial rows, not the raw event stream
+    out = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                       key_cols=["event_type", "hour"], sum_cols=[],
+                       count_alias="n")
     return _int64(out, ["n"])
 
 
