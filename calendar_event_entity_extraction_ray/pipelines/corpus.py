@@ -101,22 +101,58 @@ def corpus_clean(
 def write_corpus(
     cleaned: "ray.data.Dataset",
     out_dir: str,
+    fingerprint: str,
     id_col: str = "doc_id",
     num_partitions: int = 16,
-) -> None:
-    """Resumable partitioned Parquet: one directory per id-hash partition
-    (never one giant file)."""
-    import numpy as np
+) -> dict:
+    """Resumable partitioned Parquet via the id-hash exchange: one
+    ``part_key=K/data.parquet`` per partition, sorted by id, plus
+    ``_MANIFEST.json`` (fingerprint + per-partition row counts). A re-run
+    with the same fingerprint skips completed partitions. Returns the
+    manifest dict."""
+    import pyarrow.compute as pc
 
+    from calendar_event_entity_extraction_ray.state import manifest as M
     from calendar_event_entity_extraction_ray.stages.dedup import (
         add_hash_column,
     )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
 
-    def part(b: pa.Table) -> pa.Table:
-        b = add_hash_column(b, [id_col], out_col="_h")
-        key = pa.array(
-            (b.column("_h").to_numpy() % num_partitions).astype(np.int64))
-        return b.drop_columns(["_h"]).append_column("part_key", key)
+    done = M.completed_partitions(out_dir, fingerprint)
+    hashed = cleaned.map_batches(
+        lambda b: add_hash_column(b, [id_col], out_col="_h"),
+        batch_format="pyarrow")
+    if done:
+        def drop_done(b: pa.Table) -> pa.Table:
+            import numpy as np
 
-    cleaned.map_batches(part, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["part_key"])
+            part = b.column("_h").to_numpy() % num_partitions
+            keep = ~np.isin(part, sorted(done))
+            return b.filter(pa.array(keep))
+
+        hashed = hashed.map_batches(drop_done, batch_format="pyarrow")
+
+    def write_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"part_id": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        part_id = int(t.column("_h")[0].as_py() % num_partitions)
+        out = t.drop_columns(["_h"])
+        out = out.take(pc.sort_indices(out, sort_keys=[(id_col, "ascending")]))
+        M.write_partition_file(out_dir, part_id, out)
+        return pa.table({"part_id": pa.array([part_id], pa.int64()),
+                         "rows": pa.array([out.num_rows], pa.int64())})
+
+    written = hash_partition_map(
+        hashed, "_h", write_fold, num_partitions=num_partitions).to_pandas()
+    entries = {
+        int(r.part_id): {
+            "file": f"part_key={int(r.part_id)}/data.parquet",
+            "rows": int(r.rows),
+            "lineage": {"rows_out": int(r.rows)},
+        }
+        for r in written.itertuples()
+    }
+    return M.record_partitions(out_dir, fingerprint, entries)

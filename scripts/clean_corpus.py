@@ -1,0 +1,74 @@
+"""Corpus-cleanup job entry point (the second production pipeline).
+
+    python scripts/clean_corpus.py --input /path/documents.parquet --out /tmp/clean
+    ray job submit --working-dir . -- python scripts/clean_corpus.py \
+        --input s3://bucket/docs/ --out s3://bucket/clean/
+
+Reads a documents Parquet (doc_id, text), runs quality filter -> langid
+filter -> exact dedup -> MinHash near-dup anti-join, and writes the
+surviving rows as hash-partitioned Parquet + _MANIFEST.json (resumable:
+re-running with the same fingerprint skips completed partitions) +
+METRICS.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="documents -> cleaned corpus")
+    ap.add_argument("--input", required=True, help="documents Parquet path")
+    ap.add_argument("--out", required=True, help="output corpus directory")
+    ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument("--min-chars", type=int, default=50)
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument("--fingerprint", default="")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from calendar_event_entity_extraction_ray.pipelines.corpus import (
+        corpus_clean,
+        write_corpus,
+    )
+    from calendar_event_entity_extraction_ray.state.metrics import write_metrics
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    cleaned = corpus_clean(
+        docs, minhash_threshold=args.minhash_threshold,
+        min_chars=args.min_chars, keep_lang=args.lang)
+    fingerprint = args.fingerprint or (
+        f"clean-{args.input}-{args.min_chars}-{args.lang}-"
+        f"{args.minhash_threshold}")
+    manifest = write_corpus(cleaned, args.out, fingerprint=fingerprint,
+                            num_partitions=args.partitions)
+    wall = time.time() - t0
+    n_out = sum(e["rows"] for e in manifest["partitions"].values())
+    metrics = {
+        "n_docs_out": n_out,
+        "wall_sec": round(wall, 2),
+        "partitions": len(manifest["partitions"]),
+        "fingerprint": fingerprint,
+    }
+    write_metrics(args.out, metrics)
+    print(metrics)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
