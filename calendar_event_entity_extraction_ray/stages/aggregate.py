@@ -113,11 +113,21 @@ def attendee_location_pools(
     partials = both.map_batches(partial, batch_format="pyarrow")
     counts = partials.groupby(["kind", "name"]).aggregate(
         Sum("partial", alias_name="n")
-    ).to_pandas()
-    counts = counts.sort_values(["n", "name"], ascending=[False, True])
-    att = counts[counts["kind"] == "a"]["name"].head(k).tolist()
-    loc = counts[counts["kind"] == "l"]["name"].head(k).tolist()
-    return att, loc
+    )
+    # distributed top-k per kind: sort + limit collect only k rows each —
+    # the full distinct-entity histogram never reaches the driver
+    import pyarrow.compute as pc
+
+    counts = counts.materialize()  # consumed twice (one pass per kind)
+
+    def top(kind: str) -> List[str]:
+        only = counts.map_batches(
+            lambda b, s=kind: b.filter(pc.equal(b.column("kind"), s)),
+            batch_format="pyarrow")
+        return only.sort(["n", "name"], descending=[True, False]).limit(
+            k).to_pandas()["name"].tolist()
+
+    return top("a"), top("l")
 
 
 def partial_count_batch2(batch: pa.Table, key_cols: List[str]) -> pa.Table:

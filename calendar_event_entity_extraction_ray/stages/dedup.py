@@ -242,8 +242,14 @@ def minhash_lsh_dup_ids(
     # per-group verification only ever runs on real candidate buckets.
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_count
 
-    counts = grouped_count(bands, "band_key", out_col="n", salt_mod=0).to_pandas()
-    multi = set(counts.loc[counts["n"] >= 2, "band_key"])
+    counts = grouped_count(bands, "band_key", out_col="n", salt_mod=0)
+    # filter BEFORE collecting: only multi-member bands (proportional to
+    # the dup rate) reach the driver, never the full band histogram
+    multi = set()
+    for b in counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        multi.update(b.column("band_key").to_pylist())
     if not multi:
         return ray.data.from_arrow(
             pa.table({id_col: pa.array([], pa.int64())}))
@@ -407,8 +413,12 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow", concurrency=(1, 2),
     ).materialize()
 
-    counts = grouped_count(index, "ptok", out_col="n", salt_mod=0).to_pandas()
-    multi = set(counts.loc[counts["n"] >= 2, "ptok"])
+    counts = grouped_count(index, "ptok", out_col="n", salt_mod=0)
+    multi = set()  # filtered distributed; only multi tokens reach the driver
+    for b in counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        multi.update(b.column("ptok").to_pylist())
     if not multi:
         return ray.data.from_arrow(empty)
     multi_ref = ray.put(multi)
