@@ -10,8 +10,8 @@ invocation shape is the production one):
 Reads Parquet pages (or renders the deterministic synthetic corpus when
 --pages is given), runs the flagship pipeline, writes the hash-partitioned
 graph + _MANIFEST.json (resumable: re-running with the same fingerprint
-skips completed partitions) + METRICS.json (row counters, docs/sec, Ray
-stage stats).
+skips completed partitions) + METRICS.json (row counters, docs/sec,
+concurrency).
 """
 
 from __future__ import annotations
