@@ -69,8 +69,12 @@ def main() -> int:
 
         if not (os.path.exists(args.input) or "://" in args.input):
             ap.error(f"--input path not found: {args.input}")
+        # re-block the read to the pool's granularity: a compact input
+        # (few/large row groups) otherwise yields too few blocks to keep
+        # the extract actors busy
         pages = ray.data.read_parquet(
-            args.input, columns=["url", "warc_ts", "html", "lang"])
+            args.input, columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=max(ncpu * 4, 8))
         # doc count from parquet metadata — never a data scan
         import pyarrow.parquet as _pq
 
