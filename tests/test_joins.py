@@ -56,3 +56,41 @@ class TestAsofJoin:
         assert out.loc[out["eid"] == 100, "ts_right"].iloc[0] == pd.Timestamp("2024-01-01 09:30")
         assert out.loc[out["eid"] == 101, "ts_right"].iloc[0] == pd.Timestamp("2024-01-01 10:30")
         assert pd.isna(out.loc[out["eid"] == 102, "ts_right"].iloc[0])
+
+    def test_null_keys_and_tolerance(self, ray_session):
+        """SQL equality semantics: a NULL-key left row never matches (passes
+        through unmatched, LEFT-join style); NULL-key right rows are dropped.
+        Tolerance bounds the lookback window."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import asof_join
+
+        left = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:00",
+                                  "2024-01-01 18:00"]),
+            "uid": pd.array([1, None, 1], dtype="Int64"),
+            "eid": [100, 101, 102],
+        })
+        right = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 09:45"]),
+            "uid": pd.array([1, None], dtype="Int64"),
+        })
+        out = asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="ts", by="uid",
+            left_cols=["ts", "uid", "eid"], right_cols=["ts", "uid"],
+        ).to_pandas()
+        assert len(out) == 3  # every left row survives exactly once
+        by_eid = out.set_index("eid")
+        assert by_eid.loc[100, "ts_right"] == pd.Timestamp("2024-01-01 09:30")
+        assert pd.isna(by_eid.loc[101, "ts_right"])  # NULL key: unmatched
+
+        # with a 1h tolerance, the 18:00 row's 09:30 match is out of window
+        out_tol = asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="ts", by="uid",
+            left_cols=["ts", "uid", "eid"], right_cols=["ts", "uid"],
+            tolerance=pd.Timedelta(hours=1),
+        ).to_pandas().set_index("eid")
+        assert out_tol.loc[100, "ts_right"] == pd.Timestamp("2024-01-01 09:30")
+        assert pd.isna(out_tol.loc[102, "ts_right"])
