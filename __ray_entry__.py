@@ -486,6 +486,10 @@ def q_embedding_dups(sf_dir: str) -> Any:
     (ray.put); each batch computes its rows against the full matrix —
     the brute-force baseline; the LSH-bucketed scale path is
     ``embedding_dups_lsh``."""
+    return _embedding_pairs_ds(sf_dir)
+
+
+def _embedding_pairs_ds(sf_dir: str) -> "ray.data.Dataset":
     from calendar_event_entity_extraction_ray.stages.knn import _batch_matrix
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -669,6 +673,24 @@ def q_minhash_dedup(sf_dir: str) -> Any:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_lsh_dup_ids(ds, "text", "doc_id", threshold=0.8)
+
+
+def q_dup_clusters(sf_dir: str) -> Any:
+    """Near-dup canonicalization: connected components over the exact
+    cosine>=0.3 pair graph — every member maps to its cluster's minimum
+    vec_id (distributed min-label propagation, stages/graph.py). The
+    oracle recomputes the same clusters independently in DuckDB with a
+    recursive transitive-closure CTE."""
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        connected_components,
+    )
+
+    pairs = _embedding_pairs_ds(sf_dir)
+    out = connected_components(pairs, "vec_id_a", "vec_id_b")
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b.column("node"),
+                            "cluster": b.column("cluster")}),
+        batch_format="pyarrow")
 
 
 def q_doc_sample(sf_dir: str) -> Any:
@@ -1035,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_docs": q_jaccard_pairs,
         "corpus_clean": q_corpus_clean,
         "doc_sample": q_doc_sample,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -1284,5 +1307,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE text IS NOT NULL
               AND CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 5
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+            ),
+            sym AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, peer) AS (
+              SELECT a AS node, a AS peer FROM sym
+              UNION
+              SELECT r.node, s.b AS peer FROM reach r JOIN sym s ON r.peer = s.a
+            )
+            SELECT node AS vec_id, CAST(MIN(peer) AS BIGINT) AS cluster
+            FROM reach GROUP BY node
         """,
     }

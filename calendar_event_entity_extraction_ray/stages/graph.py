@@ -1,0 +1,117 @@
+"""Graph analytics over edge lists: distributed connected components.
+
+The canonicalization step a near-dup pipeline needs after pair generation:
+pairs (a, b) form clusters, every member maps to the cluster's minimum id
+(the canonical representative — the same keep-smallest convention as the
+dedup family).
+
+Algorithm: iterative min-label propagation. Labels start as ``label(v) =
+v``; each round every node takes the min of its own label and its
+neighbors' labels (one hash join to move labels across edges + one
+per-partition grouped min, both on the two-phase exchange). The sum of all
+labels is strictly decreasing until fixpoint, so convergence is detected
+with one cheap global aggregate per round — no driver-side graph state.
+Rounds needed = graph diameter (near-dup clusters are near-cliques:
+typically 2-3 rounds).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _min_label_fold(t: pa.Table) -> pa.Table:
+    df = t.select(["node", "label"]).to_pandas()
+    out = df.groupby("node", sort=False)["label"].min().reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    max_iters: int = 50,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """(a, b) undirected edge list -> (node, cluster) with cluster = min
+    node id of the component. Isolated nodes don't appear (no edges)."""
+    from ray.data.aggregate import Sum
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b.column(a_col)
+        bb = b.column(b_col)
+        return pa.table({
+            "node": pa.chunked_array(list(a.chunks) + list(bb.chunks)),
+            "dst": pa.chunked_array(list(bb.chunks) + list(a.chunks)),
+        })
+
+    # edges are re-joined every round — pin them once
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        df = t.select(["node"]).to_pandas().drop_duplicates("node")
+        df["label"] = df["node"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    labels = hash_partition_map(
+        sym.map_batches(lambda b: add_hash_column(b, ["node"], out_col="_nh"),
+                        batch_format="pyarrow"),
+        "_nh", lambda t: seed_labels(t), num_partitions=num_partitions)
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # (1) neighbor propagation: move each node's label across its
+        # edges: (node, dst) x (node, label) -> candidate (dst, label)
+        cand = hash_join(sym, labels, key="node",
+                         left_cols=["node", "dst"],
+                         right_cols=["node", "label"],
+                         num_buckets=num_partitions)
+        cand = cand.map_batches(
+            lambda b: pa.table({"node": b.column("dst"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow")
+        # (2) pointer jumping: label(v) <- label(label(v)). Every label IS
+        # a node id, so joining labels onto themselves shortcuts chains —
+        # rounds drop from O(diameter) to O(log diameter)
+        jump = hash_join(
+            labels.map_batches(
+                lambda b: pa.table({"ptr": b.column("label"),
+                                    "node": b.column("node")}),
+                batch_format="pyarrow"),
+            labels.map_batches(
+                lambda b: pa.table({"ptr": b.column("node"),
+                                    "plabel": b.column("label")}),
+                batch_format="pyarrow"),
+            key="ptr", left_cols=["ptr", "node"],
+            right_cols=["ptr", "plabel"], num_buckets=num_partitions)
+        jump = jump.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "label": b.column("plabel")}),
+            batch_format="pyarrow")
+        merged = labels.union(cand).union(jump).map_batches(
+            lambda b: add_hash_column(b.select(["node", "label"]), ["node"],
+                                      out_col="_nh"),
+            batch_format="pyarrow")
+        labels = hash_partition_map(merged, "_nh", _min_label_fold,
+                                    num_partitions=num_partitions)
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "cluster": b.column("label")}),
+        batch_format="pyarrow")

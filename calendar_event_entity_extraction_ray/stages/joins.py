@@ -79,9 +79,15 @@ def hash_join(
     out_cols = [key] + l_only + r_only
 
     def join_fold(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        lg = df[df["_side"] == "l"][[key] + l_only]
-        rg = df[df["_side"] == "r"][[key] + r_only]
+        import pyarrow.compute as pc
+
+        # side-split in ARROW before pandas: each side's own columns carry
+        # no nulls, so integer dtypes survive (converting the unioned table
+        # first would see the other side's null pads and float-poison them)
+        lg = (t.filter(pc.equal(t.column("_side"), "l"))
+              .select([key] + l_only).to_pandas())
+        rg = (t.filter(pc.equal(t.column("_side"), "r"))
+              .select([key] + r_only).to_pandas())
         out = lg.merge(rg, on=key, how="inner")[out_cols]
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -118,9 +124,13 @@ def asof_join(
     out_cols = [on, by] + l_only + [on_r] + r_only
 
     def asof_fold(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        lg = df[df["_side"] == "l"][[on, by] + l_only]
-        rg = (df[df["_side"] == "r"][[on, by] + r_only]
+        import pyarrow.compute as pc
+
+        # side-split in ARROW first (see join_fold: dtype preservation)
+        lg = (t.filter(pc.equal(t.column("_side"), "l"))
+              .select([on, by] + l_only).to_pandas())
+        rg = (t.filter(pc.equal(t.column("_side"), "r"))
+              .select([on, by] + r_only).to_pandas()
               .rename(columns={on: on_r}))
         if lg.empty:
             empty = lg.copy()

@@ -1,0 +1,64 @@
+"""stages/graph.py — distributed connected components vs union-find."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40)])
+    def test_matches_union_find(self, ray_session, seed, n_nodes, n_edges):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            connected_components,
+        )
+
+        rng = np.random.RandomState(seed)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.randint(0, n_nodes, size=(n_edges, 2)) if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        expect = _union_find(edges, nodes)
+
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        })).repartition(4)
+        got = connected_components(ds, "a", "b").to_pandas()
+        assert len(got) == len(nodes)
+        got_map = dict(zip(got["node"].astype(int), got["cluster"].astype(int)))
+        assert got_map == expect
+
+    def test_chain_needs_iterations(self, ray_session):
+        """A path graph (worst-case diameter) must still converge to one
+        component labeled by the minimum node."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            connected_components,
+        )
+
+        n = 17
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array(list(range(n - 1)), pa.int64()),
+            "b": pa.array(list(range(1, n)), pa.int64()),
+        })).repartition(3)
+        got = connected_components(ds, "a", "b").to_pandas()
+        assert set(got["cluster"].astype(int)) == {0}
+        assert len(got) == n
