@@ -307,26 +307,29 @@ def q_quality(sf_dir: str) -> Any:
 
 def q_customer_order_totals(sf_dir: str) -> Any:
     """Broadcast join: orders (big) x customer (small) -> per-mktsegment
-    totals. The small side ships once via ray.put; no shuffle join."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    totals. The small side ships once via ray.put; the per-batch lookup is
+    one vectorized Series.map (stages/broadcast.py); no shuffle join.
+    INNER semantics (the oracle drops unmatched keys)."""
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_dict,
+        broadcast_lookup,
+    )
 
+    seg_ref = broadcast_dict(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        "c_custkey", "c_mktsegment")
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_lookup(orders, seg_ref, "o_custkey", "c_mktsegment",
+                              out_type=pa.string())
 
-    def join(b: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        keys = b.column("o_custkey").to_pylist()
+    def prep(b: pa.Table) -> pa.Table:
         price = b.column("o_totalprice").to_numpy()
-        t = pa.table({
-            "c_mktsegment": pa.array([seg.get(k) for k in keys], pa.string()),
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
             "price_c": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
         })
-        # INNER-join semantics (the oracle drops unmatched keys)
-        import pyarrow.compute as pc
 
-        return t.filter(pc.is_valid(t.column("c_mktsegment")))
-
-    out = orders.map_batches(join, batch_format="pyarrow").groupby(
+    out = joined.map_batches(prep, batch_format="pyarrow").groupby(
         "c_mktsegment"
     ).aggregate(Count(alias_name="n_orders"),
                 Sum("price_c", alias_name="total_price_cents"))
@@ -334,24 +337,20 @@ def q_customer_order_totals(sf_dir: str) -> Any:
 
 
 def q_nation_customers(sf_dir: str) -> Any:
-    """Two-hop broadcast join customer -> nation -> region."""
-    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    n_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
-    cust = _read(sf_dir, "customer", columns=["c_nationkey"])
-
-    def join(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        names = ray.get(n_ref)
-        t = pa.table({
-            "n_name": pa.array([names.get(k) for k in
-                                b.column("c_nationkey").to_pylist()], pa.string()),
-        })
-        return t.filter(pc.is_valid(t.column("n_name")))  # INNER semantics
-
-    out = cust.map_batches(join, batch_format="pyarrow").groupby("n_name").aggregate(
-        Count(alias_name="n_customers")
+    """Broadcast join customer -> nation (INNER semantics)."""
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_dict,
+        broadcast_lookup,
     )
+
+    n_ref = broadcast_dict(
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        "n_nationkey", "n_name")
+    cust = _read(sf_dir, "customer", columns=["c_nationkey"])
+    out = broadcast_lookup(cust, n_ref, "c_nationkey", "n_name",
+                           out_type=pa.string()
+                           ).groupby("n_name").aggregate(
+        Count(alias_name="n_customers"))
     return _int64(out, ["n_customers"])
 
 
@@ -400,29 +399,29 @@ def q_orders_priority(sf_dir: str) -> Any:
 
 
 def q_brand_revenue(sf_dir: str) -> Any:
-    """lineitem x part broadcast join -> revenue per brand."""
-    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
-    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    """lineitem x part broadcast join -> revenue per brand (INNER)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_dict,
+        broadcast_lookup,
+    )
+
+    brand_ref = broadcast_dict(
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"]),
+        "p_partkey", "p_brand")
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_lookup(li, brand_ref, "l_partkey", "p_brand",
+                              out_type=pa.string())
 
-    def join(b: pa.Table) -> pa.Table:
-        brands = ray.get(brand_ref)
-        keys = b.column("l_partkey").to_pylist()
+    def prep(b: pa.Table) -> pa.Table:
         price = b.column("l_extendedprice").to_numpy()
         disc = b.column("l_discount").to_numpy()
         rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
-        t = pa.table({
-            "p_brand": pa.array([brands.get(k) for k in keys], pa.string()),
-            "rev_e4": pa.array(rev),
-        })
-        import pyarrow.compute as pc
+        return pa.table({"p_brand": b.column("p_brand"),
+                         "rev_e4": pa.array(rev)})
 
-        return t.filter(pc.is_valid(t.column("p_brand")))  # INNER semantics
-
-    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
-
-    out = grouped_sums(li.map_batches(join, batch_format="pyarrow"),
+    out = grouped_sums(joined.map_batches(prep, batch_format="pyarrow"),
                        key_cols=["p_brand"], sum_cols=["rev_e4"],
                        count_alias="n_lines").to_pandas().rename(
         columns={"rev_e4": "revenue_e4"})
@@ -430,25 +429,27 @@ def q_brand_revenue(sf_dir: str) -> Any:
 
 
 def q_supplier_balance(sf_dir: str) -> Any:
-    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    n_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
-    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_dict,
+        broadcast_lookup,
+    )
 
-    def join(b: pa.Table) -> pa.Table:
-        names = ray.get(n_ref)
+    n_ref = broadcast_dict(
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        "n_nationkey", "n_name")
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    joined = broadcast_lookup(sup, n_ref, "s_nationkey", "n_name",
+                              out_type=pa.string())
+
+    def prep(b: pa.Table) -> pa.Table:
         bal = b.column("s_acctbal").to_numpy()
-        t = pa.table({
-            "n_name": pa.array([names.get(k) for k in
-                                b.column("s_nationkey").to_pylist()], pa.string()),
+        return pa.table({
+            "n_name": b.column("n_name"),
             "bal_c": pa.array(np.floor(bal * 100 + 0.5).astype(np.int64)),
         })
-        import pyarrow.compute as pc
 
-        return t.filter(pc.is_valid(t.column("n_name")))  # INNER semantics
-
-    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
-
-    out = grouped_sums(sup.map_batches(join, batch_format="pyarrow"),
+    out = grouped_sums(joined.map_batches(prep, batch_format="pyarrow"),
                        key_cols=["n_name"], sum_cols=["bal_c"],
                        count_alias="n_suppliers").to_pandas().rename(
         columns={"bal_c": "total_acctbal_cents"})

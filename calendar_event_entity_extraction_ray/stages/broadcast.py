@@ -1,0 +1,55 @@
+"""Broadcast (map-side) join: the small side ships once via ``ray.put``,
+every task maps keys through it vectorized — no shuffle.
+
+This is THE join for star-schema shapes (fact x small dimension): the
+dimension dict is built once on the driver from a pruned read, broadcast
+once, fetched once per task (Ray caches the object per worker), and the
+lookup is a single ``pandas.Series.map`` C call per batch — never a
+Python per-row loop, never a re-ship per batch, never an all-to-all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def broadcast_dict(ds: "ray.data.Dataset", key_col: str, val_col: str):
+    """Small side -> driver dict -> object-store ref (one ``ray.put``)."""
+    mapping = {}
+    for b in ds.select_columns([key_col, val_col]).iter_batches(
+            batch_format="pyarrow"):
+        mapping.update(zip(b.column(key_col).to_pylist(),
+                           b.column(val_col).to_pylist()))
+    return ray.put(mapping)
+
+
+def broadcast_lookup(
+    ds: "ray.data.Dataset",
+    mapping_ref,
+    key_col: str,
+    out_col: str,
+    inner: bool = True,
+    out_type: Optional[pa.DataType] = None,
+) -> "ray.data.Dataset":
+    """Add ``out_col`` = mapping[key_col] to every row. ``inner=True``
+    drops unmatched keys (INNER semantics, pairing with plain SQL JOIN
+    oracles); ``inner=False`` keeps them with a null (LEFT semantics)."""
+    import pyarrow.compute as pc
+
+    def lookup(b: pa.Table) -> pa.Table:
+        mapping = ray.get(mapping_ref)  # once per task; worker-cached
+        keys = b.column(key_col).to_pandas()
+        vals = keys.map(mapping)  # vectorized C lookup
+        arr = pa.Array.from_pandas(vals, type=out_type)
+        b = b.append_column(out_col, arr)
+        if inner:
+            b = b.filter(pc.is_valid(b.column(out_col)))
+        return b
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
