@@ -644,20 +644,16 @@ def q_events_sliding(sf_dir: str) -> Any:
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
 
     def explode(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ts = b.column("ts").to_pylist()
-        et = b.column("event_type").to_pylist()
-        out_t, out_w = [], []
-        for t, e in zip(ts, et):
-            # epoch floored to 15 min; the 4 hour-long windows covering t
-            base = t.timestamp() // 900 * 900
-            for k in range(4):
-                start = base - 900 * k
-                out_t.append(e)
-                out_w.append(pd.Timestamp(int(start), unit="s"))
-        return pa.table({"event_type": pa.array(out_t, pa.string()),
-                         "window_start": pa.array(out_w, pa.timestamp("us"))})
+        # vectorized 1->4 window assignment: epoch floored to 15 min, the
+        # 4 hour-long windows covering each event
+        et = b.column("event_type").combine_chunks()
+        epoch_us = b.column("ts").combine_chunks().cast(pa.int64()).to_numpy()
+        base = epoch_us // 900_000_000 * 900  # seconds
+        starts = np.concatenate([base - 900 * k for k in range(4)])
+        return pa.table({
+            "event_type": pa.chunked_array([et] * 4),
+            "window_start": pa.array(starts * 1_000_000, pa.timestamp("us")),
+        })
 
     out = grouped_sums(ds.map_batches(explode, batch_format="pyarrow"),
                        key_cols=["event_type", "window_start"], sum_cols=[],
