@@ -87,13 +87,14 @@ def corpus_clean(
             unique, text_col, id_col,
             threshold=minhash_threshold).iter_batches(batch_format="pyarrow"):
         drop_ids.update(b.column(id_col).to_pylist())
-    drop_ref = ray.put(drop_ids)
+    drop_ref = ray.put(pa.array(sorted(drop_ids), pa.int64()))
 
     def anti(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         banned = ray.get(drop_ref)
-        return b.filter(pa.array(
-            [i not in banned for i in b.column(id_col).to_pylist()],
-            pa.bool_()))
+        return b.filter(pc.invert(
+            pc.is_in(b.column(id_col), value_set=banned)))
 
     return unique.map_batches(anti, batch_format="pyarrow")
 

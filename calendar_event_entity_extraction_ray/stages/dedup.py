@@ -253,12 +253,13 @@ def minhash_lsh_dup_ids(
     if not multi:
         return ray.data.from_arrow(
             pa.table({id_col: pa.array([], pa.int64())}))
-    multi_ref = ray.put(multi)
+    # broadcast the filter as an ARROW array: pc.is_in is a C kernel per
+    # batch (no per-row Python membership loop)
+    multi_ref = ray.put(pa.array(sorted(multi), pa.string()))
 
     def keep_multi(b: pa.Table) -> pa.Table:
-        keys = ray.get(multi_ref)  # fetched ONCE per batch, not per row
-        return b.filter(pa.array(
-            [k in keys for k in b.column("band_key").to_pylist()], pa.bool_()))
+        keys = ray.get(multi_ref)  # fetched ONCE per batch, worker-cached
+        return b.filter(pc.is_in(b.column("band_key"), value_set=keys))
 
     bands = bands.map_batches(keep_multi, batch_format="pyarrow")
 
@@ -267,12 +268,11 @@ def minhash_lsh_dup_ids(
     cand_ids = set()
     for b in bands.select_columns([id_col]).iter_batches(batch_format="pyarrow"):
         cand_ids.update(b.column(id_col).to_pylist())
-    cand_ref = ray.put(cand_ids)
+    cand_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def cand_rows(b: pa.Table) -> pa.Table:
         ids = ray.get(cand_ref)
-        return b.filter(pa.array(
-            [i in ids for i in b.column(id_col).to_pylist()], pa.bool_()))
+        return b.filter(pc.is_in(b.column(id_col), value_set=ids))
 
     id_text = {}
     for b in (ds.select_columns([id_col, text_col])
@@ -421,12 +421,11 @@ def ngram_jaccard_pairs(
         multi.update(b.column("ptok").to_pylist())
     if not multi:
         return ray.data.from_arrow(empty)
-    multi_ref = ray.put(multi)
+    multi_ref = ray.put(pa.array(sorted(multi), pa.string()))
 
     def keep_multi(b: pa.Table) -> pa.Table:
         keys = ray.get(multi_ref)
-        return b.filter(pa.array(
-            [k in keys for k in b.column("ptok").to_pylist()], pa.bool_()))
+        return b.filter(pc.is_in(b.column("ptok"), value_set=keys))
 
     cand_index = index.map_batches(keep_multi, batch_format="pyarrow")
 
@@ -452,12 +451,11 @@ def ngram_jaccard_pairs(
         cand_ids.update(b.column(b_col).to_pylist())
     if not cand_ids:
         return ray.data.from_arrow(empty)
-    cand_ref = ray.put(cand_ids)
+    cand_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def cand_rows(b: pa.Table) -> pa.Table:
         ids = ray.get(cand_ref)
-        return b.filter(pa.array(
-            [i in ids for i in b.column(id_col).to_pylist()], pa.bool_()))
+        return b.filter(pc.is_in(b.column(id_col), value_set=ids))
 
     grams_of = {}
     for b in (ds.select_columns([id_col, text_col])
