@@ -7,10 +7,11 @@ generalizes the explicit exchange already used by
 ``pipelines/kg.py:materialize_graph`` into a reusable operator:
 
   phase 1 (map, no barrier): each block splits its rows by
-    ``hash % num_partitions`` and appends one spill file per touched
-    partition (atomic temp+rename, content-named so a Ray task retry
-    rewrites the same file instead of duplicating rows). Local disk here;
-    shared object storage on a real multi-node cluster.
+    ``hash % num_partitions`` and writes one uniquely-named spill file per
+    touched partition (atomic temp+rename), RETURNING the file names — the
+    Spark-style attempt commit: phase 2 reads only files listed by the one
+    attempt Ray kept, so retried/speculative attempts cannot duplicate
+    rows. Local disk here; shared object storage on a real cluster.
   phase 2 (reduce, parallel ray tasks): one task per touched partition
     reads its spill files and applies ``fold_fn`` to the whole partition
     table; the folded tables stay in the object store
