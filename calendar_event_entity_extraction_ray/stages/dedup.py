@@ -367,8 +367,17 @@ class JaccardPrefixTokens:
         df = (_ray.get(df_ref)
               if isinstance(df_ref, _ray.ObjectRef) else (df_ref or {}))
         self._df = df
-        self._order = lambda g: (df.get(g, 0),
-                                 _hashlib.md5(g.encode("utf-8")).digest())
+        # global gram order precomputed ONCE per actor (vocabulary-sized):
+        # per-doc sorts then use integer ranks instead of re-hashing every
+        # gram of every doc (md5 tie-break cost moved out of the hot loop)
+        ranked = sorted(
+            df, key=lambda g: (df[g],
+                               _hashlib.md5(g.encode("utf-8")).digest()))
+        self._rank = {g: r for r, g in enumerate(ranked)}
+        # unknown grams (never in a corpus-derived df, but keep the fn
+        # total) order after the vocabulary, deterministically by gram
+        self._order = lambda g, _r=self._rank, _n=len(ranked): (
+            (_r[g], "") if g in _r else (_n, g))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import math
@@ -390,6 +399,28 @@ class JaccardPrefixTokens:
             self.id_col: pa.array(out_id, pa.int64()),
             "set_size": pa.array(out_sz, pa.int32()),
         })
+
+
+_PREFIX_STAGE_CACHE: dict = {}
+
+
+def jaccard_prefix_tokens_batch(
+    batch: pa.Table, *, text_col: str, id_col: str, n: int,
+    threshold: float, df_ref=None,
+) -> pa.Table:
+    """Task-form of ``JaccardPrefixTokens``: a plain fn for task-based
+    ``map_batches`` (no actor-pool spin-up — measured 3-4s of the op's
+    cold wall at sf0.01), with the vocabulary rank built once per WORKER
+    PROCESS via a module cache (tasks reuse workers, so this amortizes
+    exactly like actor ``__init__`` at scale)."""
+    key = (df_ref.hex() if hasattr(df_ref, "hex") else id(df_ref),
+           text_col, id_col, n, threshold)
+    stage = _PREFIX_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = JaccardPrefixTokens(text_col, id_col, n=n,
+                                    threshold=threshold, df_ref=df_ref)
+        _PREFIX_STAGE_CACHE[key] = stage
+    return stage(batch)
 
 
 def gram_document_frequencies(
@@ -452,39 +483,53 @@ def ngram_jaccard_pairs(
     df_ref = ray.put(gram_document_frequencies(ds, text_col, n))
 
     index = ds.map_batches(
-        JaccardPrefixTokens,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "n": n, "threshold": threshold,
-                               "df_ref": df_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        jaccard_prefix_tokens_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col,
+                   "n": n, "threshold": threshold, "df_ref": df_ref},
+        batch_format="pyarrow",
     )
 
     # ONE exchange: prefix-token rows co-locate by token hash; the fold
     # generates the candidate pairs per token bucket directly (buckets are
-    # df-ordered-small; size-ratio pruning inside)
+    # df-ordered-small; size-ratio pruning inside). Pair enumeration is one
+    # vectorized self-merge per partition (the round-1 Python double loop
+    # built 2M tuples at sf0.01), and the fold dedups its own output
+    # locally — the same pair found via many tokens in ONE partition ships
+    # once. Pairs found via tokens in DIFFERENT partitions still duplicate;
+    # those ride through verification (idempotent) and the small
+    # post-verify distinct.
     def pairs_fold(t: pa.Table) -> pa.Table:
-        df_p = t.select(["ptok", id_col, "set_size"]).to_pandas()
-        out = []
-        for _, g in df_p.groupby("ptok", sort=False):
-            if len(g) < 2:
-                continue
-            rows = (g[[id_col, "set_size"]].drop_duplicates(id_col)
-                    .sort_values(id_col).to_numpy())
-            for x in range(len(rows)):
-                for y in range(x + 1, len(rows)):
-                    sa, sb = int(rows[x][1]), int(rows[y][1])
-                    if min(sa, sb) >= threshold * max(sa, sb):
-                        out.append((int(rows[x][0]), int(rows[y][0])))
+        import numpy as np
+
+        # one vectorized self-merge on the token column replaces the
+        # per-token-group Python loop (each group paid pandas slicing +
+        # triu overhead; measured 2.4x slower than the merge at sf0.01)
+        d = (t.select(["ptok", id_col, "set_size"]).to_pandas()
+             .drop_duplicates(["ptok", id_col]))
+        m = d.merge(d, on="ptok", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        sa = m["set_size_a"].to_numpy()
+        sb = m["set_size_b"].to_numpy()
+        m = m[np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         return pa.table({
-            a_col: pa.array([p[0] for p in out], pa.int64()),
-            b_col: pa.array([p[1] for p in out], pa.int64()),
-        })
+            a_col: pa.array(out[f"{id_col}_a"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            b_col: pa.array(out[f"{id_col}_b"].to_numpy(dtype=np.int64),
+                            pa.int64())})
 
     hashed = index.map_batches(
         lambda b: add_hash_column(b, ["ptok"], out_col="_th"),
         batch_format="pyarrow")
-    pairs = hash_partition_map(hashed, "_th", pairs_fold)
-    pairs = exact_dedup(pairs, [a_col, b_col], a_col)  # pair found via many tokens
+    # pinned: consumed twice below (candidate-id scan, then verify) and the
+    # exchange's fold is lazy — without this the O(bucket^2) pair
+    # enumeration re-executes once per consumer (measured 2x the whole
+    # op's wall time at sf0.01). The pinned set is candidate PAIRS (ids
+    # only), orders of magnitude smaller than the corpus. (A forced
+    # multi-partition exchange was measured SLOWER here at small scale —
+    # tiny-file spill overhead exceeds the fold's parallelizable work; the
+    # row-count-adaptive default handles both regimes.)
+    pairs = hash_partition_map(hashed, "_th", pairs_fold).materialize()
 
     # candidate-only verification (driver never holds the corpus)
     cand_ids = set()
@@ -522,7 +567,13 @@ def ngram_jaccard_pairs(
                          b_col: pa.array(keep_b, pa.int64()),
                          "jacc_e4": pa.array(jac, pa.int64())})
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    # distinct AFTER verify: cross-partition duplicate candidates carry
+    # identical jacc_e4, so first-wins on (a, b) is order-independent —
+    # and the verified set is orders of magnitude smaller than the
+    # candidate set (8.3k vs 2M at sf0.01), so this exchange takes the
+    # adaptive single-fold path instead of a full shuffle.
+    return exact_dedup(verified, [a_col, b_col], a_col)
 
 
 def add_simhash_column(batch: pa.Table, text_col: str, out_col: str = "simhash") -> pa.Table:

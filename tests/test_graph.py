@@ -45,6 +45,14 @@ class TestConnectedComponents:
         got_map = dict(zip(got["node"].astype(int), got["cluster"].astype(int)))
         assert got_map == expect
 
+        # explicit num_partitions forces the ITERATIVE (100TB-shape) path —
+        # the small-input union-find shortcut must agree with it exactly
+        got_iter = connected_components(
+            ds, "a", "b", num_partitions=2).to_pandas()
+        iter_map = dict(zip(got_iter["node"].astype(int),
+                            got_iter["cluster"].astype(int)))
+        assert iter_map == expect
+
     def test_chain_needs_iterations(self, ray_session):
         """A path graph (worst-case diameter) must still converge to one
         component labeled by the minimum node."""
@@ -59,6 +67,8 @@ class TestConnectedComponents:
             "a": pa.array(list(range(n - 1)), pa.int64()),
             "b": pa.array(list(range(1, n)), pa.int64()),
         })).repartition(3)
-        got = connected_components(ds, "a", "b").to_pandas()
+        # num_partitions forces the iterative path (the adaptive shortcut
+        # would solve a 17-node chain in one union-find task)
+        got = connected_components(ds, "a", "b", num_partitions=2).to_pandas()
         assert set(got["cluster"].astype(int)) == {0}
         assert len(got) == n
