@@ -993,6 +993,101 @@ def q_chatml(sf_dir: str) -> Any:
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q_price_quantiles(sf_dir: str) -> Any:
+    """Distributed EXACT quantile_disc via histogram-refine rank selection
+    (stages/quantiles.py) — no global sort, driver holds only histograms
+    and one sub-cap bin per quantile. Values are actual data elements, so
+    the DuckDB quantile_disc oracle matches exactly (scaled to cents)."""
+    import math
+
+    from calendar_event_entity_extraction_ray.stages.quantiles import (
+        exact_quantiles,
+    )
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    res = exact_quantiles(ds, "o_totalprice", qs, bins=512,
+                          collect_cap=10_000)
+    return pd.DataFrame({
+        "q_e4": [int(round(q * 10000)) for q, _ in res],
+        "val_e2": [int(math.floor(v * 100 + 0.5)) for _, v in res],
+    })
+
+
+def q_top_docs_per_source(sf_dir: str) -> Any:
+    """Per-group top-k (best-N-docs-per-source shape): local per-batch
+    top-k prunes the exchange to <= k rows per group per batch."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        top_k_per_group,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = top_k_per_group(ds, "source", "n_chars", 3, "doc_id")
+    return out.map_batches(
+        lambda b: b.select(["source", "doc_id", "n_chars", "rnk"]),
+        batch_format="pyarrow")
+
+
+def q_stratified_sample(sf_dir: str) -> Any:
+    """Stratified deterministic sample: per-lang rates (en 5%, else 20%)
+    over the md5 text bucket — re-runnable at any partitioning, no
+    group-size pre-pass, SQL-reproducible."""
+    from calendar_event_entity_extraction_ray.functions.textsig import (
+        stable_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        keep = []
+        for lang, t in zip(b.column("lang").to_pylist(),
+                           b.column("text").to_pylist()):
+            rate = 5 if lang == "en" else 20
+            keep.append(t is not None and stable_bucket(t, 100) < rate)
+        return b.filter(pa.array(keep, pa.bool_())).select(
+            ["doc_id", "lang"])
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def q_term_df(sf_dir: str) -> Any:
+    """Corpus vocabulary: top-50 terms by document frequency (the df side
+    of TF-IDF) — per-doc distinct explode + salted grouped count."""
+    from calendar_event_entity_extraction_ray.stages.text_analysis import (
+        term_document_frequency,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return _int64(term_document_frequency(ds, "text", top_n=50).to_pandas(),
+                  ["df"])
+
+
+def q_error_click_burst(sf_dir: str) -> Any:
+    """Range join (count form): for each error event, the number of clicks
+    by the same user in the preceding 5 minutes — two vectorized
+    searchsorted rank lookups per user group after one exchange, never a
+    pair explosion (stages/joins.py:range_join_count)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.joins import (
+        range_join_count,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    errors = ev.filter(expr="event_type == 'error'").select_columns(
+        ["event_id", "ts", "user_id"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["ts", "user_id"])
+    out = range_join_count(
+        errors, clicks, on="ts", by="user_id",
+        lo=np.timedelta64(-300, "s"), hi=np.timedelta64(0, "s"),
+        left_cols=["event_id"], count_col="n_prior_clicks")
+    return out
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1055,6 +1150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": q_corpus_clean,
         "doc_sample": q_doc_sample,
         "dup_clusters": q_dup_clusters,
+        "order_price_quantiles": q_price_quantiles,
+        "top_docs_per_source": q_top_docs_per_source,
+        "stratified_sample_docs": q_stratified_sample,
+        "term_df_top50": q_term_df,
+        "error_click_burst": q_error_click_burst,
     }
 
 
@@ -1321,5 +1421,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, CAST(MIN(peer) AS BIGINT) AS cluster
             FROM reach GROUP BY node
+        """,
+        "order_price_quantiles": """
+            SELECT CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,
+                   CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS val_e2
+            FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                         unnest(quantile_disc(o_totalprice,
+                                [0.25, 0.5, 0.75, 0.9, 0.99])) AS v
+                  FROM orders)
+        """,
+        "top_docs_per_source": """
+            SELECT source, doc_id, n_chars, rnk FROM (
+              SELECT source, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rnk
+              FROM documents)
+            WHERE rnk <= 3
+        """,
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang FROM documents WHERE text IS NOT NULL AND "
+            + bucket.format(col="text").replace("% 10000", "% 100")
+            + " < CASE WHEN lang = 'en' THEN 5 ELSE 20 END"
+        ),
+        "term_df_top50": """
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE text IS NOT NULL)
+            GROUP BY term ORDER BY df DESC, term LIMIT 50
+        """,
+        "error_click_burst": """
+            SELECT e.event_id,
+                   CAST(COUNT(c.event_id) AS BIGINT) AS n_prior_clicks
+            FROM events e
+            LEFT JOIN events c
+              ON c.user_id = e.user_id AND c.event_type = 'click'
+             AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+            WHERE e.event_type = 'error'
+            GROUP BY e.event_id
         """,
     }

@@ -205,3 +205,46 @@ def corpus_stats(ds: "ray.data.Dataset", text_col: str = "text") -> pd.DataFrame
         Max("n_chars_", alias_name="max_chars"),
     )
     return pd.DataFrame([out])
+
+
+def top_k_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    rank_col: str = "rnk",
+) -> "ray.data.Dataset":
+    """Top-k rows PER GROUP ordered by (order_col DESC, tiebreak ASC) —
+    the "best N documents per language/source" shape.
+
+    Two-phase: a vectorized per-batch local top-k (a batch's global
+    top-k per group is a superset of its contribution to the global
+    answer, so this commutes) cuts the exchange to <= k rows per group
+    per batch, then one fold per hash partition takes the final top-k
+    and assigns 1-based ranks. Skew-safe: a hot group ships k rows per
+    batch, not its whole population.
+    """
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def local_topk(t: pa.Table, with_rank: bool = False) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values([group_col, order_col, tiebreak_col],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby(group_col, sort=False, dropna=False).head(k)
+        if with_rank:
+            df[rank_col] = df.groupby(group_col, sort=False,
+                                      dropna=False).cumcount() + 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pruned = ds.map_batches(
+        lambda b: add_hash_column(local_topk(b), [group_col], out_col="_gh"),
+        batch_format="pyarrow")
+    out = hash_partition_map(
+        pruned, "_gh", lambda t: local_topk(t, with_rank=True))
+    return out.drop_columns(["_gh"])

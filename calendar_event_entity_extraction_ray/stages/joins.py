@@ -163,3 +163,74 @@ def asof_join(
         return pa.Table.from_pandas(out[out_cols], preserve_index=False)
 
     return hash_partition_map(both, "_kh", asof_fold)
+
+
+def range_join_count(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    by: str,
+    lo,
+    hi,
+    left_cols: List[str],
+    count_col: str = "n_in_range",
+) -> "ray.data.Dataset":
+    """Interval/range join, count form: for each left row, the number of
+    right rows with the same ``by`` key and ``right.on`` in
+    ``[left.on + lo, left.on + hi)`` (lower inclusive, upper exclusive —
+    SQL ``r.on >= l.on + lo AND r.on < l.on + hi``). LEFT semantics:
+    every left row survives, zero-match rows carry 0. NULL-key left rows
+    count 0; NULL-key right rows are dropped (SQL NULL equality).
+
+    The pair-explosion-free range join: both sides exchange on the ``by``
+    hash, then each partition answers every left row with two vectorized
+    ``np.searchsorted`` rank lookups against its key's sorted right
+    timestamps (one pass per key GROUP, vectorized across the group's
+    rows — never per row, never materializing match pairs).
+    ``lo``/``hi`` are offsets in the ``on`` column's own algebra
+    (``np.timedelta64`` / ``pd.Timedelta`` for timestamps, numbers for
+    numeric columns).
+    """
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    l_cols = list(dict.fromkeys([on, by] + list(left_cols)))
+    lt = _tag_side(left, by, "l", l_cols, [])
+    rt = _tag_side(right, by, "r", [on, by], [c for c in l_cols
+                                              if c not in (on, by)],
+                   drop_null_key=True)
+    both = lt.union(rt)
+    out_cols = list(left_cols) + [count_col]
+
+    def count_fold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lg = (t.filter(pc.equal(t.column("_side"), "l"))
+              .select(l_cols).to_pandas())
+        rg = (t.filter(pc.equal(t.column("_side"), "r"))
+              .select([on, by]).to_pandas())
+        if lg.empty:
+            lg[count_col] = pd.Series([], dtype="int64")
+            return pa.Table.from_pandas(lg[out_cols], preserve_index=False)
+        rg = rg[rg[on].notna()].sort_values([by, on], kind="mergesort")
+        r_groups = {k: g[on].to_numpy()
+                    for k, g in rg.groupby(by, sort=False)}
+        parts = []
+        for k, g in lg.groupby(by, sort=False, dropna=False):
+            rt_arr = None if pd.isna(k) else r_groups.get(k)
+            c = np.zeros(len(g), dtype=np.int64)
+            if rt_arr is not None and len(rt_arr):
+                valid = ~pd.isna(g[on]).to_numpy()
+                if valid.any():
+                    tv = g[on].to_numpy()[valid]
+                    c[valid] = (
+                        np.searchsorted(rt_arr, tv + hi, side="left")
+                        - np.searchsorted(rt_arr, tv + lo, side="left"))
+            gg = g.copy()
+            gg[count_col] = c
+            parts.append(gg)
+        out = pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+
+    return hash_partition_map(both, "_kh", count_fold)

@@ -59,3 +59,32 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     out["doc_id"] = batch["doc_id"]
     out["fingerprint"] = batch[text_col].map(rolling_fingerprint)
     return out
+
+
+def term_document_frequency(
+    ds: "ray.data.Dataset", text_col: str = "text", top_n: int = 50
+) -> "ray.data.Dataset":
+    """Corpus vocabulary by document frequency (the df side of TF-IDF):
+    per-doc DISTINCT space-split terms explode to rows, then the salted
+    two-phase grouped count — the shuffle moves per-batch (term, partial)
+    rows bounded by the batch vocabulary, not one row per occurrence.
+    Returns the top ``top_n`` terms by (df DESC, term ASC). Tokenization
+    is exactly ``str.split(' ')`` (empty tokens kept) so a DuckDB
+    ``string_split`` oracle reproduces it byte-for-byte."""
+    import pyarrow as pa
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+
+    def explode_distinct(b: pa.Table) -> pa.Table:
+        words: list = []
+        for t in b.column(text_col).to_pylist():
+            if t is None:
+                continue
+            words.extend(set(t.split(" ")))
+        return pa.table({"term": pa.array(words, pa.string())})
+
+    ex = ds.map_batches(explode_distinct, batch_format="pyarrow")
+    counts = grouped_count(ex, "term", out_col="df")
+    return counts.sort(["df", "term"], descending=[True, False]).limit(top_n)

@@ -1,0 +1,152 @@
+"""Quantile selection, per-group top-k, range-join-count, term-df."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+class TestExactQuantiles:
+    @pytest.mark.parametrize("case", ["uniform", "point_mass", "two_vals"])
+    def test_matches_sorted_rank(self, ray_session, case):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.quantiles import (
+            disc_rank,
+            exact_quantiles,
+        )
+
+        rng = np.random.RandomState(3)
+        arr = {
+            "uniform": rng.uniform(-50, 50, 20000),
+            # heavy duplicate mass: refinement must converge via the
+            # interval-collapse check, not bin splitting
+            "point_mass": np.concatenate(
+                [np.full(15000, 7.25), rng.normal(0, 1, 5000)]),
+            "two_vals": np.where(rng.rand(1000) < 0.5, 1.0, 2.0),
+        }[case]
+        qs = [0.0, 0.1, 0.5, 0.9, 0.999, 1.0]
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(arr, pa.float64())})).repartition(5)
+        got = exact_quantiles(ds, "x", qs, bins=8, collect_cap=64,
+                              max_passes=8)
+        s = np.sort(arr)
+        for q, v in got:
+            assert v == s[disc_rank(q, len(s)) - 1]
+
+    def test_nulls_dropped_and_empty(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.quantiles import (
+            exact_quantiles,
+        )
+
+        ds = ray.data.from_arrow(pa.table({
+            "x": pa.array([None, 3.0, None, 1.0, 2.0], pa.float64())}))
+        got = exact_quantiles(ds, "x", [0.5])
+        assert got == [(0.5, 2.0)]
+        empty = ray.data.from_arrow(
+            pa.table({"x": pa.array([None], pa.float64())}))
+        (q, v), = exact_quantiles(empty, "x", [0.5])
+        assert np.isnan(v)
+
+
+class TestTopKPerGroup:
+    def test_ties_and_rank(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            top_k_per_group,
+        )
+
+        df = pd.DataFrame({
+            "g": ["a"] * 5 + ["b"] * 2,
+            "id": [1, 2, 3, 4, 5, 6, 7],
+            "v": [10, 10, 10, 9, 8, 1, 2],
+        })
+        ds = ray.data.from_pandas(df).repartition(3)
+        got = (top_k_per_group(ds, "g", "v", 2, "id")
+               .to_pandas().sort_values(["g", "rnk"]).reset_index(drop=True))
+        # ties broken by id ASC; group b has < k rows -> keeps both
+        assert got[["g", "id", "rnk"]].values.tolist() == [
+            ["a", 1, 1], ["a", 2, 2], ["b", 7, 1], ["b", 6, 2]]
+
+    def test_null_group_kept(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            top_k_per_group,
+        )
+
+        df = pd.DataFrame({"g": ["a", None, None, None],
+                           "id": [1, 2, 3, 4], "v": [5, 9, 8, 7]})
+        ds = ray.data.from_pandas(df).repartition(2)
+        got = top_k_per_group(ds, "g", "v", 2, "id").to_pandas()
+        nulls = got[got["g"].isna()]
+        assert sorted(nulls["id"].tolist()) == [2, 3]
+
+
+class TestRangeJoinCount:
+    def _ds(self, ray_session, rows, cols):
+        import ray
+
+        return ray.data.from_pandas(
+            pd.DataFrame(rows, columns=cols)).repartition(2)
+
+    def test_window_bounds_inclusive_exclusive(self, ray_session):
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            range_join_count,
+        )
+
+        t = pd.Timestamp("2025-01-01 12:00:00")
+        s = pd.Timedelta("1s")
+        left = self._ds(ray_session,
+                        [[1, t, 10]], ["event_id", "ts", "user_id"])
+        # right at exactly t-5 (lower edge, INcluded), t-1, t (upper
+        # edge, EXcluded), t+1 (outside)
+        right = self._ds(ray_session,
+                         [[t - 5 * s, 10], [t - s, 10], [t, 10],
+                          [t + s, 10]], ["ts", "user_id"])
+        out = range_join_count(
+            left, right, on="ts", by="user_id",
+            lo=np.timedelta64(-5, "s"), hi=np.timedelta64(0, "s"),
+            left_cols=["event_id"], count_col="n").to_pandas()
+        assert out["n"].tolist() == [2]
+
+    def test_left_semantics_and_null_keys(self, ray_session):
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            range_join_count,
+        )
+
+        t = pd.Timestamp("2025-01-01")
+        left = self._ds(ray_session,
+                        [[1, t, 10.0], [2, t, 99.0], [3, t, None]],
+                        ["event_id", "ts", "user_id"])
+        right = self._ds(ray_session,
+                         [[t - pd.Timedelta("1s"), 10.0],
+                          [t - pd.Timedelta("1s"), None]],
+                         ["ts", "user_id"])
+        out = (range_join_count(
+            left, right, on="ts", by="user_id",
+            lo=np.timedelta64(-60, "s"), hi=np.timedelta64(0, "s"),
+            left_cols=["event_id"], count_col="n")
+            .to_pandas().sort_values("event_id"))
+        # user 99: no right rows -> 0; NULL-key left row -> 0 (kept);
+        # NULL-key right row matches nothing
+        assert out["n"].tolist() == [1, 0, 0]
+
+
+class TestTermDF:
+    def test_distinct_per_doc(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.text_analysis import (
+            term_document_frequency,
+        )
+
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "text": ["a a b", "a c", None, "b  c"]})).repartition(2)
+        got = term_document_frequency(ds, "text", top_n=10).to_pandas()
+        m = dict(zip(got["term"], got["df"].astype(int)))
+        # "a a b" counts a ONCE; "b  c" double space yields an empty token
+        assert m == {"a": 2, "b": 2, "c": 2, "": 1}
