@@ -93,7 +93,7 @@ def run_bench() -> dict:
         "customer_order_totals", "augment_records",
         # round-2 operators
         "order_revenue_hashjoin", "sessionize", "tokenize_records",
-        "corpus_clean"]
+        "corpus_clean", "order_price_quantiles", "error_click_burst"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()

@@ -449,6 +449,112 @@ def gram_document_frequencies(
     return df
 
 
+BITSET_VOCAB_MAX = 2048        # bits per doc; 2048 bits = 256 B/doc packed
+_POPCOUNT_LUT = None
+
+
+def _popcount_lut():
+    global _POPCOUNT_LUT
+    if _POPCOUNT_LUT is None:
+        import numpy as np
+
+        _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)],
+                                 dtype=np.uint16)
+    return _POPCOUNT_LUT
+
+
+def _bitset_jaccard_pairs(ds, text_col, id_col, threshold, n, vocab,
+                          a_col, b_col, empty, block_rows=1024):
+    """Small-vocabulary exact all-pairs Jaccard (see ngram_jaccard_pairs).
+
+    One pass packs each non-empty doc into a |vocab|-bit numpy mask
+    (vocab broadcast once). The packed matrix (|docs| x vocab/8 bytes —
+    256 B/doc at the 2048-gram cap, so 10M docs = 2.5 GB) ships to the
+    object store ONCE via ray.put and block-pair tasks slice it
+    zero-copy; the driver holds it only transiently during assembly.
+    Corpora beyond ~10M docs in this regime should shard the corpus
+    first (documented bound — the quadratic pair output itself is the
+    real ceiling there).
+    """
+    import numpy as np
+    import ray
+
+    bit_of = {g: i for i, g in enumerate(vocab)}
+    words8 = (len(vocab) + 7) // 8
+    vocab_ref = ray.put(bit_of)
+
+    def pack(b: pa.Table) -> pa.Table:
+        bits_of = ray.get(vocab_ref)
+        ids, sizes, packs = [], [], []
+        for i, txt in zip(b.column(id_col).to_pylist(),
+                          b.column(text_col).to_pylist()):
+            grams = char_ngrams(txt or "", n)
+            if not grams:
+                continue          # empty docs never pair (prefix parity)
+            mask = np.zeros(len(bits_of), dtype=np.uint8)
+            mask[[bits_of[g] for g in grams if g in bits_of]] = 1
+            ids.append(i)
+            sizes.append(len(grams))
+            packs.append(np.packbits(mask, bitorder="little"))
+        return pa.table({
+            "_id": pa.array(ids, pa.int64()),
+            "_sz": pa.array(sizes, pa.int64()),
+            "_bits": pa.array([p.tobytes() for p in packs], pa.binary()),
+        })
+
+    ids_l, sz_l, bits_l = [], [], []
+    for b in ds.map_batches(pack, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        ids_l.append(b.column("_id").to_numpy())
+        sz_l.append(b.column("_sz").to_numpy())
+        for blob in b.column("_bits").to_pylist():
+            bits_l.append(np.frombuffer(blob, dtype=np.uint8))
+    if not ids_l or not sum(len(x) for x in ids_l):
+        return ray.data.from_arrow(empty)
+    ids = np.concatenate(ids_l)
+    sizes = np.concatenate(sz_l)
+    bits = np.vstack(bits_l)      # (n_docs, words8) uint8
+    order = np.argsort(ids, kind="stable")
+    ids, sizes, bits = ids[order], sizes[order], bits[order]
+    mat_ref = ray.put((ids, sizes, bits))
+
+    @ray.remote
+    def block_pairs(lo_a, hi_a, lo_b, hi_b, t=threshold):
+        m_ids, m_sz, m_bits = ray.get(mat_ref)
+        lut = _popcount_lut()
+        B = m_bits[lo_b:hi_b]
+        out_a, out_b, out_j = [], [], []
+        for x in range(lo_a, hi_a):
+            start = max(lo_b, x + 1)   # ids ascending: enforce a < b
+            if start >= hi_b:
+                continue
+            sub = B[start - lo_b:]
+            inter = lut[np.bitwise_and(m_bits[x], sub)].sum(
+                axis=1).astype(np.int64)
+            union = m_sz[x] + m_sz[start:hi_b] - inter
+            j = inter / union
+            hit = np.nonzero(j >= t)[0]
+            if len(hit):
+                out_a.append(np.full(len(hit), m_ids[x], dtype=np.int64))
+                out_b.append(m_ids[start:hi_b][hit])
+                out_j.append(np.floor(j[hit] * 10_000 + 0.5).astype(
+                    np.int64))
+        if not out_a:
+            return empty
+        return pa.table({a_col: pa.array(np.concatenate(out_a)),
+                         b_col: pa.array(np.concatenate(out_b)),
+                         "jacc_e4": pa.array(np.concatenate(out_j))})
+
+    n_docs = len(ids)
+    bounds = list(range(0, n_docs, block_rows)) + [n_docs]
+    refs = []
+    for i in range(len(bounds) - 1):
+        for k in range(i, len(bounds) - 1):
+            refs.append(block_pairs.remote(
+                bounds[i], bounds[i + 1], bounds[k], bounds[k + 1]))
+    return ray.data.from_arrow_refs(refs)
+
+
 def ngram_jaccard_pairs(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -457,13 +563,25 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> "ray.data.Dataset":
     """EXACT set-similarity self-join: all (a < b) pairs with char-n-gram
-    Jaccard >= threshold, via prefix filtering — no all-pairs pass.
+    Jaccard >= threshold. Returns (``{id_col}_a``, ``{id_col}_b``,
+    ``jacc_e4``).
 
-    prefix-index explode -> multi-member-token filter -> per-token
-    candidate pairs (size-ratio pruned: min >= t*max) -> distinct pairs ->
-    verify exact Jaccard on the (small) candidate set only (the same
-    candidate-id broadcast + re-read pattern as minhash_lsh_dup_ids).
-    Returns (``{id_col}_a``, ``{id_col}_b``, ``jacc_e4``).
+    TWO REGIMES, picked by measured vocabulary size (the first pass
+    computes it either way):
+
+      - small vocabulary (<= ``BITSET_VOCAB_MAX`` grams — boilerplate /
+        template corpora, where every doc shares most grams): prefix
+        filtering CANNOT prune (at sf0.1, 73% of all pairs are prefix
+        candidates and the per-token pair fold explodes to ~450M rows).
+        Instead each doc's gram set packs into a |vocab|-bit mask and
+        block-pair tasks compute exact Jaccard with vectorized
+        AND+popcount — no candidate explosion, no verify pass. All-pairs
+        work is unavoidable here (the TRUE output is ~7% of all pairs at
+        sf0.1), but it runs as embarrassingly-parallel block pairs.
+      - large vocabulary (real-world text): prefix-index explode ->
+        per-token candidate pairs (size-ratio pruned) -> verify exact
+        Jaccard on candidates only. df-ordered prefixes keep buckets
+        sized by rare-gram df, so pruning actually works.
     """
     import math
 
@@ -480,7 +598,11 @@ def ngram_jaccard_pairs(
 
     # one cheap vocabulary pass: gram -> df, broadcast (bounded by
     # alphabet^n) — this ordering is what keeps candidate buckets small
-    df_ref = ray.put(gram_document_frequencies(ds, text_col, n))
+    df = gram_document_frequencies(ds, text_col, n)
+    if len(df) <= BITSET_VOCAB_MAX:
+        return _bitset_jaccard_pairs(ds, text_col, id_col, threshold, n,
+                                     sorted(df), a_col, b_col, empty)
+    df_ref = ray.put(df)
 
     index = ds.map_batches(
         jaccard_prefix_tokens_batch,

@@ -395,10 +395,22 @@ class TestJaccardPrefixJoin:
         brute = {(a, b) for a in range(6) for b in range(a + 1, 6)
                  if jaccard(grams[a], grams[b]) >= 0.6}
         ds = ray.data.from_items(docs)
-        got = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.6).to_pandas()
-        assert {(int(r.doc_id_a), int(r.doc_id_b))
-                for r in got.itertuples()} == brute
-        assert (got["jacc_e4"] >= 6000).all()
+        # both regimes must return exactly the brute-force set: the small
+        # fixture vocabulary routes to the bitset path by default; forcing
+        # BITSET_VOCAB_MAX=0 exercises the prefix-filter path
+        import calendar_event_entity_extraction_ray.stages.dedup as D
+
+        for cap in (D.BITSET_VOCAB_MAX, 0):
+            old = D.BITSET_VOCAB_MAX
+            D.BITSET_VOCAB_MAX = cap
+            try:
+                got = ngram_jaccard_pairs(
+                    ds, "text", "doc_id", threshold=0.6).to_pandas()
+            finally:
+                D.BITSET_VOCAB_MAX = old
+            assert {(int(r.doc_id_a), int(r.doc_id_b))
+                    for r in got.itertuples()} == brute, f"cap={cap}"
+            assert (got["jacc_e4"] >= 6000).all()
         assert (0, 1) in brute  # sanity: exact dup pair present
 
 
