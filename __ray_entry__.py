@@ -1088,6 +1088,58 @@ def q_error_click_burst(sf_dir: str) -> Any:
     return out
 
 
+def q_label_centroids(sf_dir: str) -> Any:
+    """Grouped vector mean (per-class prototype / mean pooling): per-batch
+    numpy partial sums per label, kilobyte driver fold, one row per
+    (label, dim) for SQL comparability (stages/ml.py)."""
+    import math
+
+    from calendar_event_entity_extraction_ray.stages.ml import (
+        label_centroids,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    out = label_centroids(ds, "embedding", "label")
+
+    def scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": b.column("label"),
+            "dim": b.column("dim"),
+            "c_e4": pa.array(
+                [int(math.floor(v * 10_000 + 0.5))
+                 for v in b.column("centroid").to_pylist()], pa.int64()),
+        })
+
+    return out.map_batches(scale, batch_format="pyarrow")
+
+
+def q_kmeans(sf_dir: str) -> Any:
+    """Lloyd's k-means (k=8, 5 fixed iterations, deterministic init =
+    vectors of the 8 smallest vec_ids): the iterative broadcast-assign +
+    partial-update shape (stages/ml.py). Oracle = single-process numpy
+    recompute of the identical algorithm (golden parquet)."""
+    from calendar_event_entity_extraction_ray.stages.ml import kmeans
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans(ds, "embedding", "vec_id", k=8, iters=5)
+
+
+def q_orders_no_bulk(sf_dir: str) -> Any:
+    """Large-large anti join (NOT EXISTS): orders with no bulk lineitem
+    (quantity > 45) — neither side fits a broadcast at scale; both
+    exchange on the key hash, per-partition vectorized isin
+    (stages/joins.py:anti_join)."""
+    from calendar_event_entity_extraction_ray.stages.joins import anti_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    bulk = (_read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+            .filter(expr="l_quantity > 45")
+            .map_batches(
+                lambda b: pa.table({"o_orderkey": b.column("l_orderkey")}),
+                batch_format="pyarrow"))
+    return anti_join(orders, bulk, "o_orderkey", ["o_orderkey"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1155,6 +1207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
         "error_click_burst": q_error_click_burst,
+        "label_centroids": q_label_centroids,
+        "kmeans_labels": q_kmeans,
+        "orders_no_bulk": q_orders_no_bulk,
     }
 
 
@@ -1459,5 +1514,20 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
             WHERE e.event_type = 'error'
             GROUP BY e.event_id
+        """,
+        "label_centroids": """
+            SELECT label, dim,
+                   CAST(FLOOR(avg(x) * 10000 + 0.5) AS BIGINT) AS c_e4
+            FROM (SELECT label, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
+        """,
+        "kmeans_labels": f"SELECT * FROM {_golden('kmeans_labels')}",
+        "orders_no_bulk": """
+            SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_quantity > 45)
         """,
     }

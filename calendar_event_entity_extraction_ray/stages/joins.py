@@ -234,3 +234,44 @@ def range_join_count(
         return pa.Table.from_pandas(out[out_cols], preserve_index=False)
 
     return hash_partition_map(both, "_kh", count_fold)
+
+
+def anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_cols: List[str],
+    num_buckets: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Large-large anti join: left rows whose ``key`` has NO match in
+    right (SQL ``NOT EXISTS`` — NULL-key left rows are KEPT, since an
+    equality predicate can never prove a match for them; NULL-key right
+    rows prove nothing and are dropped). Both sides exchange on the key
+    hash; each partition does one vectorized ``isin`` against its
+    co-located right-key set — exact key equality, the hash only routes.
+    """
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    l_cols = list(dict.fromkeys([key] + list(left_cols)))
+    lt = _tag_side(left, key, "l", l_cols, [])
+    rt = _tag_side(right, key, "r", [key],
+                   [c for c in l_cols if c != key], drop_null_key=True)
+    both = lt.union(rt)
+
+    def anti_fold(t: pa.Table) -> pa.Table:
+        lg = t.filter(pc.equal(t.column("_side"), "l")).select(l_cols)
+        rg = t.filter(pc.equal(t.column("_side"), "r"))
+        if rg.num_rows == 0 or lg.num_rows == 0:
+            return lg.select(left_cols)
+        rkeys = pc.unique(rg.column(key))
+        matched = pc.is_in(lg.column(key), value_set=rkeys)
+        # NULL-key left rows: is_in yields null -> fill false -> kept
+        keep = pc.invert(pc.fill_null(matched, False))
+        return lg.filter(keep).select(left_cols)
+
+    return hash_partition_map(both, "_kh", anti_fold,
+                              num_partitions=num_buckets)

@@ -1,0 +1,197 @@
+"""Distributed vector/ML operators over an embedding column.
+
+``label_centroids`` is the grouped-vector-mean aggregate (the E step of
+any centroid model, per-class prototypes, mean pooling); ``kmeans`` is
+Lloyd's algorithm as repeated broadcast-assign + partial-sum passes — the
+iterative-refinement shape (broadcast small state, stream the big table,
+fold bounded partials) that PageRank/EM/GMM share.
+
+Scale notes:
+  - centroids/state are k x dim floats — always broadcast (ray.put), never
+    shuffled; each pass is ONE map_batches over the table with numpy
+    matmul assignment (vectorized, no per-row work).
+  - partials are (k x dim sums, k counts) per BATCH — the driver folds
+    kilobytes per batch regardless of table size.
+  - float32 inputs are widened to float64 before summing: with similar
+    magnitudes the 53-bit significand absorbs 24-bit float32 exactly, so
+    partial-sum order (batch boundaries, parallelism) cannot flip results
+    — what makes the distributed run reproducible against a
+    single-process golden.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _vec_matrix(b: pa.Table, vec_col: str) -> np.ndarray:
+    """(rows, dim) float64 from a list<float> column — zero-copy flat
+    values reshaped (fixed dim asserted)."""
+    col = b.column(vec_col)
+    arrs = []
+    for chunk in (col.chunks if hasattr(col, "chunks") else [col]):
+        flat = chunk.flatten().to_numpy(zero_copy_only=False)
+        arrs.append(flat.reshape(len(chunk), -1))
+    return np.vstack(arrs).astype(np.float64, copy=False)
+
+
+def label_centroids(
+    ds: "ray.data.Dataset", vec_col: str, label_col: str
+) -> "ray.data.Dataset":
+    """Mean vector per label: per-batch (label -> sum, count) partials,
+    driver fold (k x dim floats). Output rows (label, dim, centroid) with
+    dim 1-based (generate_subscripts parity)."""
+    def partial(b: pa.Table) -> pa.Table:
+        m = _vec_matrix(b, vec_col)
+        labels = b.column(label_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq),
+            "sum": pa.array(list(sums)),
+            "n": pa.array(counts),
+        })
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for lab, s, n in zip(b.column("label").to_pylist(),
+                             b.column("sum").to_pylist(),
+                             b.column("n").to_pylist()):
+            cur = acc.get(lab)
+            if cur is None:
+                acc[lab] = [np.asarray(s, dtype=np.float64), n]
+            else:
+                cur[0] += np.asarray(s, dtype=np.float64)
+                cur[1] += n
+    labs, dims, vals = [], [], []
+    for lab in sorted(acc):
+        s, n = acc[lab]
+        c = s / n
+        labs.extend([lab] * len(c))
+        dims.extend(range(1, len(c) + 1))
+        vals.extend(c.tolist())
+    return ray.data.from_arrow(pa.table({
+        "label": pa.array(labs, pa.int64()),
+        "dim": pa.array(dims, pa.int64()),
+        "centroid": pa.array(vals, pa.float64()),
+    }))
+
+
+def _init_centroids(ds: "ray.data.Dataset", vec_col: str, id_col: str,
+                    k: int) -> np.ndarray:
+    """Deterministic init: the vectors of the k smallest ids (per-batch
+    local candidates -> tiny driver merge)."""
+    def cands(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_v": pa.array([], pa.list_(pa.float64()))})
+        m = _vec_matrix(b, vec_col)
+        take = np.argsort(ids, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[take]),
+                         "_v": pa.array(list(m[take]))})
+
+    rows: list = []
+    for b in ds.map_batches(cands, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        rows.extend(zip(b.column(id_col).to_pylist(),
+                        b.column("_v").to_pylist()))
+    rows.sort(key=lambda r: r[0])
+    return np.asarray([v for _, v in rows[:k]], dtype=np.float64)
+
+
+def kmeans(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> "ray.data.Dataset":
+    """Lloyd's k-means, fully deterministic: init = vectors of the k
+    smallest ids; ``iters`` fixed passes of broadcast-assign +
+    partial-sum update (empty clusters keep their previous centroid);
+    final pass emits (id, cluster). Ties in the distance argmin take the
+    lowest cluster index on both the distributed and golden paths."""
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    centroids = _init_centroids(ds, vec_col, id_col, k)
+    k = len(centroids)
+
+    def assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; row term constant in
+        # argmin, dropped
+        d = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        cents_ref = ray.put(centroids)
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = ray.get(cents_ref)
+            m = _vec_matrix(b, vec_col)
+            a = assign(m, cents)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(cents)).astype(np.int64)
+            return pa.table({
+                "c": pa.array(np.arange(len(cents), dtype=np.int64)),
+                "sum": pa.array(list(sums)),
+                "n": pa.array(counts),
+            })
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(partial,
+                                batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            for c, s, n in zip(b.column("c").to_pylist(),
+                               b.column("sum").to_pylist(),
+                               b.column("n").to_pylist()):
+                sums[c] += np.asarray(s, dtype=np.float64)
+                counts[c] += n
+        nonzero = counts > 0
+        centroids = centroids.copy()
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    final_ref = ray.put(centroids)
+
+    def emit(b: pa.Table) -> pa.Table:
+        cents = ray.get(final_ref)
+        m = _vec_matrix(b, vec_col)
+        return pa.table({
+            id_col: b.column(id_col),
+            "cluster": pa.array(assign(m, cents).astype(np.int64)),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def kmeans_single_process(
+    vecs: np.ndarray, ids: np.ndarray, k: int = 8, iters: int = 5
+) -> np.ndarray:
+    """Sequential mirror of ``kmeans`` for golden generation — same init,
+    same update rule, same tie-breaking, no Ray."""
+    order = np.argsort(ids, kind="stable")
+    m = np.asarray(vecs, dtype=np.float64)
+    centroids = m[order[:k]].copy()
+
+    def assign(cents):
+        d = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        a = assign(centroids)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=len(centroids))
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
+    return assign(centroids)

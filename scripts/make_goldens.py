@@ -430,6 +430,25 @@ def golden_chatml_records() -> pa.Table:
                      "assistant_content": pa.array(assists, pa.string())})
 
 
+def golden_kmeans_labels() -> pa.Table:
+    """Sequential numpy mirror of stages/ml.py:kmeans (same deterministic
+    init, update rule, and argmin tie-breaking) over the embeddings table
+    — checks the distributed broadcast-assign/partial-update passes."""
+    from calendar_event_entity_extraction_ray.stages.ml import (
+        kmeans_single_process,
+    )
+
+    df = _embeddings()
+    ids = df["vec_id"].to_numpy()
+    vecs = np.stack(df["embedding"].to_numpy())
+    a = kmeans_single_process(vecs, ids, k=8, iters=5)
+    order = np.argsort(ids, kind="stable")
+    return pa.table({
+        "vec_id": pa.array(ids[order], pa.int64()),
+        "cluster": pa.array(a[order].astype("int64"), pa.int64()),
+    })
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
     "simhash_docs": golden_simhash_docs,
@@ -447,6 +466,7 @@ GOLDENS = {
     "media_frames": golden_media_frames,
     "tokenize_records": golden_tokenize_records,
     "chatml_records": golden_chatml_records,
+    "kmeans_labels": golden_kmeans_labels,
 }
 
 

@@ -150,3 +150,79 @@ class TestTermDF:
         m = dict(zip(got["term"], got["df"].astype(int)))
         # "a a b" counts a ONCE; "b  c" double space yields an empty token
         assert m == {"a": 2, "b": 2, "c": 2, "": 1}
+
+
+class TestAntiJoin:
+    def test_not_exists_semantics(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            anti_join,
+        )
+
+        left = ray.data.from_pandas(pd.DataFrame({
+            "k": [1.0, 2.0, 3.0, None], "payload": ["a", "b", "c", "d"]}))
+        right = ray.data.from_pandas(pd.DataFrame({
+            "k": [2.0, None]}))
+        got = (anti_join(left, right, "k", ["k", "payload"])
+               .to_pandas().sort_values("payload"))
+        # k=2 matched -> dropped; NULL left KEPT (NOT EXISTS); NULL right
+        # proves nothing
+        assert got["payload"].tolist() == ["a", "c", "d"]
+
+    def test_empty_result_keeps_schema(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            anti_join,
+        )
+
+        left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2]}))
+        right = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3]}))
+        out = anti_join(left, right, "k", ["k"])
+        # Ray quirk: Dataset.to_pandas() on an all-empty dataset drops
+        # columns — the dataset-level schema is the contract
+        assert out.schema().names == ["k"]
+        assert out.count() == 0
+
+
+class TestMlStages:
+    def test_label_centroids_exact(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.ml import (
+            label_centroids,
+        )
+
+        rng = np.random.RandomState(5)
+        vecs = rng.rand(60, 4).astype(np.float32)
+        labels = rng.randint(0, 3, 60)
+        ds = ray.data.from_arrow(pa.table({
+            "v": pa.array([list(map(float, r)) for r in vecs],
+                          pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32())})).repartition(4)
+        got = label_centroids(ds, "v", "label").to_pandas()
+        for lab in range(3):
+            expect = vecs[labels == lab].astype(np.float64).mean(axis=0)
+            g = got[got["label"] == lab].sort_values("dim")
+            assert np.allclose(g["centroid"].to_numpy(), expect, atol=1e-12)
+
+    def test_kmeans_matches_single_process(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.ml import (
+            kmeans,
+            kmeans_single_process,
+        )
+
+        rng = np.random.RandomState(11)
+        vecs = rng.rand(200, 8).astype(np.float32)
+        ids = rng.permutation(200)
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "v": pa.array([list(map(float, r)) for r in vecs],
+                          pa.list_(pa.float32()))})).repartition(5)
+        got = kmeans(ds, "v", "vec_id", k=4, iters=3).to_pandas()
+        expect = kmeans_single_process(vecs, ids, k=4, iters=3)
+        m = dict(zip(got["vec_id"].astype(int), got["cluster"].astype(int)))
+        assert m == {int(i): int(c) for i, c in zip(ids, expect)}
