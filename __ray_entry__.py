@@ -1140,6 +1140,59 @@ def q_orders_no_bulk(sf_dir: str) -> Any:
     return anti_join(orders, bulk, "o_orderkey", ["o_orderkey"])
 
 
+def q_user_windows(sf_dir: str) -> Any:
+    """SQL row-window functions (ROW_NUMBER + 3-row rolling sum) per user
+    ordered by (ts, event_id): one key-hash exchange, vectorized
+    cumcount/rolling per partition (stages/windows.py). The rolling sum
+    adds the same <= 3 doubles in the same order as the SQL engine, so
+    cent-scaled values match bit-for-bit."""
+    import math
+
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        partitioned_row_window,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+    out = partitioned_row_window(
+        ev, by="user_id", order_cols=["ts", "event_id"],
+        value_col="value", rolling=3)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "seq": b.column("seq"),
+            "roll3_e2": pa.array(
+                [int(math.floor(v * 100 + 0.5))
+                 for v in b.column("roll_sum").to_pylist()], pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_event_value_quantiles(sf_dir: str) -> Any:
+    """Per-group EXACT quantile_disc (stages/quantiles.py:
+    grouped_quantiles): histogram refinement with every (group, interval)
+    target in one pass per round — for low-cardinality groups the driver
+    state is |groups| x |qs| histograms, never the data."""
+    import math
+
+    from calendar_event_entity_extraction_ray.stages.quantiles import (
+        grouped_quantiles,
+    )
+
+    qs = [0.5, 0.9, 0.99]
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    res = grouped_quantiles(ds, "value", "event_type", qs, bins=256,
+                            collect_cap=10_000)
+    res.sort(key=lambda r: (r[0], r[1]))
+    return pd.DataFrame({
+        "event_type": [g for g, _, _ in res],
+        "q_e4": [int(round(q * 10000)) for _, q, _ in res],
+        "val_e2": [int(math.floor(v * 100 + 0.5)) for _, _, v in res],
+    })
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1210,6 +1263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "kmeans_labels": q_kmeans,
         "orders_no_bulk": q_orders_no_bulk,
+        "user_windows": q_user_windows,
+        "event_value_quantiles": q_event_value_quantiles,
     }
 
 
@@ -1529,5 +1584,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                               WHERE l.l_orderkey = o.o_orderkey
                                 AND l.l_quantity > 45)
+        """,
+        "user_windows": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER w AS seq,
+                   CAST(FLOOR(SUM(value) OVER (w ROWS BETWEEN 2 PRECEDING
+                        AND CURRENT ROW) * 100 + 0.5) AS BIGINT) AS roll3_e2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "event_value_quantiles": """
+            SELECT event_type,
+                   CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,
+                   CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS val_e2
+            FROM (SELECT event_type,
+                         unnest([0.5, 0.9, 0.99]) AS q,
+                         unnest(quantile_disc(value, [0.5, 0.9, 0.99])) AS v
+                  FROM events GROUP BY event_type)
         """,
     }

@@ -179,3 +179,161 @@ def _collect_pick(ds: "ray.data.Dataset", col: str,
         arr = sorted_vals[ival_index[iv]]
         out[i] = float(arr[min(rank, len(arr)) - 1])
     return out
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_col: str,
+    qs: Sequence[float],
+    bins: int = 1024,
+    collect_cap: int = 1_000_000,
+    max_passes: int = 6,
+) -> List[Tuple[object, float, float]]:
+    """Exact quantile_disc per group — [(group, q, value)].
+
+    Same histogram-refinement as ``exact_quantiles`` with every open
+    target tagged by group; each pass histograms all (group, interval)
+    targets in ONE map_batches. Driver state is |groups| x |qs| x bins
+    ints, so this is for LOW-CARDINALITY group columns (event types,
+    languages, sources — up to a few thousand groups); higher-cardinality
+    grouping should exchange on the group key and run per-partition
+    sorts instead. NULL groups are kept (SQL GROUP BY semantics); NULL /
+    NaN values are dropped within each group (SQL aggregate semantics).
+    """
+    import pandas as pd
+
+    ds = ds.select_columns([group_col, col]).materialize()
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        agg = (df.groupby(group_col, dropna=False)[col]
+               .agg(["count", "min", "max"]).reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    gstats: dict = {}
+    for b in ds.map_batches(stats_partial,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for g, n, lo, hi in zip(b.column(group_col).to_pylist(),
+                                b.column("count").to_pylist(),
+                                b.column("min").to_pylist(),
+                                b.column("max").to_pylist()):
+            if not n:
+                continue
+            cur = gstats.get(g)
+            if cur is None:
+                gstats[g] = [n, lo, hi]
+            else:
+                cur[0] += n
+                cur[1] = min(cur[1], lo)
+                cur[2] = max(cur[2], hi)
+
+    # open targets: (group, q-index) -> (interval, rank-within)
+    open_qs: dict = {}
+    for g, (n, lo, hi) in gstats.items():
+        for i, q in enumerate(qs):
+            open_qs[(g, i)] = ((float(lo), float(hi), True),
+                               disc_rank(q, n))
+    resolved: dict = {}
+
+    def run_pass(targets, collect: bool):
+        """One map_batches over all (group, interval) targets; returns
+        merged histograms or collected values per target key."""
+        keys = sorted(targets, key=repr)
+        specs = [(k, targets[k][0]) for k in keys]
+
+        def partial(b: pa.Table, _specs=specs, _collect=collect):
+            import numpy as np
+
+            df = b.to_pandas()
+            gvals = df[group_col]
+            out_hist, out_vals, out_tags = [], [], []
+            for idx, ((g, _), iv) in enumerate(_specs):
+                mask = gvals.isna() if pd.isna(g) else (gvals == g)
+                v = df.loc[mask, col].to_numpy(dtype=np.float64,
+                                               na_value=np.nan)
+                v = v[~np.isnan(v)]
+                sel = _select(v, iv)
+                if _collect:
+                    out_vals.append(sel)
+                    out_tags.append(np.full(len(sel), idx, dtype=np.int32))
+                else:
+                    edges = np.linspace(iv[0], iv[1], bins + 1)
+                    bi = np.clip(
+                        np.searchsorted(edges, sel, side="right") - 1,
+                        0, bins - 1)
+                    out_hist.append(np.bincount(bi, minlength=bins))
+            if _collect:
+                import numpy as np
+                return pa.table({
+                    "_v": pa.array(np.concatenate(out_vals)
+                                   if out_vals else [], pa.float64()),
+                    "_k": pa.array(np.concatenate(out_tags)
+                                   if out_tags else [], pa.int32())})
+            import numpy as np
+            return pa.table({"hist": pa.array(
+                [np.concatenate(out_hist).astype(np.int64)])})
+
+        import numpy as np
+
+        if collect:
+            vals = {i: [] for i in range(len(keys))}
+            for b in ds.map_batches(partial,
+                                    batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+                ks = b.column("_k").to_numpy()
+                vs = b.column("_v").to_numpy()
+                for kk in np.unique(ks):
+                    vals[int(kk)].append(vs[ks == kk])
+            return keys, vals
+        total = np.zeros(len(keys) * bins, dtype=np.int64)
+        for b in ds.map_batches(partial,
+                                batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            for h in b.column("hist").to_pylist():
+                total += np.asarray(h, dtype=np.int64)
+        return keys, total
+
+    import numpy as np
+
+    for _ in range(max_passes):
+        for kk in [k for k, (iv, _) in open_qs.items() if iv[0] == iv[1]]:
+            resolved[kk] = open_qs.pop(kk)[0][0]
+        if not open_qs:
+            break
+        keys, total = run_pass(open_qs, collect=False)
+        collect_now: dict = {}
+        still: dict = {}
+        for idx, kk in enumerate(keys):
+            iv, rank = open_qs[kk]
+            hist = total[idx * bins:(idx + 1) * bins]
+            cum = np.cumsum(hist)
+            bi = int(np.searchsorted(cum, rank, side="left"))
+            local = rank - (int(cum[bi - 1]) if bi else 0)
+            edges = np.linspace(iv[0], iv[1], bins + 1)
+            child = (float(edges[bi]), float(edges[bi + 1]),
+                     iv[2] if bi == bins - 1 else False)
+            (collect_now if int(hist[bi]) <= collect_cap
+             else still)[kk] = (child, local)
+        if collect_now:
+            ckeys, vals = run_pass(collect_now, collect=True)
+            for idx, kk in enumerate(ckeys):
+                arr = np.sort(np.concatenate(vals[idx])
+                              if vals[idx] else np.array([]))
+                _, rank = collect_now[kk]
+                resolved[kk] = float(arr[min(rank, len(arr)) - 1])
+        open_qs = still
+    if open_qs:
+        ckeys, vals = run_pass(open_qs, collect=True)
+        for idx, kk in enumerate(ckeys):
+            arr = np.sort(np.concatenate(vals[idx])
+                          if vals[idx] else np.array([]))
+            _, rank = open_qs[kk]
+            resolved[kk] = float(arr[min(rank, len(arr)) - 1])
+
+    out = []
+    for g in gstats:
+        for i, q in enumerate(qs):
+            out.append((g, float(q), resolved[(g, i)]))
+    return out

@@ -58,3 +58,49 @@ def sessionize(
                                   out_col="_uh"),
         batch_format="pyarrow")
     return hash_partition_map(hashed, "_uh", fold)
+
+
+def partitioned_row_window(
+    ds: "ray.data.Dataset",
+    by: str,
+    order_cols: list,
+    value_col: "str | None" = None,
+    rolling: int = 0,
+    seq_col: str = "seq",
+    roll_col: str = "roll_sum",
+) -> "ray.data.Dataset":
+    """SQL row-window functions over a partitioned order: per ``by`` key
+    ordered by ``order_cols``, emits ROW_NUMBER (``seq_col``) and, when
+    ``rolling`` > 0 and ``value_col`` is set, the rolling sum of the last
+    ``rolling`` rows including the current (``ROWS BETWEEN rolling-1
+    PRECEDING AND CURRENT ROW``).
+
+    One exchange on the key hash, then per partition ONE vectorized
+    sort + groupby.cumcount / groupby.rolling — every key's rows co-locate,
+    so window frames never span partitions. The rolling sum adds the same
+    <= ``rolling`` doubles in the same order as a sequential engine, so
+    results are bit-identical to a SQL oracle."""
+    import pyarrow as pa
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([by] + order_cols, kind="mergesort")
+        g = df.groupby(by, sort=False, dropna=False)
+        df[seq_col] = (g.cumcount() + 1).astype("int64")
+        if rolling > 0 and value_col is not None:
+            df[roll_col] = (
+                g[value_col].rolling(rolling, min_periods=1).sum()
+                .reset_index(level=0, drop=True))
+        return pa.Table.from_pandas(df.drop(columns=["_kh"]),
+                                    preserve_index=False)
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_column(b, [by], out_col="_kh"),
+        batch_format="pyarrow")
+    return hash_partition_map(hashed, "_kh", fold)

@@ -226,3 +226,53 @@ class TestMlStages:
         expect = kmeans_single_process(vecs, ids, k=4, iters=3)
         m = dict(zip(got["vec_id"].astype(int), got["cluster"].astype(int)))
         assert m == {int(i): int(c) for i, c in zip(ids, expect)}
+
+
+class TestGroupedQuantiles:
+    def test_matches_per_group_sorted_rank(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.quantiles import (
+            disc_rank,
+            grouped_quantiles,
+        )
+
+        rng = np.random.RandomState(17)
+        n = 5000
+        groups = rng.choice(["x", "y", None], n, p=[0.6, 0.35, 0.05])
+        vals = np.where(rng.rand(n) < 0.4, 7.0, rng.normal(0, 3, n))
+        vals[rng.rand(n) < 0.03] = np.nan
+        df = pd.DataFrame({"g": groups, "v": vals})
+        ds = ray.data.from_pandas(df).repartition(4)
+        qs = [0.25, 0.5, 0.95]
+        got = grouped_quantiles(ds, "v", "g", qs, bins=8, collect_cap=50,
+                                max_passes=8)
+        for g, q, v in got:
+            mask = df["g"].isna() if pd.isna(g) else (df["g"] == g)
+            s = np.sort(df.loc[mask, "v"].dropna().to_numpy())
+            assert v == s[disc_rank(q, len(s)) - 1], (g, q)
+
+
+class TestPartitionedRowWindow:
+    def test_seq_and_rolling(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            partitioned_row_window,
+        )
+
+        df = pd.DataFrame({
+            "u": [1, 1, 1, 1, 2, 2],
+            "t": [3, 1, 2, 4, 1, 2],
+            "id": [10, 11, 12, 13, 14, 15],
+            "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0],
+        })
+        ds = ray.data.from_pandas(df).repartition(3)
+        got = (partitioned_row_window(
+            ds, by="u", order_cols=["t", "id"], value_col="v", rolling=3)
+            .to_pandas().sort_values(["u", "seq"]))
+        # user 1 t-order: t=1(v2), t=2(v3), t=3(v1), t=4(v4)
+        assert got[got["u"] == 1]["roll_sum"].tolist() == [
+            2.0, 5.0, 6.0, 8.0]
+        assert got[got["u"] == 1]["seq"].tolist() == [1, 2, 3, 4]
+        assert got[got["u"] == 2]["roll_sum"].tolist() == [10.0, 30.0]
