@@ -1193,6 +1193,80 @@ def q_event_value_quantiles(sf_dir: str) -> Any:
     })
 
 
+def q_docs_above_p90(sf_dir: str) -> Any:
+    """Quantile-filter composition: docs longer than the corpus's exact
+    P90 length — exact_quantiles feeds a broadcast scalar into a
+    streamed filter (the percentile-based quality-filter shape)."""
+    from calendar_event_entity_extraction_ray.stages.quantiles import (
+        exact_quantiles,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    (_, p90), = exact_quantiles(ds, "n_chars", [0.9], bins=512,
+                                collect_cap=100_000)
+    return ds.filter(expr=f"n_chars > {int(p90)}").select_columns(
+        ["doc_id"])
+
+
+def q_tfidf_top_terms(sf_dir: str) -> Any:
+    """TF-IDF composition: per-doc top-3 terms by tf * ln(N/df). The df
+    table (vocabulary-bounded) folds from per-batch distinct-term
+    partials and broadcasts via ray.put; scoring + per-doc top-k run
+    vectorized per batch. Score arithmetic (double tf * ln(N/df)) is
+    bit-identical to the SQL oracle; exact ties break on term ASC."""
+    import math as _math
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.materialize()   # consumed 3x: count, df pass, scoring pass
+    n_docs = ds.count()
+
+    def explode_distinct(b: pa.Table) -> pa.Table:
+        words: list = []
+        for t in b.column("text").to_pylist():
+            if t is not None:
+                words.extend(set(t.split(" ")))
+        return pa.table({"term": pa.array(words, pa.string())})
+
+    df_map = {}
+    for b in grouped_count(
+            ds.map_batches(explode_distinct, batch_format="pyarrow"),
+            "term", out_col="df").iter_batches(batch_format="pyarrow"):
+        for term, df_ in zip(b.column("term").to_pylist(),
+                             b.column("df").to_pylist()):
+            df_map[term] = df_
+    df_ref = _ray.put(df_map)
+
+    def score(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfm = _ray.get(df_ref)
+        out_id, out_term, out_rnk = [], [], []
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            if t is None:
+                continue
+            tf = Counter(t.split(" "))
+            scored = sorted(
+                ((-(cnt * _math.log(n_docs / dfm[w])), w)
+                 for w, cnt in tf.items()),
+            )[:3]
+            for r, (_, w) in enumerate(scored, 1):
+                out_id.append(i)
+                out_term.append(w)
+                out_rnk.append(r)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "term": pa.array(out_term, pa.string()),
+                         "rnk": pa.array(out_rnk, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1265,6 +1339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_bulk": q_orders_no_bulk,
         "user_windows": q_user_windows,
         "event_value_quantiles": q_event_value_quantiles,
+        "docs_above_p90": q_docs_above_p90,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1601,5 +1677,30 @@ def oracle_sql() -> dict[str, str]:
                          unnest([0.5, 0.9, 0.99]) AS q,
                          unnest(quantile_disc(value, [0.5, 0.9, 0.99])) AS v
                   FROM events GROUP BY event_type)
+        """,
+        "docs_above_p90": """
+            SELECT doc_id FROM documents
+            WHERE n_chars > (SELECT quantile_disc(n_chars, 0.9)
+                             FROM documents)
+        """,
+        "tfidf_top_terms": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE text IS NOT NULL),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM words GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                   FROM words GROUP BY term),
+            n AS (SELECT COUNT(*) AS nn FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * ln(CAST(nn AS DOUBLE) / df.df) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rnk
+              FROM scored)
+            SELECT doc_id, term, rnk FROM ranked WHERE rnk <= 3
         """,
     }
