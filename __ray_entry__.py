@@ -831,8 +831,9 @@ def q_media_frames(sf_dir: str) -> Any:
 
 
 def q_media_features(sf_dir: str) -> Any:
-    """Image rows decode for REAL (PPM kernel): exact per-channel pixel
-    statistics; stubbed kinds carry the -1 sentinel."""
+    """Image rows decode for REAL (PPM kernel: exact pixel statistics)
+    and audio rows for REAL (stdlib WAV kernel: RMS / zero-crossing /
+    duration); the stubbed video kind carries the -1 sentinel."""
     from calendar_event_entity_extraction_ray.stages.multimodal import (
         DecodeFeatures,
         synth_media_table,
@@ -846,7 +847,8 @@ def q_media_features(sf_dir: str) -> Any:
     )
     return out.select_columns(["media_id", "kind", "mime", "px_width",
                                "px_height", "mean_r_e4", "mean_g_e4",
-                               "mean_b_e4", "std_gray_e4"])
+                               "mean_b_e4", "std_gray_e4", "dur_ms",
+                               "rms_e4", "zcr_e4"])
 
 
 def q_action_histogram(sf_dir: str) -> Any:
@@ -1267,6 +1269,75 @@ def q_tfidf_top_terms(sf_dir: str) -> Any:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_grouped_approx_distinct(sf_dir: str) -> Any:
+    """Grouped HyperLogLog: one mergeable sketch per (group, batch) ships
+    to the driver (|groups| x 4 KB — never the values); the oracle-shaped
+    output pairs the EXACT per-group distinct (distributed distinct +
+    grouped count) with an indicator that each HLL estimate landed within
+    5% of it."""
+    from calendar_event_entity_extraction_ray.functions.sketch import (
+        HyperLogLog,
+    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        exact_dedup,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        by_group: dict = {}
+        for g, u in zip(b.column("event_type").to_pylist(),
+                        b.column("user_id").to_pylist()):
+            by_group.setdefault(g, HyperLogLog(p=12)).add(str(u))
+        return pa.table({
+            "g": pa.array(list(by_group), pa.string()),
+            "sketch": pa.array([h.serialize() for h in by_group.values()],
+                               pa.binary()),
+        })
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for g, s in zip(b.column("g").to_pylist(),
+                        b.column("sketch").to_pylist()):
+            h = HyperLogLog.deserialize(s)
+            if g in merged:
+                merged[g].merge(h)
+            else:
+                merged[g] = h
+
+    distinct = exact_dedup(ds, ["event_type", "user_id"], "user_id")
+    exact = grouped_count(distinct, "event_type",
+                          out_col="exact_distinct_users").to_pandas()
+    exact = exact.sort_values("event_type").reset_index(drop=True)
+    exact["exact_distinct_users"] = exact["exact_distinct_users"].astype(
+        "int64")
+    exact["hll_ok"] = [
+        1 if abs(merged[g].estimate() - n) / max(n, 1) < 0.05 else 0
+        for g, n in zip(exact["event_type"],
+                        exact["exact_distinct_users"])]
+    exact["hll_ok"] = exact["hll_ok"].astype("int64")
+    return exact
+
+
+def q_orders_with_bulk(sf_dir: str) -> Any:
+    """Large-large semi join (EXISTS): orders having at least one bulk
+    lineitem — the complement of orders_no_bulk, same exchange kernel
+    (stages/joins.py:semi_join)."""
+    from calendar_event_entity_extraction_ray.stages.joins import semi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    bulk = (_read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+            .filter(expr="l_quantity > 45")
+            .map_batches(
+                lambda b: pa.table({"o_orderkey": b.column("l_orderkey")}),
+                batch_format="pyarrow"))
+    return semi_join(orders, bulk, "o_orderkey", ["o_orderkey"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1340,6 +1411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_windows": q_user_windows,
         "event_value_quantiles": q_event_value_quantiles,
         "docs_above_p90": q_docs_above_p90,
+        "grouped_approx_distinct": q_grouped_approx_distinct,
+        "orders_with_bulk": q_orders_with_bulk,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -1682,6 +1755,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE n_chars > (SELECT quantile_disc(n_chars, 0.9)
                              FROM documents)
+        """,
+        "grouped_approx_distinct": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS exact_distinct_users,
+                   1 AS hll_ok
+            FROM events GROUP BY event_type
+        """,
+        "orders_with_bulk": """
+            SELECT o_orderkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 45)
         """,
         "tfidf_top_terms": """
             WITH words AS (

@@ -236,20 +236,13 @@ def range_join_count(
     return hash_partition_map(both, "_kh", count_fold)
 
 
-def anti_join(
-    left: "ray.data.Dataset",
-    right: "ray.data.Dataset",
-    key: str,
-    left_cols: List[str],
-    num_buckets: Optional[int] = None,
-) -> "ray.data.Dataset":
-    """Large-large anti join: left rows whose ``key`` has NO match in
-    right (SQL ``NOT EXISTS`` — NULL-key left rows are KEPT, since an
-    equality predicate can never prove a match for them; NULL-key right
-    rows prove nothing and are dropped). Both sides exchange on the key
-    hash; each partition does one vectorized ``isin`` against its
-    co-located right-key set — exact key equality, the hash only routes.
-    """
+def _exists_join(left, right, key, left_cols, want_match, num_buckets):
+    """Shared kernel for semi (EXISTS) / anti (NOT EXISTS) joins: both
+    sides exchange on the key hash, each partition does one vectorized
+    ``isin`` against its co-located right-key set (exact key equality —
+    the hash only routes). NULL-key right rows prove nothing and are
+    dropped; NULL-key left rows can never be proven to match, so they are
+    KEPT by anti and DROPPED by semi (SQL EXISTS/NOT EXISTS)."""
     import pyarrow.compute as pc
 
     from calendar_event_entity_extraction_ray.stages.exchange import (
@@ -262,16 +255,41 @@ def anti_join(
                    [c for c in l_cols if c != key], drop_null_key=True)
     both = lt.union(rt)
 
-    def anti_fold(t: pa.Table) -> pa.Table:
+    def fold(t: pa.Table) -> pa.Table:
         lg = t.filter(pc.equal(t.column("_side"), "l")).select(l_cols)
         rg = t.filter(pc.equal(t.column("_side"), "r"))
         if rg.num_rows == 0 or lg.num_rows == 0:
-            return lg.select(left_cols)
+            return (lg if not want_match
+                    else lg.slice(0, 0)).select(left_cols)
         rkeys = pc.unique(rg.column(key))
-        matched = pc.is_in(lg.column(key), value_set=rkeys)
-        # NULL-key left rows: is_in yields null -> fill false -> kept
-        keep = pc.invert(pc.fill_null(matched, False))
+        # NULL-key left rows: is_in yields null -> fill false (no match)
+        matched = pc.fill_null(
+            pc.is_in(lg.column(key), value_set=rkeys), False)
+        keep = matched if want_match else pc.invert(matched)
         return lg.filter(keep).select(left_cols)
 
-    return hash_partition_map(both, "_kh", anti_fold,
+    return hash_partition_map(both, "_kh", fold,
                               num_partitions=num_buckets)
+
+
+def anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_cols: List[str],
+    num_buckets: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Large-large anti join (SQL ``NOT EXISTS``) — see ``_exists_join``."""
+    return _exists_join(left, right, key, left_cols, False, num_buckets)
+
+
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_cols: List[str],
+    num_buckets: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Large-large semi join (SQL ``EXISTS``) — left rows with at least
+    one right match; right columns never ship. See ``_exists_join``."""
+    return _exists_join(left, right, key, left_cols, True, num_buckets)

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Image rows carry REAL uncompressed PPM (P6) payloads and the decode /
-resize kernels are real numpy operations (``functions/imagecodec.py``) —
-pixel statistics and nearest-neighbor resize are exact. Compressed codecs
-(JPEG/PNG) and audio/video decode need libraries not present in this
-container, so those kernels remain honest stubs: deterministic md5-derived
-fakes by default, ``NotImplementedError`` in strict mode.
+Image rows carry REAL uncompressed PPM (P6) payloads (decode/resize =
+exact numpy kernels, ``functions/imagecodec.py``); audio rows carry REAL
+RIFF/WAVE PCM16 payloads (decode + signal statistics via the stdlib
+``wave`` module, ``functions/audiocodec.py``). Compressed codecs
+(JPEG/PNG/mp3/video) need libraries not present in this container, so
+those kernels remain honest stubs: deterministic md5-derived fakes by
+default, ``NotImplementedError`` in strict mode.
 
 Ray-side mechanics are real throughout: binary columns stay in
 ``batch_format="pyarrow"`` end-to-end (no pandas object-dtype round-trip),
@@ -21,6 +22,12 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from calendar_event_entity_extraction_ray.functions.audiocodec import (
+    audio_stats,
+    decode_wav,
+    encode_wav,
+    is_wav,
+)
 from calendar_event_entity_extraction_ray.functions.imagecodec import (
     channel_stats,
     decode_ppm,
@@ -42,19 +49,22 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 _NO_STATS = {"px_width": -1, "px_height": -1, "mean_r_e4": -1,
-             "mean_g_e4": -1, "mean_b_e4": -1, "std_gray_e4": -1}
+             "mean_g_e4": -1, "mean_b_e4": -1, "std_gray_e4": -1,
+             "dur_ms": -1, "rms_e4": -1, "zcr_e4": -1}
 _STAT_COLS = list(_NO_STATS)
 
 
 class DecodeFeatures:
     """Actor-pool stage: binary payload -> feature vector + pixel stats.
 
-    PPM image payloads decode for REAL (exact numpy channel statistics; the
-    feature vector is mean/std per channel + a gray histogram). Other kinds
-    fall back to a deterministic md5-derived fake feature, or raise
-    ``NotImplementedError`` when ``strict=True`` (no codec libs here).
-    Non-decoded rows carry -1 stats (not null: keeps the stats columns
-    plain int64 end-to-end)."""
+    PPM image payloads decode for REAL (exact numpy channel statistics;
+    the feature vector is mean/std per channel + a gray histogram). WAV
+    audio payloads decode for REAL via the stdlib wave module (RMS /
+    zero-crossing rate / duration; the feature vector is [rms, zcr,
+    amplitude histogram]). Other kinds fall back to a deterministic
+    md5-derived fake feature, or raise ``NotImplementedError`` when
+    ``strict=True`` (no codec libs here). Non-applicable stats carry -1
+    (not null: keeps the stats columns plain int64 end-to-end)."""
 
     def __init__(self, feature_dim: int = 16, strict: bool = False) -> None:
         self.dim = feature_dim
@@ -77,6 +87,18 @@ class DecodeFeatures:
             vec = np.pad(vec, (0, self.dim - vec.size))
         return vec[: self.dim].astype(np.float32)
 
+    def _audio_feature(self, samples, stats: dict):
+        """Real feature: [rms, zcr, amplitude histogram] -> dim."""
+        x = samples.astype(np.float64) / 32768.0
+        n_hist = max(self.dim - 2, 1)
+        hist, _ = np.histogram(x, bins=n_hist, range=(-1.0, 1.0))
+        hist = hist.astype(np.float64) / max(x.size, 1)
+        vec = np.concatenate([[stats["rms_e4"] / 10_000.0,
+                               stats["zcr_e4"] / 10_000.0], hist])
+        if vec.size < self.dim:
+            vec = np.pad(vec, (0, self.dim - vec.size))
+        return vec[: self.dim].astype(np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, stat_rows = [], []
         for p in batch.column("payload").to_pylist():
@@ -84,11 +106,20 @@ class DecodeFeatures:
                 pixels = decode_ppm(p)
                 stats = channel_stats(pixels)
                 feats.append(self._image_feature(pixels, stats))
-                stat_rows.append({k: stats[k] for k in _STAT_COLS})
+                row = dict(_NO_STATS)
+                row.update({k: stats[k] for k in stats if k in row})
+                stat_rows.append(row)
+            elif p is not None and is_wav(p):
+                samples, rate = decode_wav(p)
+                stats = audio_stats(samples, rate)
+                feats.append(self._audio_feature(samples, stats))
+                row = dict(_NO_STATS)
+                row.update(stats)
+                stat_rows.append(row)
             elif self.strict:
                 raise NotImplementedError(
-                    "only uncompressed PPM decodes in this environment; "
-                    "JPEG/PNG/audio/video need codec libraries (run with "
+                    "only uncompressed PPM/WAV decode in this environment; "
+                    "JPEG/PNG/mp3/video need codec libraries (run with "
                     "strict=False for the deterministic stub)")
             else:
                 feats.append(self._fake_feature(p))
@@ -179,8 +210,9 @@ def synth_pixels(media_id: int, width: int, height: int, seed: int) -> np.ndarra
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media rows. Image rows carry REAL PPM payloads
-    (decodable by the real kernel); audio/video payloads are opaque seeded
-    bytes for the stubbed kinds."""
+    and audio rows REAL RIFF/WAVE PCM16 payloads (both decodable by the
+    real kernels); video payloads are opaque seeded bytes for the stubbed
+    kind."""
     rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
                             "width", "height", "duration_ms")}
     kinds = [("image", "image/x-portable-pixmap"), ("audio", "audio/wav"),
@@ -191,6 +223,9 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             w = 16 + (i % 8) * 4
             h = 12 + (i % 6) * 4
             payload = encode_ppm(synth_pixels(i, w, h, seed))
+        elif kind == "audio":
+            w = h = None
+            payload = encode_wav(synth_samples(i, 1000 + i * 37, seed))
         else:
             w = h = None
             payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * (4 + i % 5)
@@ -212,3 +247,16 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
         }
     )
+
+
+def synth_samples(media_id: int, dur_ms: int, seed: int,
+                  rate: int = 8000) -> "np.ndarray":
+    """Deterministic int16 mono test signal: a media-specific sine plus
+    seeded noise (pure fn of (seed, media_id) — same convention as
+    synth_pixels)."""
+    n = rate * dur_ms // 1000
+    rng = np.random.RandomState((seed * 1_000_003 + media_id) % (2**31))
+    t = np.arange(n, dtype=np.float64) / rate
+    freq = 220.0 + (media_id % 16) * 55.0
+    x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(n)
+    return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)

@@ -360,7 +360,8 @@ def golden_media_features() -> pa.Table:
 
     out = DecodeFeatures(feature_dim=16)(synth_media_table(N_MEDIA))
     return out.select(["media_id", "kind", "mime", "px_width", "px_height",
-                       "mean_r_e4", "mean_g_e4", "mean_b_e4", "std_gray_e4"])
+                       "mean_r_e4", "mean_g_e4", "mean_b_e4", "std_gray_e4",
+                       "dur_ms", "rms_e4", "zcr_e4"])
 
 
 def golden_media_frames() -> pa.Table:

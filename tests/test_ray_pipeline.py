@@ -500,14 +500,55 @@ class TestMultimodal:
         assert frames.groupby("media_id").size().max() <= 64
 
     def test_strict_raises(self):
+        """Only the VIDEO kind lacks a real decoder now (PPM images and
+        WAV audio both decode) — strict mode raises on it alone."""
+        import pyarrow as pa_
+
         from calendar_event_entity_extraction_ray.stages.multimodal import (
             DecodeFeatures,
             synth_media_table,
         )
 
+        t = synth_media_table(3)   # rows: image, audio, video
         dec = DecodeFeatures(strict=True)
         with pytest.raises(NotImplementedError):
-            dec(synth_media_table(2))
+            dec(t)
+        no_video = t.filter(
+            pa_.compute.not_equal(t.column("kind"), "video"))
+        assert dec(no_video).num_rows == 2
+
+    def test_wav_roundtrip_and_real_audio_stats(self):
+        """The audio kernel is REAL: WAV round-trips exactly and the
+        decode stage's stats match independent numpy over the samples."""
+        from calendar_event_entity_extraction_ray.functions.audiocodec import (
+            audio_stats,
+            decode_wav,
+            encode_wav,
+        )
+        from calendar_event_entity_extraction_ray.stages.multimodal import (
+            DecodeFeatures,
+            synth_media_table,
+            synth_samples,
+        )
+
+        x = synth_samples(1, 250, seed=42)
+        samples, rate = decode_wav(encode_wav(x))
+        assert rate == 8000 and (samples == x).all()
+
+        out = DecodeFeatures(feature_dim=8)(synth_media_table(6)).to_pandas()
+        aud = out[out["kind"] == "audio"].iloc[0]
+        mid = int(aud["media_id"])
+        expect = audio_stats(synth_samples(mid, 1000 + mid * 37, 42), 8000)
+        assert int(aud["rms_e4"]) == expect["rms_e4"]
+        assert int(aud["zcr_e4"]) == expect["zcr_e4"]
+        assert int(aud["dur_ms"]) == expect["dur_ms"]
+        xf = synth_samples(mid, 1000 + mid * 37, 42).astype(
+            np.float64) / 32768.0
+        rms = float(np.sqrt((xf * xf).mean()))
+        assert int(aud["rms_e4"]) == int(np.floor(rms * 10_000 + 0.5))
+        # images keep the -1 sentinel on audio stats and vice versa
+        assert (out[out["kind"] == "image"]["rms_e4"] == -1).all()
+        assert (out[out["kind"] == "audio"]["mean_r_e4"] == -1).all()
 
     def test_deterministic_features(self):
         from calendar_event_entity_extraction_ray.stages.multimodal import (
