@@ -1338,6 +1338,47 @@ def q_orders_with_bulk(sf_dir: str) -> Any:
     return semi_join(orders, bulk, "o_orderkey", ["o_orderkey"])
 
 
+def q_doc_len_cume(sf_dir: str) -> Any:
+    """CUME_DIST over document lengths: the global value-rank transform.
+    A value-count table (bounded by DISTINCT lengths, not rows) folds
+    from per-batch partials, broadcasts via ray.put, and each batch
+    assigns cume = count(v' <= v)/n with one vectorized searchsorted —
+    a two-pass transform, no global sort. Exact rational k/n in double
+    matches SQL CUME_DIST bit-for-bit."""
+    import math
+
+    import numpy as np
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ds = ds.materialize()   # consumed twice: value counts + assignment
+
+    counts = grouped_count(ds, "n_chars", out_col="n").to_pandas()
+    counts = counts.sort_values("n_chars")
+    values = counts["n_chars"].to_numpy(dtype=np.int64)
+    cum = counts["n"].to_numpy(dtype=np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    table_ref = _ray.put((values, cum))
+
+    def assign(b: pa.Table) -> pa.Table:
+        vals, cums = _ray.get(table_ref)
+        v = b.column("n_chars").to_numpy()
+        k = cums[np.searchsorted(vals, v, side="left")]
+        cume = k.astype(np.float64) / total
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "cume_e4": pa.array(
+                [int(math.floor(c * 10_000 + 0.5)) for c in cume],
+                pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1413,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_p90": q_docs_above_p90,
         "grouped_approx_distinct": q_grouped_approx_distinct,
         "orders_with_bulk": q_orders_with_bulk,
+        "doc_len_cume": q_doc_len_cume,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -1768,6 +1810,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_quantity > 45)
+        """,
+        "doc_len_cume": """
+            SELECT doc_id,
+                   CAST(FLOOR(CUME_DIST() OVER (ORDER BY n_chars)
+                        * 10000 + 0.5) AS BIGINT) AS cume_e4
+            FROM documents
         """,
         "tfidf_top_terms": """
             WITH words AS (

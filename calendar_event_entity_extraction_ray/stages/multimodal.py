@@ -260,3 +260,39 @@ def synth_samples(media_id: int, dur_ms: int, seed: int,
     freq = 220.0 + (media_id % 16) * 55.0
     x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(n)
     return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+
+
+class ResampleAudio:
+    """Actor-pool stage: WAV payload -> WAV payload at ``rate`` Hz via
+    nearest-sample selection (the audio analogue of ResizeImages — a real
+    kernel over the real RIFF container; no interpolation, so output
+    samples are a subset of input samples and stay exactly int16).
+    Non-audio rows pass through untouched; non-WAV audio raises in strict
+    mode (compressed formats need codec libraries)."""
+
+    def __init__(self, rate: int = 4000, strict: bool = False) -> None:
+        self.rate = rate
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = []
+        for kind, p in zip(kinds, payloads):
+            if kind != "audio" or p is None:
+                out.append(p)
+            elif is_wav(p):
+                samples, rate_in = decode_wav(p)
+                n_out = int(round(len(samples) * self.rate / rate_in))
+                idx = np.minimum(
+                    (np.arange(n_out, dtype=np.float64)
+                     * rate_in / self.rate).astype(np.int64),
+                    max(len(samples) - 1, 0))
+                out.append(encode_wav(samples[idx], self.rate))
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-WAV audio resample needs a codec library")
+            else:
+                out.append(p)
+        i = batch.schema.get_field_index("payload")
+        return batch.set_column(i, "payload", pa.array(out, pa.binary()))

@@ -276,3 +276,23 @@ class TestPartitionedRowWindow:
             2.0, 5.0, 6.0, 8.0]
         assert got[got["u"] == 1]["seq"].tolist() == [1, 2, 3, 4]
         assert got[got["u"] == 2]["roll_sum"].tolist() == [10.0, 30.0]
+
+
+class TestSemiJoin:
+    def test_exists_semantics_and_complement(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            anti_join,
+            semi_join,
+        )
+
+        left = ray.data.from_pandas(pd.DataFrame({
+            "k": [1.0, 2.0, 3.0, None], "p": ["a", "b", "c", "d"]}))
+        right = ray.data.from_pandas(pd.DataFrame({"k": [2.0, 3.0, None]}))
+        semi = (semi_join(left, right, "k", ["k", "p"])
+                .to_pandas().sort_values("p"))
+        # NULL-key left DROPPED by EXISTS (can't be proven to match)
+        assert semi["p"].tolist() == ["b", "c"]
+        anti = anti_join(left, right, "k", ["k", "p"]).to_pandas()
+        assert sorted(semi["p"]) + sorted(anti["p"]) == ["b", "c", "a", "d"]

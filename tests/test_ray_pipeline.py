@@ -688,3 +688,36 @@ class TestEvaluate:
         assert m["exact_match"] == 0.5
         assert m["json_validity"] == 0.5
         assert m["action_accuracy"] == 0.5
+
+
+class TestResampleAudio:
+    def test_real_nearest_resample(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.functions.audiocodec import (
+            decode_wav,
+        )
+        from calendar_event_entity_extraction_ray.stages.multimodal import (
+            ResampleAudio,
+            synth_media_table,
+        )
+
+        ds = ray.data.from_arrow(synth_media_table(9))
+        out = ds.map_batches(
+            ResampleAudio, fn_constructor_kwargs={"rate": 4000},
+            batch_format="pyarrow", batch_size=4, concurrency=(1, 2),
+        ).to_pandas()
+        src = synth_media_table(9).to_pandas()
+        for _, row in out[out["kind"] == "audio"].iterrows():
+            samples, rate = decode_wav(bytes(row["payload"]))
+            assert rate == 4000
+            orig, orate = decode_wav(bytes(
+                src[src["media_id"] == row["media_id"]].iloc[0]["payload"]))
+            assert orate == 8000
+            assert abs(len(samples) - len(orig) // 2) <= 1
+            # nearest selection: every output sample exists in the input
+            assert np.isin(samples, orig).all()
+        # non-audio payloads byte-identical
+        for _, row in out[out["kind"] != "audio"].iterrows():
+            assert bytes(row["payload"]) == bytes(
+                src[src["media_id"] == row["media_id"]].iloc[0]["payload"])
