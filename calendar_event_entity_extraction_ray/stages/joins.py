@@ -236,7 +236,38 @@ def range_join_count(
     return hash_partition_map(both, "_kh", count_fold)
 
 
-def _exists_join(left, right, key, left_cols, want_match, num_buckets):
+def _right_key_bloom(right, key, n_bits, k=4):
+    """Per-batch partial Bloom filters over the right side's key hashes,
+    OR-folded on the driver (bit-array-sized, never the keys)."""
+    import ray
+
+    from calendar_event_entity_extraction_ray.functions.bloom import (
+        BloomFilter,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        hash64_columns,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_valid(b.column(key)))
+        f = BloomFilter(n_bits=n_bits, k=k)
+        if b.num_rows:
+            f.add_hashes(hash64_columns(b, [key]))
+        return pa.table({"bloom": pa.array([f.serialize()], pa.binary())})
+
+    merged = BloomFilter(n_bits=n_bits, k=k)
+    for b in right.map_batches(partial,
+                               batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b.column("bloom").to_pylist():
+            merged.merge(BloomFilter.deserialize(blob, k=k))
+    return ray.put(merged)
+
+
+def _exists_join(left, right, key, left_cols, want_match, num_buckets,
+                 bloom_bits=0):
     """Shared kernel for semi (EXISTS) / anti (NOT EXISTS) joins: both
     sides exchange on the key hash, each partition does one vectorized
     ``isin`` against its co-located right-key set (exact key equality —
@@ -250,6 +281,44 @@ def _exists_join(left, right, key, left_cols, want_match, num_buckets):
     )
 
     l_cols = list(dict.fromkeys([key] + list(left_cols)))
+
+    bypass = None
+    if bloom_bits:
+        # Bloom pre-filter: definite-miss left rows (and NULL keys — a
+        # definite non-match) never enter the exchange; maybe-match rows
+        # go through the exact exchange as usual. No false negatives, so
+        # results are identical — only shuffle volume changes. The
+        # definite-miss stream IS the answer for anti and a definite
+        # drop for semi.
+        import ray as _ray
+
+        from calendar_event_entity_extraction_ray.functions.bloom import (
+            BloomFilter,
+        )
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            hash64_columns,
+        )
+
+        bloom_ref = _right_key_bloom(right, key, bloom_bits)
+
+        def split(b: pa.Table, keep_maybe: bool) -> pa.Table:
+            import pyarrow.compute as pc
+
+            f = _ray.get(bloom_ref)
+            b2 = b.select(l_cols)
+            valid = pc.is_valid(b2.column(key)).to_numpy(
+                zero_copy_only=False)
+            maybe = valid & f.contains_hashes(hash64_columns(b2, [key]))
+            want = maybe if keep_maybe else ~maybe
+            return b2.filter(pa.array(want, pa.bool_()))
+
+        if not want_match:
+            bypass = left.map_batches(
+                lambda b: split(b, False).select(left_cols),
+                batch_format="pyarrow")
+        left = left.map_batches(lambda b: split(b, True),
+                                batch_format="pyarrow")
+
     lt = _tag_side(left, key, "l", l_cols, [])
     rt = _tag_side(right, key, "r", [key],
                    [c for c in l_cols if c != key], drop_null_key=True)
@@ -268,8 +337,9 @@ def _exists_join(left, right, key, left_cols, want_match, num_buckets):
         keep = matched if want_match else pc.invert(matched)
         return lg.filter(keep).select(left_cols)
 
-    return hash_partition_map(both, "_kh", fold,
-                              num_partitions=num_buckets)
+    out = hash_partition_map(both, "_kh", fold,
+                             num_partitions=num_buckets)
+    return out.union(bypass) if bypass is not None else out
 
 
 def anti_join(
@@ -278,9 +348,13 @@ def anti_join(
     key: str,
     left_cols: List[str],
     num_buckets: Optional[int] = None,
+    bloom_bits: int = 0,
 ) -> "ray.data.Dataset":
-    """Large-large anti join (SQL ``NOT EXISTS``) — see ``_exists_join``."""
-    return _exists_join(left, right, key, left_cols, False, num_buckets)
+    """Large-large anti join (SQL ``NOT EXISTS``) — see ``_exists_join``.
+    ``bloom_bits`` > 0 enables the Bloom pre-filter (size ~16x expected
+    distinct right keys): definite-miss left rows bypass the exchange."""
+    return _exists_join(left, right, key, left_cols, False, num_buckets,
+                        bloom_bits=bloom_bits)
 
 
 def semi_join(
@@ -289,7 +363,11 @@ def semi_join(
     key: str,
     left_cols: List[str],
     num_buckets: Optional[int] = None,
+    bloom_bits: int = 0,
 ) -> "ray.data.Dataset":
     """Large-large semi join (SQL ``EXISTS``) — left rows with at least
-    one right match; right columns never ship. See ``_exists_join``."""
-    return _exists_join(left, right, key, left_cols, True, num_buckets)
+    one right match; right columns never ship. See ``_exists_join``.
+    ``bloom_bits`` > 0 prunes definite-miss left rows before the
+    exchange."""
+    return _exists_join(left, right, key, left_cols, True, num_buckets,
+                        bloom_bits=bloom_bits)

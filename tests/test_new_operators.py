@@ -296,3 +296,44 @@ class TestSemiJoin:
         assert semi["p"].tolist() == ["b", "c"]
         anti = anti_join(left, right, "k", ["k", "p"]).to_pandas()
         assert sorted(semi["p"]) + sorted(anti["p"]) == ["b", "c", "a", "d"]
+
+
+class TestBloomPrefilter:
+    def test_bloom_no_false_negatives(self):
+        from calendar_event_entity_extraction_ray.functions.bloom import (
+            BloomFilter,
+        )
+
+        rng = np.random.RandomState(4)
+        keys = rng.randint(0, 2**62, 10_000).astype(np.int64)
+        f = BloomFilter(n_bits=1 << 18, k=4).add_hashes(keys)
+        assert f.contains_hashes(keys).all()
+        other = rng.randint(0, 2**62, 10_000).astype(np.int64)
+        fp = f.contains_hashes(other).mean()
+        assert fp < 0.05  # ~0.6% expected at 16x sizing
+        # serialize round-trip + merge
+        g = BloomFilter.deserialize(f.serialize(), k=4)
+        assert g.contains_hashes(keys).all()
+        h = BloomFilter(n_bits=1 << 18, k=4).merge(g)
+        assert h.contains_hashes(keys).all()
+
+    def test_joins_identical_with_and_without_bloom(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            anti_join,
+            semi_join,
+        )
+
+        rng = np.random.RandomState(6)
+        left = pd.DataFrame({
+            "k": np.append(rng.randint(0, 5000, 3000).astype(float), np.nan),
+            "id": np.arange(3001)})
+        right = pd.DataFrame({"k": rng.randint(0, 1000, 500).astype(float)})
+        lds = ray.data.from_pandas(left).repartition(4)
+        rds = ray.data.from_pandas(right).repartition(2)
+        for fn in (anti_join, semi_join):
+            plain = set(fn(lds, rds, "k", ["id"]).to_pandas()["id"])
+            bloomed = set(fn(lds, rds, "k", ["id"],
+                             bloom_bits=1 << 16).to_pandas()["id"])
+            assert plain == bloomed, fn.__name__
