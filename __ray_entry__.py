@@ -1379,6 +1379,20 @@ def q_doc_len_cume(sf_dir: str) -> Any:
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def q_user_event_pivot(sf_dir: str) -> Any:
+    """Pivot: per-user event-type counts as columns (conditional
+    aggregation through the partial pre-agg path — the shuffle moves
+    |users| x |batches| partial rows, never events).
+    stages/aggregate.py:pivot_count."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        pivot_count,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = pivot_count(ds, "user_id", "event_type")
+    return _int64(out.to_pandas())
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1455,6 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_approx_distinct": q_grouped_approx_distinct,
         "orders_with_bulk": q_orders_with_bulk,
         "doc_len_cume": q_doc_len_cume,
+        "user_event_pivot": q_user_event_pivot,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -1816,6 +1831,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(CUME_DIST() OVER (ORDER BY n_chars)
                         * 10000 + 0.5) AS BIGINT) AS cume_e4
             FROM documents
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "tfidf_top_terms": """
             WITH words AS (

@@ -248,3 +248,40 @@ def top_k_per_group(
     out = hash_partition_map(
         pruned, "_gh", lambda t: local_topk(t, with_rank=True))
     return out.drop_columns(["_gh"])
+
+
+def pivot_count(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    pivot_col: str,
+    values: Optional[List[str]] = None,
+    prefix: str = "n_",
+) -> "ray.data.Dataset":
+    """Pivot a low-cardinality column into per-value count columns
+    (SQL ``COUNT(*) FILTER (WHERE pivot = v)`` per v, GROUP BY key).
+
+    The pivot values are discovered with one salted grouped count when
+    not given (bounded by the column's distinct values); each batch then
+    emits vectorized 0/1 indicator columns and the existing
+    ``grouped_sums`` partial-aggregation path reduces them — the shuffle
+    moves |keys| x |batches| partial rows, never input rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if values is None:
+        vals = grouped_count(ds, pivot_col, out_col="_n").to_pandas()
+        values = sorted(vals[pivot_col].dropna().tolist())
+
+    cols = [f"{prefix}{v}" for v in values]
+
+    def indicators(b: pa.Table) -> pa.Table:
+        out = b.select([key_col])
+        pv = b.column(pivot_col)
+        for v, c in zip(values, cols):
+            ind = pc.cast(pc.equal(pv, v), pa.int64())
+            out = out.append_column(c, pc.fill_null(ind, 0))
+        return out
+
+    wide = ds.map_batches(indicators, batch_format="pyarrow")
+    out = grouped_sums(wide, [key_col], cols, count_alias="_rows")
+    return out.drop_columns(["_rows"])

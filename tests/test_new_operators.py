@@ -337,3 +337,26 @@ class TestBloomPrefilter:
             bloomed = set(fn(lds, rds, "k", ["id"],
                              bloom_bits=1 << 16).to_pandas()["id"])
             assert plain == bloomed, fn.__name__
+
+
+class TestPivotCount:
+    def test_matches_crosstab(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            pivot_count,
+        )
+
+        rng = np.random.RandomState(8)
+        df = pd.DataFrame({
+            "u": rng.randint(0, 30, 2000),
+            "t": rng.choice(["a", "b", "c"], 2000)})
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = (pivot_count(ds, "u", "t").to_pandas()
+               .sort_values("u").reset_index(drop=True))
+        expect = (pd.crosstab(df["u"], df["t"])
+                  .rename(columns={c: f"n_{c}" for c in "abc"})
+                  .reset_index().rename_axis(None, axis=1))
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), expect.astype("int64"),
+            check_names=False)
