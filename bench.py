@@ -64,12 +64,11 @@ def run_bench() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         # fused synthetic-source mode: the range block IS the work unit;
-        # page rendering, extraction, linking and dedup all run inside one
-        # actor pool (no task->actor handoff). Fixed-size pool: all actors
-        # start up front, one CPU left for the spill/merge tasks.
-        # 4 blocks per CPU: measured sweet spot (64/128/192 blocks at 32
-        # cpus -> 12.0/11.6/13.3 s) — finer granularity balances the actor
-        # pool's tail without per-block overhead taking over
+        # page rendering, extraction, linking and dedup all run inside ONE
+        # task-based map_batches over Ray's pre-started worker pool (state
+        # cached per worker process — no actor-pool spin-up; measured
+        # 13.2s -> 8.1s at 32 cpus). 4 blocks per CPU: measured sweet spot
+        # — finer granularity balances the tail without per-block overhead
         ids = ray.data.range(n_pages, override_num_blocks=max(num_cpus * 4, 8))
         triples = kg_triples(
             ids,
@@ -138,15 +137,22 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best-of-N: this host shows substantial run-to-run noise; the
-        # minimum wall time estimates each level's true capacity
-        results = [run_once(ncpu) for _ in range(repeats)]
-        return min(results, key=lambda r: r["value"])
-
-    r_lo = run(lo)
-    r_hi = run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # PAIRED runs, median ratio: this host's load drifts on the scale of
+    # minutes and the two levels react to it differently — taking the
+    # independent best-of-N per level lets one lucky low-cpu sample pair
+    # with an unlucky high-cpu sample and distort the ratio (measured
+    # 0.74 from independent minima in the same session where every
+    # back-to-back pair gave 0.86-0.89). Each pair runs lo then hi
+    # adjacently (same host window); the median pair ratio resists
+    # outliers in both directions.
+    pairs = []
+    for _ in range(repeats):
+        r_lo = run_once(lo)
+        r_hi = run_once(hi)
+        pairs.append((r_lo, r_hi,
+                      (r_lo["value"] / r_hi["value"]) / (hi / lo)))
+    pairs.sort(key=lambda p: p[2])
+    r_lo, r_hi, eff = pairs[len(pairs) // 2]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -155,6 +161,7 @@ def run_scaling() -> dict:
         f"sec_{hi}": r_hi["value"],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "all_pair_ratios": [round(p[2], 3) for p in pairs],
         "cpus": [lo, hi],
         "n_pages": r_lo["n_pages"],
     }
