@@ -53,13 +53,15 @@ def augment_pipeline(
     att_pool, loc_pool = attendee_location_pools(normalized, k=500)
     att_ref, loc_ref = ray.put(att_pool), ray.put(loc_pool)
 
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
     augmented = normalized.map_batches(
-        AugmentRecords,
-        fn_constructor_kwargs={"att_pool_ref": att_ref, "loc_pool_ref": loc_ref,
-                               "seed": seed},
+        run_stage,
+        fn_kwargs={"_cls": AugmentRecords, "att_pool_ref": att_ref,
+                   "loc_pool_ref": loc_ref, "seed": seed},
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
 
     if n_synth > 0:

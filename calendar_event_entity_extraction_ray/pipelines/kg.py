@@ -60,14 +60,19 @@ def extract_stage(
     batch_size: int | None = None,
 ) -> "ray.data.Dataset":
     """S1 + lang filter + S2: pages -> events dataset."""
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
     texted = pages.map_batches(html_to_text_batch, batch_format="pyarrow")
     en = texted.map_batches(filter_lang, batch_format="pyarrow")
+    # task form with per-worker instance cache (stages/taskform.py):
+    # grammar compiles once per worker, no pool spin-up
     return en.map_batches(
-        ExtractEvents,
+        run_stage,
+        fn_kwargs={"_cls": ExtractEvents},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=extract_concurrency,
-        num_cpus=1,
     )
 
 

@@ -225,12 +225,16 @@ def minhash_lsh_dup_ids(
         hash_partition_map,
     )
 
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
     bands = ds.map_batches(
-        MinHashBands,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "num_perm": num_perm, "num_bands": num_bands},
+        run_stage,
+        fn_kwargs={"_cls": MinHashBands, "text_col": text_col,
+                   "id_col": id_col, "num_perm": num_perm,
+                   "num_bands": num_bands},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     # ONE exchange does all the candidate pruning: band rows co-locate by

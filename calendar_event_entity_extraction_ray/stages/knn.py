@@ -152,11 +152,15 @@ def knn_ivf(
     probes = np.argsort(-(cents @ qn))[: n_probe].astype(np.int64)
 
     cents_ref = ray.put(cents)
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
     assigned = ds.map_batches(
-        _IvfAssign,
-        fn_constructor_kwargs={"centroids": cents_ref, "vec_col": vec_col},
+        run_stage,
+        fn_kwargs={"_cls": _IvfAssign, "centroids": cents_ref,
+                   "vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=2,
     )
     cand = assigned.map_batches(
         lambda b: b.filter(pc.is_in(b.column("ivf_cell"),
@@ -187,12 +191,15 @@ def knn_lsh(
     if probe_radius >= 1:
         probes |= {qb ^ (1 << i) for i in range(n_planes)}
 
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
     bucketed = ds.map_batches(
-        _SrpBucket,
-        fn_constructor_kwargs={"dim": len(q), "n_planes": n_planes,
-                               "seed": seed, "vec_col": vec_col},
+        run_stage,
+        fn_kwargs={"_cls": _SrpBucket, "dim": len(q), "n_planes": n_planes,
+                   "seed": seed, "vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=2,
     )
     cand = bucketed.map_batches(
         lambda b: b.filter(pc.is_in(b.column("bucket"),
