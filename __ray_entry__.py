@@ -535,10 +535,15 @@ def q_embedding_dups_lsh(sf_dir: str) -> Any:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = ds.take(1)[0]
     dim = len(first["embedding"])
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
     bucketed = ds.map_batches(
-        _SrpBucket,
-        fn_constructor_kwargs={"dim": dim, "n_planes": 4, "seed": 13},
-        batch_format="pyarrow", concurrency=(1, 2),
+        run_stage,
+        fn_kwargs={"_cls": _SrpBucket, "dim": dim, "n_planes": 4,
+                   "seed": 13},
+        batch_format="pyarrow",
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -940,12 +945,17 @@ def q_tokenize(sf_dir: str) -> Any:
                          "prompt": pa.array(prompts, pa.string()),
                          "completion": pa.array(comps, pa.string())})
 
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
     feats = _synth_records(sf_dir).map_batches(
         to_pc, batch_format="pyarrow"
     ).map_batches(
-        TokenizeRecords,
-        fn_constructor_kwargs={"fmt": "assignment", "id_col": "rec_id"},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        run_stage,
+        fn_kwargs={"_cls": TokenizeRecords, "fmt": "assignment",
+                   "id_col": "rec_id"},
+        batch_format="pyarrow",
     )
 
     def summarize(b: pa.Table) -> pa.Table:
@@ -1393,6 +1403,61 @@ def q_user_event_pivot(sf_dir: str) -> Any:
     return _int64(out.to_pandas())
 
 
+def q_lineitem_melt(sf_dir: str) -> Any:
+    """Unpivot (wide -> long): lineitem measures as (key, measure, value)
+    rows — zero-shuffle per-batch Arrow concat
+    (stages/aggregate.py:melt)."""
+    import math
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import melt
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    out = melt(ds, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "measure": b.column("measure"),
+            "val_e4": pa.array(
+                [int(math.floor(v * 10_000 + 0.5))
+                 for v in b.column("value").to_pylist()], pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_user_value_lag(sf_dir: str) -> Any:
+    """SQL LAG per user ordered by (ts, event_id): the same one-exchange
+    row-window operator with the lag emitter; NULLs on each user's first
+    row survive to the output (SQL parity)."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        partitioned_row_window,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+    out = partitioned_row_window(
+        ev, by="user_id", order_cols=["ts", "event_id"],
+        value_col="value", lag=1)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lagv = b.column("lag_value").to_numpy(zero_copy_only=False)
+        scaled = [None if v is None or (isinstance(v, float) and np.isnan(v))
+                  else int(np.floor(v * 100 + 0.5)) for v in lagv]
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "prev_value_e2": pa.array(scaled, pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1470,6 +1535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_bulk": q_orders_with_bulk,
         "doc_len_cume": q_doc_len_cume,
         "user_event_pivot": q_user_event_pivot,
+        "lineitem_melt": q_lineitem_melt,
+        "user_value_lag": q_user_value_lag,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -1831,6 +1898,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(CUME_DIST() OVER (ORDER BY n_chars)
                         * 10000 + 0.5) AS BIGINT) AS cume_e4
             FROM documents
+        """,
+        "lineitem_melt": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT) AS val_e4
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+            FROM lineitem
+        """,
+        "user_value_lag": """
+            SELECT event_id,
+                   CAST(FLOOR(LAG(value) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) * 100 + 0.5) AS BIGINT)
+                       AS prev_value_e2
+            FROM events
         """,
         "user_event_pivot": """
             SELECT user_id,

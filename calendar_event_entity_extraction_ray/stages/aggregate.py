@@ -285,3 +285,31 @@ def pivot_count(
     wide = ds.map_batches(indicators, batch_format="pyarrow")
     out = grouped_sums(wide, [key_col], cols, count_alias="_rows")
     return out.drop_columns(["_rows"])
+
+
+def melt(
+    ds: "ray.data.Dataset",
+    id_cols: List[str],
+    value_cols: List[str],
+    var_col: str = "measure",
+    value_col: str = "value",
+) -> "ray.data.Dataset":
+    """Unpivot (wide -> long): one output row per (input row, value
+    column), carrying the column NAME and its value — the inverse of
+    ``pivot_count``'s shape. Pure per-batch Arrow concat (zero shuffle,
+    streams); the value columns are cast to float64 for a uniform value
+    column (SQL UNION ALL oracle does the same)."""
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            t = b.select(id_cols)
+            t = t.append_column(
+                var_col, pa.array([c] * b.num_rows, pa.string()))
+            t = t.append_column(
+                value_col, pc.cast(b.column(c), pa.float64()))
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(explode, batch_format="pyarrow")

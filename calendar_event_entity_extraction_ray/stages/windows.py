@@ -68,12 +68,15 @@ def partitioned_row_window(
     rolling: int = 0,
     seq_col: str = "seq",
     roll_col: str = "roll_sum",
+    lag: int = 0,
+    lag_col: str = "lag_value",
 ) -> "ray.data.Dataset":
     """SQL row-window functions over a partitioned order: per ``by`` key
     ordered by ``order_cols``, emits ROW_NUMBER (``seq_col``) and, when
     ``rolling`` > 0 and ``value_col`` is set, the rolling sum of the last
     ``rolling`` rows including the current (``ROWS BETWEEN rolling-1
-    PRECEDING AND CURRENT ROW``).
+    PRECEDING AND CURRENT ROW``) and, when ``lag`` > 0, SQL
+    ``LAG(value, lag)`` (NULL for each key's first ``lag`` rows).
 
     One exchange on the key hash, then per partition ONE vectorized
     sort + groupby.cumcount / groupby.rolling — every key's rows co-locate,
@@ -97,6 +100,9 @@ def partitioned_row_window(
             df[roll_col] = (
                 g[value_col].rolling(rolling, min_periods=1).sum()
                 .reset_index(level=0, drop=True))
+        if lag > 0 and value_col is not None:
+            # SQL LAG(value, lag): NULL for the first `lag` rows per key
+            df[lag_col] = g[value_col].shift(lag)
         return pa.Table.from_pandas(df.drop(columns=["_kh"]),
                                     preserve_index=False)
 
