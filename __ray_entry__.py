@@ -1458,6 +1458,44 @@ def q_user_value_lag(sf_dir: str) -> Any:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_heavy_hitters(sf_dir: str) -> Any:
+    """Misra-Gries heavy hitters (functions/sketch.py): one bounded
+    counter set per batch, merged on the driver (counters, never rows).
+    Oracle-shaped output: the exact top-10 users by event count next to
+    an ``mg_ok`` indicator that the sketch (k=256) contains each with an
+    estimate within the guaranteed n/(k+1) undercount bound."""
+    from calendar_event_entity_extraction_ray.functions.sketch import (
+        MisraGries,
+    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+
+    K = 256
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        mg = MisraGries(k=K).add_many(b.column("user_id").to_pylist())
+        return pa.table({"mg": pa.array([mg.serialize()], pa.binary())})
+
+    merged = MisraGries(k=K)
+    total = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b.column("mg").to_pylist():
+            merged.merge(MisraGries.deserialize(blob, k=K))
+    total = int(ds.count())
+
+    exact = grouped_count(ds, "user_id", out_col="n").to_pandas()
+    exact = (exact.sort_values(["n", "user_id"], ascending=[False, True])
+             .head(10).reset_index(drop=True))
+    bound = total / (K + 1)
+    exact["mg_ok"] = [
+        1 if (n - bound) <= merged.counters.get(u, 0) <= n else 0
+        for u, n in zip(exact["user_id"], exact["n"])]
+    return _int64(exact)
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1537,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": q_user_event_pivot,
         "lineitem_melt": q_lineitem_melt,
         "user_value_lag": q_user_value_lag,
+        "heavy_hitter_users": q_heavy_hitters,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -1918,6 +1957,14 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY ts, event_id) * 100 + 0.5) AS BIGINT)
                        AS prev_value_e2
             FROM events
+        """,
+        "heavy_hitter_users": """
+            SELECT user_id, n, 1 AS mg_ok FROM (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id)
+                         AS rnk
+              FROM events GROUP BY user_id)
+            WHERE rnk <= 10
         """,
         "user_event_pivot": """
             SELECT user_id,

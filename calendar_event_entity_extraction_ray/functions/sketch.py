@@ -59,3 +59,62 @@ class HyperLogLog:
         h = cls(p=data[0])
         h.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
         return h
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary (the deterministic frequent-items
+    sketch): at most ``k`` counters; any item with true frequency
+    > n/(k+1) is guaranteed present, and each estimate undercounts by at
+    most n/(k+1). Mergeable (Agarwal et al.'s merge: sum counters, then
+    subtract the (k+1)-th largest and drop non-positives), so per-batch
+    partials fold on the driver — counters, never rows."""
+
+    def __init__(self, k: int = 64) -> None:
+        self.k = k
+        self.counters: dict = {}
+
+    def add_many(self, items) -> "MisraGries":
+        c = self.counters
+        k = self.k
+        for x in items:
+            if x in c:
+                c[x] += 1
+            elif len(c) < k:
+                c[x] = 1
+            else:
+                dead = []
+                for key in c:
+                    c[key] -= 1
+                    if c[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del c[key]
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        c = dict(self.counters)
+        for x, n in other.counters.items():
+            c[x] = c.get(x, 0) + n
+        if len(c) > self.k:
+            cut = sorted(c.values(), reverse=True)[self.k]
+            c = {x: n - cut for x, n in c.items() if n - cut > 0}
+        self.counters = c
+        return self
+
+    def serialize(self) -> bytes:
+        import json
+
+        # default=int coerces numpy integer keys/counts; key=str orders
+        # deterministically across mixed key types
+        return json.dumps(
+            sorted(([x, n] for x, n in self.counters.items()),
+                   key=lambda kv: str(kv[0])),
+            default=int).encode()
+
+    @classmethod
+    def deserialize(cls, data: bytes, k: int = 64) -> "MisraGries":
+        import json
+
+        s = cls(k=k)
+        s.counters = {x: n for x, n in json.loads(data.decode())}
+        return s

@@ -32,3 +32,29 @@ class TestHLL:
     def test_none_skipped(self):
         h = HyperLogLog(p=12).add_many(["a", None, "b"])
         assert round(h.estimate()) == 2
+
+
+class TestMisraGries:
+    def test_guarantees_and_merge(self):
+        import numpy as np
+
+        from calendar_event_entity_extraction_ray.functions.sketch import (
+            MisraGries,
+        )
+
+        rng = np.random.RandomState(0)
+        items = list(rng.zipf(1.5, 100_000) % 1000)
+        k = 50
+        a = MisraGries(k=k).add_many(items[:50_000])
+        b = MisraGries(k=k).add_many(items[50_000:])
+        a.merge(MisraGries.deserialize(b.serialize(), k=k))
+        from collections import Counter
+
+        true = Counter(items)
+        n = len(items)
+        for x, cnt in true.most_common(5):
+            est = a.counters.get(x, 0)
+            # frequent-items guarantee: undercount bounded by n/(k+1),
+            # never overcount
+            assert cnt - n / (k + 1) <= est <= cnt
+        assert len(a.counters) <= k
