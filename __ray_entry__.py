@@ -1496,6 +1496,29 @@ def q_heavy_hitters(sf_dir: str) -> Any:
     return _int64(exact)
 
 
+def q_events_rollup(sf_dir: str) -> Any:
+    """GROUP BY ROLLUP(event_type, day): one distributed pass at the
+    finest level, coarser levels re-aggregated from the bounded result;
+    GROUPING bitmask distinguishes rolled-up NULLs from real NULL keys
+    (stages/aggregate.py:rollup_counts)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        rollup_counts,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "day": pc.floor_temporal(b.column("ts"), unit="day"),
+        })
+
+    return rollup_counts(ds.map_batches(day, batch_format="pyarrow"),
+                         ["event_type", "day"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1576,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": q_lineitem_melt,
         "user_value_lag": q_user_value_lag,
         "heavy_hitter_users": q_heavy_hitters,
+        "events_rollup": q_events_rollup,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -1965,6 +1989,13 @@ def oracle_sql() -> dict[str, str]:
                          AS rnk
               FROM events GROUP BY user_id)
             WHERE rnk <= 10
+        """,
+        "events_rollup": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(GROUPING(event_type, date_trunc('day', ts))
+                        AS BIGINT) AS gid
+            FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
         """,
         "user_event_pivot": """
             SELECT user_id,

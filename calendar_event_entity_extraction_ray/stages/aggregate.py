@@ -313,3 +313,43 @@ def melt(
         return pa.concat_tables(parts)
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def rollup_counts(
+    ds: "ray.data.Dataset",
+    cols: List[str],
+    out_col: str = "n",
+    grouping_col: str = "gid",
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(cols)``: counts at every prefix level plus the
+    SQL GROUPING bitmask (first column = most-significant bit), which is
+    what distinguishes a rolled-up NULL from a genuine NULL key.
+
+    ONE pass over the data: the finest level runs through the
+    ``grouped_sums`` partial pre-aggregation (NULL groups kept); every
+    coarser level re-aggregates the finest RESULT, which is bounded by
+    the group-key cardinality, not the input — so the rollup costs one
+    distributed aggregate plus driver-side pandas folds over kilobytes."""
+    finest = grouped_sums(ds, cols, [], count_alias=out_col).to_pandas()
+    finest[out_col] = finest[out_col].astype("int64")
+    frames = []
+    f0 = finest[cols + [out_col]].copy()
+    f0[grouping_col] = 0
+    frames.append(f0)
+    n_cols = len(cols)
+    for lvl in range(n_cols - 1, -1, -1):
+        keep, rolled = cols[:lvl], cols[lvl:]
+        gid = sum(1 << (n_cols - 1 - i) for i in range(lvl, n_cols))
+        if keep:
+            agg = (finest.groupby(keep, dropna=False)[out_col]
+                   .sum().reset_index())
+        else:
+            agg = pd.DataFrame({out_col: [int(finest[out_col].sum())]})
+        for c in rolled:
+            agg[c] = None
+        agg[grouping_col] = gid
+        frames.append(agg[cols + [out_col, grouping_col]])
+    out = pd.concat(frames, ignore_index=True)
+    out[out_col] = out[out_col].astype("int64")
+    out[grouping_col] = out[grouping_col].astype("int64")
+    return out
