@@ -1519,6 +1519,23 @@ def q_events_rollup(sf_dir: str) -> Any:
                          ["event_type", "day"])
 
 
+def q_user_journey(sf_dir: str) -> Any:
+    """Ordered per-user event-type concatenation (SQL string_agg with
+    ORDER BY — the collect/array_agg family as a deterministic string;
+    stages/aggregate.py:string_agg_by_key)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        string_agg_by_key,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    ev = ev.filter(expr="event_type == 'signup' or event_type == 'purchase'")
+    out = string_agg_by_key(ev, "user_id", "event_type",
+                            ["ts", "event_id"], sep=",", out_col="journey")
+    return out.map_batches(
+        lambda b: b.select(["user_id", "journey"]), batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1600,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_lag": q_user_value_lag,
         "heavy_hitter_users": q_heavy_hitters,
         "events_rollup": q_events_rollup,
+        "user_journey": q_user_journey,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -1996,6 +2014,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(event_type, date_trunc('day', ts))
                         AS BIGINT) AS gid
             FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "user_journey": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS journey
+            FROM events
+            WHERE event_type IN ('signup', 'purchase')
+            GROUP BY user_id
         """,
         "user_event_pivot": """
             SELECT user_id,

@@ -353,3 +353,43 @@ def rollup_counts(
     out[out_col] = out[out_col].astype("int64")
     out[grouping_col] = out[grouping_col].astype("int64")
     return out
+
+
+def string_agg_by_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    order_cols: List[str],
+    sep: str = ",",
+    out_col: str = "agg",
+) -> "ray.data.Dataset":
+    """Ordered per-key concatenation (SQL ``string_agg(value, sep ORDER
+    BY ...)`` — the collect/array_agg family, emitted as a string so the
+    result is hashable and order-DETERMINISTIC given a total order).
+
+    One exchange on the key hash, then per partition a vectorized sort +
+    ``groupby.agg(join)``. Partitioning assumption (same as asof_join):
+    one key's rows fit a partition. NULL values are skipped (SQL
+    string_agg semantics); NULL keys are kept as their own group."""
+    import pyarrow as pa
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values([key_col] + order_cols, kind="mergesort"))
+        df = df[df[value_col].notna()]
+        g = (df.groupby(key_col, sort=False, dropna=False)[value_col]
+             .agg(sep.join).reset_index().rename(
+                 columns={value_col: out_col}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_column(b, [key_col], out_col="_kh"),
+        batch_format="pyarrow")
+    return hash_partition_map(hashed, "_kh", fold)
