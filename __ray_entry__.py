@@ -1536,6 +1536,18 @@ def q_user_journey(sf_dir: str) -> Any:
         lambda b: b.select(["user_id", "journey"]), batch_format="pyarrow")
 
 
+def q_pagerank(sf_dir: str) -> Any:
+    """PageRank over the cosine>=0.3 dup-pair graph (stages/graph.py:
+    pagerank — fixed 10 damped iterations; small graphs solve in one
+    numpy task, the same code the golden mirror runs, so results are
+    bit-identical at oracle scale; the iterative large path is covered
+    by a tolerance unit test)."""
+    from calendar_event_entity_extraction_ray.stages.graph import pagerank
+
+    pairs = _embedding_pairs_ds(sf_dir)
+    return pagerank(pairs, "vec_id_a", "vec_id_b")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1618,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": q_heavy_hitters,
         "events_rollup": q_events_rollup,
         "user_journey": q_user_journey,
+        "pagerank_dups": q_pagerank,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -1933,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY label, dim
         """,
         "kmeans_labels": f"SELECT * FROM {_golden('kmeans_labels')}",
+        "pagerank_dups": f"SELECT * FROM {_golden('pagerank_dups')}",
         "orders_no_bulk": """
             SELECT o_orderkey FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l

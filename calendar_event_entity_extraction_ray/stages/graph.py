@@ -158,3 +158,139 @@ def connected_components(
         lambda b: pa.table({"node": b.column("node"),
                             "cluster": b.column("label")}),
         batch_format="pyarrow")
+
+
+def _pagerank_single(t: pa.Table, d: float, iters: int) -> pa.Table:
+    """Single-task exact PageRank over one symmetrized (node, dst) edge
+    table — the small-graph shortcut AND the golden mirror (the
+    distributed path must match it exactly: same float64 ops, same
+    iteration order)."""
+    import numpy as np
+
+    a = t.column("node").to_pandas().to_numpy()
+    b = t.column("dst").to_pandas().to_numpy()
+    nodes, inv_a = np.unique(a, return_inverse=True)
+    inv_b = np.searchsorted(nodes, b)
+    n = len(nodes)
+    deg = np.bincount(inv_a, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = rank / deg                      # every node has edges
+        incoming = np.zeros(n)
+        np.add.at(incoming, inv_b, contrib[inv_a])
+        rank = (1.0 - d) / n + d * incoming
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "rank_e9": pa.array(
+                         np.floor(rank * 1e9 + 0.5).astype(np.int64),
+                         pa.int64())})
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    damping: float = 0.85,
+    iters: int = 10,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """PageRank over an UNDIRECTED edge list (edges symmetrized, so every
+    node has degree >= 1 — no dangling-mass term). Fixed ``iters``
+    rounds; output (node, rank_e9) with ranks floor-scaled to 1e-9 so
+    results hash-compare against the single-process mirror.
+
+    Small graphs (<= the exchange's small-input threshold) solve in ONE
+    numpy task. The large path is the iterative broadcast shape: degrees
+    once (salted grouped count), then per round one hash_join moves
+    rank/degree across edges + one exchange folds incoming mass per
+    node — the same join-per-round skeleton as connected_components, with
+    rank state living in a Dataset, never on the driver."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        SMALL_ROWS,
+        hash_partition_map,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b.column(a_col)
+        bb = b.column(b_col)
+        return pa.table({
+            "node": pa.chunked_array(list(a.chunks) + list(bb.chunks)),
+            "dst": pa.chunked_array(list(bb.chunks) + list(a.chunks)),
+        })
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    if num_partitions is None and sym.count() <= SMALL_ROWS:
+        return (sym.repartition(1)
+                .map_batches(lambda t: _pagerank_single(t, damping, iters),
+                             batch_size=None, batch_format="pyarrow"))
+
+    # degrees + node count once
+    def deg_fold(t: pa.Table) -> pa.Table:
+        df = t.select(["node"]).to_pandas()
+        out = df.groupby("node", sort=False).size().reset_index(name="deg")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    degrees = hash_partition_map(
+        sym.map_batches(lambda b: add_hash_column(b, ["node"],
+                                                  out_col="_nh"),
+                        batch_format="pyarrow"),
+        "_nh", deg_fold, num_partitions=num_partitions).materialize()
+    n_nodes = degrees.count()
+
+    ranks = degrees.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "deg": b.column("deg"),
+                            "rank": pa.array(
+                                np.full(b.num_rows, 1.0 / n_nodes))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        moved = hash_join(
+            sym, ranks.map_batches(
+                lambda b: pa.table({
+                    "node": b.column("node"),
+                    "contrib": pa.array(
+                        b.column("rank").to_numpy()
+                        / b.column("deg").to_numpy())}),
+                batch_format="pyarrow"),
+            key="node", left_cols=["node", "dst"],
+            right_cols=["node", "contrib"], num_buckets=num_partitions)
+
+        def mass_fold(t: pa.Table, _d=damping, _n=n_nodes) -> pa.Table:
+            df = t.select(["dst", "contrib"]).to_pandas()
+            out = (df.groupby("dst", sort=False)["contrib"].sum()
+                   .reset_index().rename(columns={"dst": "node",
+                                                  "contrib": "mass"}))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        mass = hash_partition_map(
+            moved.map_batches(
+                lambda b: add_hash_column(b.select(["dst", "contrib"]),
+                                          ["dst"], out_col="_mh"),
+                batch_format="pyarrow"),
+            "_mh", mass_fold, num_partitions=num_partitions)
+        joined = hash_join(
+            degrees, mass, key="node",
+            left_cols=["node", "deg"], right_cols=["node", "mass"],
+            num_buckets=num_partitions)
+        ranks = joined.map_batches(
+            lambda b, _d=damping, _n=n_nodes: pa.table({
+                "node": b.column("node"),
+                "deg": b.column("deg"),
+                "rank": pa.array((1.0 - _d) / _n
+                                 + _d * b.column("mass").to_numpy())}),
+            batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "rank_e9": pa.array(
+                np.floor(b.column("rank").to_numpy() * 1e9 + 0.5)
+                .astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")

@@ -450,6 +450,29 @@ def golden_kmeans_labels() -> pa.Table:
     })
 
 
+def golden_pagerank_dups() -> pa.Table:
+    """Single-process mirror of q_pagerank: brute-force cosine>=0.3 pair
+    graph (same float64 normalization + matmul as _embedding_pairs_ds),
+    then the SAME _pagerank_single kernel the small-graph path runs."""
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        _pagerank_single,
+    )
+
+    df = _embeddings()
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ai, bj = np.where(sims >= 0.3)
+    keep = ids[ai] < ids[bj]
+    a, b = ids[ai][keep], ids[bj][keep]
+    sym = pa.table({
+        "node": pa.array(np.concatenate([a, b]), pa.int64()),
+        "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+    })
+    return _pagerank_single(sym, 0.85, 10)
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
     "simhash_docs": golden_simhash_docs,
@@ -468,6 +491,7 @@ GOLDENS = {
     "tokenize_records": golden_tokenize_records,
     "chatml_records": golden_chatml_records,
     "kmeans_labels": golden_kmeans_labels,
+    "pagerank_dups": golden_pagerank_dups,
 }
 
 

@@ -72,3 +72,29 @@ class TestConnectedComponents:
         got = connected_components(ds, "a", "b", num_partitions=2).to_pandas()
         assert set(got["cluster"].astype(int)) == {0}
         assert len(got) == n
+
+
+class TestPageRank:
+    def test_iterative_matches_single_task(self, ray_session):
+        """The distributed join-per-round path must agree with the
+        single-task kernel (±1 on the 1e-9-scaled ranks: float sums
+        accumulate in different orders across partitions)."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import pagerank
+
+        rng = np.random.RandomState(2)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.randint(0, 80, size=(200, 2)) if a != b]
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        })).repartition(4)
+        small = pagerank(ds, "a", "b").to_pandas()
+        iterative = pagerank(ds, "a", "b", num_partitions=2).to_pandas()
+        m_s = dict(zip(small["node"], small["rank_e9"]))
+        m_i = dict(zip(iterative["node"], iterative["rank_e9"]))
+        assert m_s.keys() == m_i.keys()
+        assert all(abs(m_s[n] - m_i[n]) <= 1 for n in m_s)
+        # probability mass ~1 (floor-scaled)
+        assert abs(sum(m_s.values()) - 10**9) < len(m_s) + 10
