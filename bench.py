@@ -75,9 +75,13 @@ def run_bench() -> dict:
             extract_concurrency=max(2, num_cpus - 1),
             gen_seed=42,
         )
+        # partition count scales with data: the merge phase sorts each
+        # partition single-threaded (~500k rows/partition keeps the sort
+        # off the critical path; a fixed 16 at 5M pages meant 2.8M-row
+        # 20s sorts). 600k pages stays at 16 (comparable to old numbers).
         manifest = materialize_graph(triples, out_dir,
                                      fingerprint=f"bench-{n_pages}",
-                                     num_partitions=16)
+                                     num_partitions=max(16, n_pages // 50_000))
         return time.time() - t0, sum(e["rows"] for e in manifest["partitions"].values())
 
     # best-of-2: this host shows ~2x run-to-run noise; min estimates capacity
