@@ -30,7 +30,11 @@ def main() -> int:
                     help="render N synthetic pages instead of reading --input")
     ap.add_argument("--out", required=True, help="output graph directory")
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument("--partitions", type=int, default=0,
+                    help="output partitions (default: auto, ~500k "
+                         "rows/partition — the merge phase sorts each "
+                         "partition single-threaded, so the count must "
+                         "scale with data volume)")
     ap.add_argument("--concurrency", type=int, default=0,
                     help="extract pool size (default: cpus-1)")
     ap.add_argument("--fingerprint", default="",
@@ -89,8 +93,10 @@ def main() -> int:
         triples = kg_triples(pages, extract_concurrency=conc)
         fingerprint = args.fingerprint or f"input-{args.input}"
 
+    # ~9 triples/page: target ~500k rows per output partition
+    n_parts = args.partitions or max(16, (n_docs * 9) // 500_000)
     manifest = materialize_graph(triples, args.out, fingerprint=fingerprint,
-                                 num_partitions=args.partitions)
+                                 num_partitions=n_parts)
     wall = time.time() - t0
     n_triples = sum(e["rows"] for e in manifest["partitions"].values())
 
