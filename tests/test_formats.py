@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
+
 from calendar_event_entity_extraction_ray.functions.formats import (
     build_chatml_prompt,
     build_few_shot_prompt,
@@ -92,3 +94,30 @@ class TestJsonlRoundtrip:
         out = load_records(str(path)).to_pandas().sort_values("prompt_text")
         assert out["prompt_text"].tolist() == ["p1", "p2"]
         assert out["completion_text"].tolist() == ["c1", "c2"]
+
+
+class TestSourceFormatRoundtrips:
+    def test_csv_and_jsonl_roundtrip_parquet(self, ray_session, tmp_path):
+        """Source-format breadth: the same table read back from CSV and
+        JSON files via Ray's native readers matches the parquet source
+        (documents columns that survive CSV's type system)."""
+        import ray
+
+        src = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"])
+        expect = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        csv_dir = str(tmp_path / "csv")
+        src.write_csv(csv_dir)
+        got_csv = (ray.data.read_csv(csv_dir).to_pandas()
+                   .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got_csv[expect.columns].astype(expect.dtypes.to_dict()), expect)
+
+        json_dir = str(tmp_path / "json")
+        src.write_json(json_dir)
+        got_json = (ray.data.read_json(json_dir).to_pandas()
+                    .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got_json[expect.columns].astype(expect.dtypes.to_dict()), expect)

@@ -1,4 +1,6 @@
-"""Quantile selection, per-group top-k, range-join-count, term-df."""
+"""Late-round-2 operators: quantiles (global/grouped), per-group top-k,
+range-join-count, term-df, anti/semi joins (+Bloom), ML stages, pivot,
+row windows."""
 
 import numpy as np
 import pandas as pd
