@@ -1548,6 +1548,28 @@ def q_pagerank(sf_dir: str) -> Any:
     return pagerank(pairs, "vec_id_a", "vec_id_b")
 
 
+def q_regex_extract(sf_dir: str) -> Any:
+    """regexp_extract parity: first >=8-letter lowercase word per doc,
+    compiled ONCE per worker (re.compile cached at module import), empty
+    string on no match (DuckDB regexp_extract convention). Simple
+    character-class patterns behave identically under Python re and
+    DuckDB's RE2 — stick to that subset for oracle-checked extracts."""
+    import re
+
+    pat = re.compile(r"[a-z]{8,}")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            m = pat.search(t or "")
+            out.append(m.group(0) if m else "")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "first_long_word": pa.array(out, pa.string())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1631,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "user_journey": q_user_journey,
         "pagerank_dups": q_pagerank,
+        "regex_extract_docs": q_regex_extract,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -2028,6 +2051,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(event_type, date_trunc('day', ts))
                         AS BIGINT) AS gid
             FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "regex_extract_docs": """
+            SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
+                       AS first_long_word
+            FROM documents
         """,
         "user_journey": """
             SELECT user_id,
