@@ -1570,6 +1570,55 @@ def q_regex_extract(sf_dir: str) -> Any:
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
+def q_events_cube(sf_dir: str) -> Any:
+    """GROUP BY CUBE(event_type, day): every grouping subset from one
+    distributed pass (stages/aggregate.py:cube_counts)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        cube_counts,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "day": pc.floor_temporal(b.column("ts"), unit="day"),
+        })
+
+    return cube_counts(ds.map_batches(day, batch_format="pyarrow"),
+                       ["event_type", "day"])
+
+
+def q_user_next_value(sf_dir: str) -> Any:
+    """SQL LEAD per user ordered by (ts, event_id) — the forward
+    counterpart of user_value_lag on the same one-exchange row-window
+    operator; NULLs on each user's last row survive."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        partitioned_row_window,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+    out = partitioned_row_window(
+        ev, by="user_id", order_cols=["ts", "event_id"],
+        value_col="value", lead=1)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = b.column("lead_value").to_numpy(zero_copy_only=False)
+        scaled = [None if x is None or (isinstance(x, float) and np.isnan(x))
+                  else int(np.floor(x * 100 + 0.5)) for x in v]
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "next_value_e2": pa.array(scaled, pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1651,6 +1700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_lag": q_user_value_lag,
         "heavy_hitter_users": q_heavy_hitters,
         "events_rollup": q_events_rollup,
+        "events_cube": q_events_cube,
+        "user_next_value": q_user_next_value,
         "user_journey": q_user_journey,
         "pagerank_dups": q_pagerank,
         "regex_extract_docs": q_regex_extract,
@@ -2056,6 +2107,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
                        AS first_long_word
             FROM documents
+        """,
+        "events_cube": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(GROUPING(event_type, date_trunc('day', ts))
+                        AS BIGINT) AS gid
+            FROM events GROUP BY CUBE(event_type, date_trunc('day', ts))
+        """,
+        "user_next_value": """
+            SELECT event_id,
+                   CAST(FLOOR(LEAD(value) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) * 100 + 0.5) AS BIGINT)
+                       AS next_value_e2
+            FROM events
         """,
         "user_journey": """
             SELECT user_id,

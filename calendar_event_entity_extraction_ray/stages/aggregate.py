@@ -315,6 +315,51 @@ def melt(
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _grouping_sets(finest: pd.DataFrame, cols: List[str], sets,
+                   out_col: str, grouping_col: str) -> pd.DataFrame:
+    """Re-aggregate a finest-level count table at each grouping set;
+    gid bitmask = SQL GROUPING() (first column = most-significant bit)."""
+    n_cols = len(cols)
+    frames = []
+    for keep in sets:
+        rolled = [c for c in cols if c not in keep]
+        gid = sum(1 << (n_cols - 1 - i)
+                  for i, c in enumerate(cols) if c in rolled)
+        if keep:
+            agg = (finest.groupby(list(keep), dropna=False)[out_col]
+                   .sum().reset_index())
+        else:
+            agg = pd.DataFrame({out_col: [int(finest[out_col].sum())]})
+        for c in rolled:
+            agg[c] = None
+        agg[grouping_col] = gid
+        frames.append(agg[cols + [out_col, grouping_col]])
+    out = pd.concat(frames, ignore_index=True)
+    out[out_col] = out[out_col].astype("int64")
+    out[grouping_col] = out[grouping_col].astype("int64")
+    return out
+
+
+def cube_counts(
+    ds: "ray.data.Dataset",
+    cols: List[str],
+    out_col: str = "n",
+    grouping_col: str = "gid",
+) -> pd.DataFrame:
+    """``GROUP BY CUBE(cols)``: counts at EVERY subset of the grouping
+    columns (2^k sets; rollup covers only prefixes). Same one-pass
+    strategy as ``rollup_counts``: one distributed aggregate at the
+    finest level, all coarser sets from the bounded result."""
+    from itertools import combinations
+
+    finest = grouped_sums(ds, cols, [], count_alias=out_col).to_pandas()
+    finest[out_col] = finest[out_col].astype("int64")
+    sets = [tuple(c for c in cols if c in combo)
+            for r in range(len(cols), -1, -1)
+            for combo in combinations(cols, r)]
+    return _grouping_sets(finest, cols, sets, out_col, grouping_col)
+
+
 def rollup_counts(
     ds: "ray.data.Dataset",
     cols: List[str],

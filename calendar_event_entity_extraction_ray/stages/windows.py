@@ -70,6 +70,8 @@ def partitioned_row_window(
     roll_col: str = "roll_sum",
     lag: int = 0,
     lag_col: str = "lag_value",
+    lead: int = 0,
+    lead_col: str = "lead_value",
 ) -> "ray.data.Dataset":
     """SQL row-window functions over a partitioned order: per ``by`` key
     ordered by ``order_cols``, emits ROW_NUMBER (``seq_col``) and, when
@@ -103,6 +105,9 @@ def partitioned_row_window(
         if lag > 0 and value_col is not None:
             # SQL LAG(value, lag): NULL for the first `lag` rows per key
             df[lag_col] = g[value_col].shift(lag)
+        if lead > 0 and value_col is not None:
+            # SQL LEAD(value, lead): NULL for the last `lead` rows per key
+            df[lead_col] = g[value_col].shift(-lead)
         return pa.Table.from_pandas(df.drop(columns=["_kh"]),
                                     preserve_index=False)
 
