@@ -275,16 +275,40 @@ def pivot_count(
     cols = [f"{prefix}{v}" for v in values]
 
     def indicators(b: pa.Table) -> pa.Table:
+        # per-batch pre-aggregation BEFORE the exchange: the shuffle moves
+        # <= |batch distinct keys| rows per batch, and the reduce runs on
+        # the explicit exchange — Ray's sort-based groupby on
+        # |keys| x |batches| partial rows measured 84s at 5M rows x 200k
+        # keys; the exchange fold does the same reduce in ~4s.
         out = b.select([key_col])
         pv = b.column(pivot_col)
         for v, c in zip(values, cols):
             ind = pc.cast(pc.equal(pv, v), pa.int64())
             out = out.append_column(c, pc.fill_null(ind, 0))
-        return out
+        df = out.to_pandas().groupby(key_col, dropna=False,
+                                     sort=False).sum().reset_index()
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            add_hash_column,
+        )
+
+        return add_hash_column(
+            pa.Table.from_pandas(df, preserve_index=False), [key_col],
+            out_col="_ph")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (t.drop_columns(["_ph"]).to_pandas()
+              .groupby(key_col, dropna=False, sort=False).sum()
+              .reset_index())
+        for c in cols:
+            df[c] = df[c].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
 
     wide = ds.map_batches(indicators, batch_format="pyarrow")
-    out = grouped_sums(wide, [key_col], cols, count_alias="_rows")
-    return out.drop_columns(["_rows"])
+    return hash_partition_map(wide, "_ph", fold)
 
 
 def melt(
