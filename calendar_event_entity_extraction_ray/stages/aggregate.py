@@ -101,8 +101,8 @@ def attendee_location_pools(
 ) -> tuple[List[str], List[str]]:
     """The reference's two top-500 pools (entity_pools.py:7-20) in ONE pass:
     explode attendees and project locations into (kind, name) rows, one
-    salted grouped count, split driver-side. One shuffle instead of two,
-    one scan of the input instead of two."""
+    exchange-reduced grouped count, split driver-side. One shuffle
+    instead of two, one scan of the input instead of two."""
 
     def explode(batch: pa.Table) -> pa.Table:
         kinds, names = [], []
@@ -124,10 +124,29 @@ def attendee_location_pools(
     def partial(b: pa.Table) -> pa.Table:
         return partial_count_batch2(b, ["kind", "name"])
 
-    partials = both.map_batches(partial, batch_format="pyarrow")
-    counts = partials.groupby(["kind", "name"]).aggregate(
-        Sum("partial", alias_name="n")
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
     )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    partials = both.map_batches(
+        lambda b: add_hash_column(partial(b), ["kind", "name"],
+                                  out_col="_gh"),
+        batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        # exchange reduce: distinct-entity cardinality scales with the
+        # corpus, which is exactly where Ray's sort-groupby cliff bites
+        # (see grouped_count)
+        df = (t.drop_columns(["_gh"]).to_pandas()
+              .groupby(["kind", "name"], dropna=False)["partial"].sum()
+              .reset_index().rename(columns={"partial": "n"}))
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = hash_partition_map(partials, "_gh", fold)
     # distributed top-k per kind: sort + limit collect only k rows each —
     # the full distinct-entity histogram never reaches the driver
     import pyarrow.compute as pc
