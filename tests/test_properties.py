@@ -226,3 +226,71 @@ class TestTokenizerProperties:
             # regex targets placeholder-shaped spans only — reference
             # semantics); otherwise no placeholder may leak
             assert "{" not in a and "}" not in a
+
+
+class TestSketchProperties:
+    @given(st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                    max_size=2000),
+           st.integers(min_value=1, max_value=1999))
+    @settings(max_examples=50, deadline=None)
+    def test_misra_gries_guarantee_under_any_split(self, items, cut):
+        """Merging two partial sketches from ANY split of the stream
+        preserves the frequent-items guarantee: estimates never exceed
+        true counts and undercount by at most n/(k+1)."""
+        from collections import Counter
+
+        from calendar_event_entity_extraction_ray.functions.sketch import (
+            MisraGries,
+        )
+
+        cut = min(cut, len(items))
+        k = 16
+        a = MisraGries(k=k).add_many(items[:cut])
+        b = MisraGries(k=k).add_many(items[cut:])
+        a.merge(MisraGries.deserialize(b.serialize(), k=k))
+        true = Counter(items)
+        n = len(items)
+        for x, cnt in true.items():
+            est = a.counters.get(x, 0)
+            assert est <= cnt
+            assert est >= cnt - n / (k + 1) - 1e-9
+        assert len(a.counters) <= k
+
+    @given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                    min_size=1, max_size=500),
+           st.integers(min_value=0, max_value=499))
+    @settings(max_examples=50, deadline=None)
+    def test_bloom_never_false_negative(self, keys, probe_ix):
+        import numpy as np
+
+        from calendar_event_entity_extraction_ray.functions.bloom import (
+            BloomFilter,
+        )
+
+        arr = np.asarray(keys, dtype=np.int64)
+        f = BloomFilter(n_bits=1 << 12, k=4).add_hashes(arr)
+        assert f.contains_hashes(arr).all()
+        # split-and-merge equals one-shot
+        g = BloomFilter(n_bits=1 << 12, k=4)
+        cut = min(probe_ix, len(arr))
+        g.add_hashes(arr[:cut]).merge(
+            BloomFilter(n_bits=1 << 12, k=4).add_hashes(arr[cut:]))
+        assert (g.words == f.words).all()
+
+
+class TestQuantileRankRule:
+    @given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                              width=32),
+                    min_size=1, max_size=300),
+           st.floats(min_value=0.0, max_value=1.0))
+    @settings(max_examples=100, deadline=None)
+    def test_disc_rank_in_bounds_and_monotone(self, vals, q):
+        from calendar_event_entity_extraction_ray.stages.quantiles import (
+            disc_rank,
+        )
+
+        n = len(vals)
+        r = disc_rank(q, n)
+        assert 1 <= r <= n
+        # monotone in q
+        assert disc_rank(min(1.0, q + 0.1), n) >= r
