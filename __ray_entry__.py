@@ -1619,6 +1619,60 @@ def q_user_next_value(sf_dir: str) -> Any:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_approx_value_quantiles(sf_dir: str) -> Any:
+    """Mergeable streaming-quantile sketch (KLL-style deterministic
+    compaction, functions/sketch.py:QuantileSketch): one sketch per
+    batch merged on the driver. Oracle-shaped like HLL: a second exact
+    pass computes each estimate's TRUE rank and the output carries the
+    indicator that it landed within 2% of the target quantile."""
+    from calendar_event_entity_extraction_ray.functions.sketch import (
+        QuantileSketch,
+    )
+
+    qs = [0.5, 0.9]
+    ds = _read(sf_dir, "events", columns=["value"])
+    ds = ds.materialize()   # consumed twice: sketch pass + rank check
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k=256).add_many(b.column("value").to_pylist())
+        return pa.table({"sk": pa.array([sk.serialize()], pa.binary())})
+
+    merged = QuantileSketch(k=256)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b.column("sk").to_pylist():
+            merged.merge(QuantileSketch.deserialize(blob))
+    ests = [merged.quantile(q) for q in qs]
+
+    # one exact pass: rank of each estimate = count(value <= est) / n
+    def rank_partial(b: pa.Table, _ests=ests) -> pa.Table:
+        import numpy as np
+
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "le": pa.array([[int((v <= e).sum()) for e in _ests]],
+                           pa.list_(pa.int64())),
+        })
+
+    n_total = 0
+    le = [0] * len(ests)
+    for b in ds.map_batches(rank_partial,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for n, ls in zip(b.column("n").to_pylist(),
+                         b.column("le").to_pylist()):
+            n_total += n
+            for i, x in enumerate(ls):
+                le[i] += x
+    return pd.DataFrame({
+        "q_e4": [int(round(q * 10000)) for q in qs],
+        "sketch_ok": [1 if abs(le[i] / n_total - q) <= 0.02 else 0
+                      for i, q in enumerate(qs)],
+    }).astype("int64")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1705,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journey": q_user_journey,
         "pagerank_dups": q_pagerank,
         "regex_extract_docs": q_regex_extract,
+        "approx_value_quantiles": q_approx_value_quantiles,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -2107,6 +2162,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
                        AS first_long_word
             FROM documents
+        """,
+        "approx_value_quantiles": """
+            SELECT unnest([5000, 9000]) AS q_e4, 1 AS sketch_ok
         """,
         "events_cube": """
             SELECT event_type, date_trunc('day', ts) AS day,

@@ -118,3 +118,84 @@ class MisraGries:
         s = cls(k=k)
         s.counters = {x: n for x, n in json.loads(data.decode())}
         return s
+
+
+class QuantileSketch:
+    """Mergeable streaming quantile sketch (KLL-style hierarchical
+    compaction, DETERMINISTIC variant: compaction keeps alternating
+    odd/even survivors per level instead of coin flips, so partials are
+    reproducible across runs and merge orders at the cost of a biased —
+    but still O(log(n)/k)-bounded — rank error; pair with a rank-band
+    check against the exact column, the same indicator pattern as
+    HyperLogLog). Level i holds items of weight 2^i; each level compacts
+    at capacity ``k`` by sorting and keeping every other item one level
+    up."""
+
+    def __init__(self, k: int = 256) -> None:
+        self.k = k
+        self.levels: list = [[]]
+        self._parity = 0
+
+    def _compact(self) -> None:
+        for i, buf in enumerate(self.levels):
+            if len(buf) >= self.k:
+                buf.sort()
+                self._parity ^= 1
+                survivors = buf[self._parity::2]
+                if i + 1 == len(self.levels):
+                    self.levels.append([])
+                self.levels[i + 1].extend(survivors)
+                self.levels[i] = []
+
+    def add_many(self, values) -> "QuantileSketch":
+        for v in values:
+            if v is None:
+                continue
+            v = float(v)
+            if v != v:            # NaN
+                continue
+            self.levels[0].append(v)
+            if len(self.levels[0]) >= self.k:
+                self._compact()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, buf in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append([])
+            self.levels[i].extend(buf)
+        self._compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        import numpy as np
+
+        vals, wts = [], []
+        for i, buf in enumerate(self.levels):
+            vals.extend(buf)
+            wts.extend([1 << i] * len(buf))
+        if not vals:
+            return float("nan")
+        v = np.asarray(vals)
+        w = np.asarray(wts, dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        target = max(1, int(np.ceil(q * cum[-1])))
+        return float(v[np.searchsorted(cum, target, side="left")])
+
+    def serialize(self) -> bytes:
+        import json
+
+        return json.dumps({"k": self.k, "p": self._parity,
+                           "levels": self.levels}).encode()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "QuantileSketch":
+        import json
+
+        d = json.loads(data.decode())
+        s = cls(k=d["k"])
+        s._parity = d["p"]
+        s.levels = d["levels"]
+        return s

@@ -58,3 +58,37 @@ class TestMisraGries:
             # never overcount
             assert cnt - n / (k + 1) <= est <= cnt
         assert len(a.counters) <= k
+
+
+class TestQuantileSketch:
+    def test_rank_error_and_merge(self):
+        import numpy as np
+
+        from calendar_event_entity_extraction_ray.functions.sketch import (
+            QuantileSketch,
+        )
+
+        rng = np.random.RandomState(1)
+        vals = rng.lognormal(0, 1, 100_000)
+        merged = QuantileSketch(k=256)
+        for p in np.array_split(vals, 20):
+            merged.merge(QuantileSketch.deserialize(
+                QuantileSketch(k=256).add_many(p.tolist()).serialize()))
+        s = np.sort(vals)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = merged.quantile(q)
+            rank = np.searchsorted(s, est, side="right") / len(s)
+            assert abs(rank - q) < 0.02, (q, rank)
+
+    def test_deterministic_and_edge_cases(self):
+        from calendar_event_entity_extraction_ray.functions.sketch import (
+            QuantileSketch,
+        )
+
+        a = QuantileSketch(k=16).add_many([5.0, None, float("nan"), 1.0])
+        b = QuantileSketch(k=16).add_many([5.0, None, float("nan"), 1.0])
+        assert a.levels == b.levels
+        assert a.quantile(0.0) == 1.0 and a.quantile(1.0) == 5.0
+        import math
+
+        assert math.isnan(QuantileSketch().quantile(0.5))
