@@ -1673,6 +1673,52 @@ def q_approx_value_quantiles(sf_dir: str) -> Any:
     }).astype("int64")
 
 
+def q_segment_revenue(sf_dir: str) -> Any:
+    """Three-way join composition (customer |X| orders |X| lineitem):
+    broadcast the small dimension (customer segment) onto orders, hash
+    join the two large sides, partial-pre-agg the revenue per segment —
+    the canonical multi-join plan: broadcast where one side is small,
+    exchange where neither is."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_dict,
+        broadcast_lookup,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    seg_ref = broadcast_dict(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        "c_custkey", "c_mktsegment")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_seg = broadcast_lookup(orders, seg_ref, "o_custkey",
+                                  "c_mktsegment", out_type=pa.string())
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "rev_e4": pa.array(rev)})
+
+    joined = hash_join(
+        orders_seg.map_batches(
+            lambda b: b.select(["o_orderkey", "c_mktsegment"]),
+            batch_format="pyarrow"),
+        li.map_batches(prep, batch_format="pyarrow"),
+        key="o_orderkey",
+        left_cols=["o_orderkey", "c_mktsegment"],
+        right_cols=["o_orderkey", "rev_e4"],
+    )
+    out = grouped_sums(joined, key_cols=["c_mktsegment"],
+                       sum_cols=["rev_e4"], count_alias="n_lines")
+    return _int64(out.to_pandas().rename(
+        columns={"rev_e4": "revenue_e4"}), ["revenue_e4", "n_lines"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1760,6 +1806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dups": q_pagerank,
         "regex_extract_docs": q_regex_extract,
         "approx_value_quantiles": q_approx_value_quantiles,
+        "segment_revenue": q_segment_revenue,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -2165,6 +2212,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_value_quantiles": """
             SELECT unnest([5000, 9000]) AS q_e4, 1 AS sketch_ok
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_lines
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY c.c_mktsegment
         """,
         "events_cube": """
             SELECT event_type, date_trunc('day', ts) AS day,
