@@ -79,3 +79,52 @@ class TestCorpusClean:
             assert ids == sorted(ids)
             total += t.num_rows
         assert total == n1
+
+
+class TestPartitionPrunedRead:
+    def test_day_partitioned_write_prunes_at_read(self, ray_session, tmp_path):
+        """Storage-side pruning: events written day-partitioned are read
+        back with a partition filter that touches only the matching
+        directories — the at-scale pattern for time-ranged reads (prune
+        at the read, not after it)."""
+        import os
+
+        import pyarrow.compute as pc
+
+        import ray
+
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                                   columns=["event_id", "ts", "event_type"])
+
+        def add_day(b):
+            import pyarrow as pa_
+
+            return pa_.table({
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "day": pc.strftime(
+                    pc.floor_temporal(b.column("ts"), unit="day"),
+                    format="%Y-%m-%d"),
+            })
+
+        out = str(tmp_path / "by_day")
+        ds.map_batches(add_day, batch_format="pyarrow").write_parquet(
+            out, partition_cols=["day"])
+        days = sorted(d.split("=", 1)[1] for d in os.listdir(out)
+                      if d.startswith("day="))
+        assert len(days) >= 2
+        target = days[0]
+        # partition_filter prunes FILE PATHS before any byte is read
+        from ray.data.datasource.partitioning import Partitioning
+
+        pruned = ray.data.read_parquet(
+            out,
+            partitioning=Partitioning("hive"),
+            partition_filter=lambda paths, _t=f"day={target}/": [
+                p for p in paths if _t in p],
+        )
+        got = pruned.to_pandas()
+        assert (got["day"] == target).all()
+        full = ray.data.read_parquet(
+            out, partitioning=Partitioning("hive")).count()
+        assert 0 < len(got) < full

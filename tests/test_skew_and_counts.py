@@ -54,3 +54,24 @@ class TestCountingInvariant:
                                n_synth=synth, seed=3)
         total = out.count()
         assert n <= total <= n + n + synth
+
+
+class TestStringAggSkew:
+    def test_hot_key_ordered_collect(self, ray_session):
+        """One key holding 90% of rows: the ordered collect must still
+        produce the exact global order for that key (all its rows
+        co-locate in one partition by construction)."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            string_agg_by_key,
+        )
+
+        rows = [{"k": "hot", "o": i, "v": str(i % 7)} for i in range(900)]
+        rows += [{"k": f"c{i}", "o": i, "v": "x"} for i in range(100)]
+        ds = ray.data.from_items(rows).repartition(16)
+        got = string_agg_by_key(ds, "k", "v", ["o"], sep=",",
+                                out_col="agg").to_pandas()
+        hot = got[got["k"] == "hot"]["agg"].iloc[0]
+        assert hot == ",".join(str(i % 7) for i in range(900))
+        assert len(got) == 101
