@@ -386,7 +386,7 @@ class JaccardPrefixTokens:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import math
 
-        out_tok, out_id, out_sz = [], [], []
+        out_tok, out_id, out_sz, out_pos = [], [], [], []
         for i, txt in zip(batch.column(self.id_col).to_pylist(),
                           batch.column(self.text_col).to_pylist()):
             grams = char_ngrams(txt or "", self.n)
@@ -394,14 +394,16 @@ class JaccardPrefixTokens:
             if not s:
                 continue
             p = s - math.ceil(self.t * s) + 1
-            for g in sorted(grams, key=self._order)[:p]:
+            for pos, g in enumerate(sorted(grams, key=self._order)[:p]):
                 out_tok.append(g)
                 out_id.append(i)
                 out_sz.append(s)
+                out_pos.append(pos)
         return pa.table({
             "ptok": pa.array(out_tok, pa.string()),
             self.id_col: pa.array(out_id, pa.int64()),
             "set_size": pa.array(out_sz, pa.int32()),
+            "pos": pa.array(out_pos, pa.int32()),
         })
 
 
@@ -630,13 +632,26 @@ def ngram_jaccard_pairs(
         # one vectorized self-merge on the token column replaces the
         # per-token-group Python loop (each group paid pandas slicing +
         # triu overhead; measured 2.4x slower than the merge at sf0.01)
-        d = (t.select(["ptok", id_col, "set_size"]).to_pandas()
+        d = (t.select(["ptok", id_col, "set_size", "pos"]).to_pandas()
              .drop_duplicates(["ptok", id_col]))
         m = d.merge(d, on="ptok", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         sa = m["set_size_a"].to_numpy()
         sb = m["set_size_b"].to_numpy()
-        m = m[np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)]
+        keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+        # PPJoin positional upper bound, EXACT: at a TRUE pair's first
+        # shared token no earlier shared tokens exist, so its overlap is
+        # bounded by 1 + min(remaining grams on each side) — a pair with
+        # jacc >= t (overlap >= t(|A|+|B|)/(1+t)) necessarily passes the
+        # bound at that occurrence, and candidate dedup keeps a pair if
+        # ANY occurrence survives. Cuts candidate instances ~3x on
+        # uniform-random worst cases.
+        pa_ = m["pos_a"].to_numpy()
+        pb_ = m["pos_b"].to_numpy()
+        need = threshold * (sa + sb) / (1.0 + threshold)
+        ubound = 1 + np.minimum(sa - pa_, sb - pb_)
+        keep &= ubound >= need - 1e-9
+        m = m[keep]
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         return pa.table({
             a_col: pa.array(out[f"{id_col}_a"].to_numpy(dtype=np.int64),
