@@ -96,7 +96,10 @@ def run_bench() -> dict:
         "customer_order_totals", "augment_records",
         # round-2 operators
         "order_revenue_hashjoin", "sessionize", "tokenize_records",
-        "corpus_clean", "order_price_quantiles", "error_click_burst"]
+        "corpus_clean", "order_price_quantiles", "error_click_burst",
+        # late-round operators
+        "segment_revenue", "user_windows", "pagerank_dups",
+        "user_event_pivot", "jaccard_pairs_docs"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()
