@@ -219,23 +219,29 @@ def grouped_quantiles(
                                 b.column("count").to_pylist(),
                                 b.column("min").to_pylist(),
                                 b.column("max").to_pylist()):
-            if not n:
-                continue
             cur = gstats.get(g)
             if cur is None:
+                # n == 0: the group exists but every value is NULL/NaN —
+                # SQL still emits the group (quantile NULL), so track it
                 gstats[g] = [n, lo, hi]
-            else:
+            elif n:
+                if cur[0]:
+                    cur[1] = min(cur[1], lo)
+                    cur[2] = max(cur[2], hi)
+                else:
+                    cur[1], cur[2] = lo, hi
                 cur[0] += n
-                cur[1] = min(cur[1], lo)
-                cur[2] = max(cur[2], hi)
 
     # open targets: (group, q-index) -> (interval, rank-within)
     open_qs: dict = {}
+    resolved: dict = {}
     for g, (n, lo, hi) in gstats.items():
         for i, q in enumerate(qs):
-            open_qs[(g, i)] = ((float(lo), float(hi), True),
-                               disc_rank(q, n))
-    resolved: dict = {}
+            if n:
+                open_qs[(g, i)] = ((float(lo), float(hi), True),
+                                   disc_rank(q, n))
+            else:
+                resolved[(g, i)] = float("nan")   # SQL NULL quantile
 
     def run_pass(targets, collect: bool):
         """One map_batches over all (group, interval) targets; returns

@@ -362,3 +362,22 @@ class TestPivotCount:
         pd.testing.assert_frame_equal(
             got.astype("int64"), expect.astype("int64"),
             check_names=False)
+
+
+class TestGroupedQuantilesAllNullGroup:
+    def test_all_nan_group_emitted_as_nan(self, ray_session):
+        """SQL GROUP BY emits a group even when every value is NULL
+        (quantile NULL) — the operator must not silently drop it."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.quantiles import (
+            grouped_quantiles,
+        )
+
+        df = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                           "v": [1.0, 2.0, np.nan, np.nan]})
+        ds = ray.data.from_pandas(df).repartition(2)
+        got = grouped_quantiles(ds, "v", "g", [0.5])
+        m = {g: v for g, _, v in got}
+        assert m["a"] == 1.0   # disc rank max(1, ceil(0.5*2)) = 1
+        assert np.isnan(m["b"])
