@@ -282,6 +282,10 @@ def top_k_per_group(
     per batch, then one fold per hash partition takes the final top-k
     and assigns 1-based ranks. Skew-safe: a hot group ships k rows per
     batch, not its whole population.
+
+    NULL ordering: pandas sorts NaN LAST regardless of direction, which
+    matches DuckDB's default NULLS LAST for this DESC ordering; an
+    oracle using NULLS FIRST would diverge on NULL order values.
     """
     from calendar_event_entity_extraction_ray.stages.dedup import (
         add_hash_column,

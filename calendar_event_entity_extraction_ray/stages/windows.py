@@ -82,7 +82,8 @@ def partitioned_row_window(
 
     One exchange on the key hash, then per partition ONE vectorized
     sort + groupby.cumcount / groupby.rolling — every key's rows co-locate,
-    so window frames never span partitions. The rolling sum adds the same
+    so window frames never span partitions. NULLs in ``order_cols`` sort
+    LAST (pandas NaN convention == DuckDB's default NULLS LAST for ASC). The rolling sum adds the same
     <= ``rolling`` doubles in the same order as a sequential engine, so
     results are bit-identical to a SQL oracle."""
     import pyarrow as pa
