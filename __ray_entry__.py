@@ -1719,6 +1719,47 @@ def q_segment_revenue(sf_dir: str) -> Any:
         columns={"rev_e4": "revenue_e4"}), ["revenue_e4", "n_lines"])
 
 
+def q_media_resampled(sf_dir: str) -> Any:
+    """Audio resample stage as a query: WAV payloads resampled to 4 kHz
+    (real nearest-sample kernel), then re-decoded for verified stats —
+    (media_id, rate, n_samples, rms_e4)."""
+    from calendar_event_entity_extraction_ray.functions.audiocodec import (
+        audio_stats,
+        decode_wav,
+        is_wav,
+    )
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        ResampleAudio,
+        synth_media_table,
+    )
+
+    n = max(100, int(10_000 * _sf_of(sf_dir)))
+    ds = ray.data.from_arrow(synth_media_table(n))
+    out = ds.map_batches(
+        ResampleAudio, fn_constructor_kwargs={"rate": 4000},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, rates, counts, rms = [], [], [], []
+        for i, kind, p in zip(b.column("media_id").to_pylist(),
+                              b.column("kind").to_pylist(),
+                              b.column("payload").to_pylist()):
+            if kind != "audio" or p is None or not is_wav(p):
+                continue
+            samples, rate = decode_wav(p)
+            st = audio_stats(samples, rate)
+            ids.append(i)
+            rates.append(rate)
+            counts.append(len(samples))
+            rms.append(st["rms_e4"])
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "rate": pa.array(rates, pa.int64()),
+                         "n_samples": pa.array(counts, pa.int64()),
+                         "rms_e4": pa.array(rms, pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1807,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract_docs": q_regex_extract,
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
+        "media_resampled": q_media_resampled,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -2123,6 +2165,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_labels": f"SELECT * FROM {_golden('kmeans_labels')}",
         "pagerank_dups": f"SELECT * FROM {_golden('pagerank_dups')}",
+        "media_resampled": f"SELECT * FROM {_golden('media_resampled')}",
         "orders_no_bulk": """
             SELECT o_orderkey FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l

@@ -473,6 +473,38 @@ def golden_pagerank_dups() -> pa.Table:
     return _pagerank_single(sym, 0.85, 10)
 
 
+def golden_media_resampled() -> pa.Table:
+    """Single-process mirror of q_media_resampled: the same ResampleAudio
+    kernel + decode over the same fixture."""
+    from calendar_event_entity_extraction_ray.functions.audiocodec import (
+        audio_stats,
+        decode_wav,
+        is_wav,
+    )
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        ResampleAudio,
+        synth_media_table,
+    )
+
+    out = ResampleAudio(rate=4000)(synth_media_table(N_MEDIA))
+    ids, rates, counts, rms = [], [], [], []
+    for i, kind, p in zip(out.column("media_id").to_pylist(),
+                          out.column("kind").to_pylist(),
+                          out.column("payload").to_pylist()):
+        if kind != "audio" or p is None or not is_wav(p):
+            continue
+        samples, rate = decode_wav(p)
+        st = audio_stats(samples, rate)
+        ids.append(i)
+        rates.append(rate)
+        counts.append(len(samples))
+        rms.append(st["rms_e4"])
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "rate": pa.array(rates, pa.int64()),
+                     "n_samples": pa.array(counts, pa.int64()),
+                     "rms_e4": pa.array(rms, pa.int64())})
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
     "simhash_docs": golden_simhash_docs,
@@ -492,6 +524,7 @@ GOLDENS = {
     "chatml_records": golden_chatml_records,
     "kmeans_labels": golden_kmeans_labels,
     "pagerank_dups": golden_pagerank_dups,
+    "media_resampled": golden_media_resampled,
 }
 
 
