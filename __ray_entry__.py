@@ -1760,6 +1760,19 @@ def q_media_resampled(sf_dir: str) -> Any:
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def q_profile_orders(sf_dir: str) -> Any:
+    """Table profiling: per numeric column of orders — row count, nulls,
+    EXACT distinct count (exchange-reduced), scaled min/max
+    (stages/aggregate.py:profile_numeric_columns)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        profile_numeric_columns,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    ds = _read(sf_dir, "orders", columns=cols)
+    return profile_numeric_columns(ds, cols)
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -1849,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
         "media_resampled": q_media_resampled,
+        "profile_orders": q_profile_orders,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -2255,6 +2269,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_value_quantiles": """
             SELECT unnest([5000, 9000]) AS q_e4, 1 AS sketch_ok
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS column, COUNT(*) AS n,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(FLOOR(MIN(o_orderkey) * 100 + 0.5) AS BIGINT) AS min_e2,
+                   CAST(FLOOR(MAX(o_orderkey) * 100 + 0.5) AS BIGINT) AS max_e2
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*),
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                   CAST(FLOOR(MIN(o_custkey) * 100 + 0.5) AS BIGINT),
+                   CAST(FLOOR(MAX(o_custkey) * 100 + 0.5) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*),
+                   CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT),
+                   CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT)
+            FROM orders
         """,
         "segment_revenue": """
             SELECT c.c_mktsegment,

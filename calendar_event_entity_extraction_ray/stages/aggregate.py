@@ -524,3 +524,94 @@ def string_agg_by_key(
         lambda b: add_hash_column(b, [key_col], out_col="_kh"),
         batch_format="pyarrow")
     return hash_partition_map(hashed, "_kh", fold)
+
+
+def profile_numeric_columns(
+    ds: "ray.data.Dataset", cols: List[str], scale: int = 100
+) -> pd.DataFrame:
+    """Data-profiling operator: per numeric column, row count, null
+    count, EXACT distinct count, and scaled min/max — the
+    schema-inspection pass a pipeline runs before trusting a new input.
+
+    One map_batches computes all per-batch partials in a single pass
+    (counts, min/max, per-column distinct via value sets bounded by the
+    batch); distinct folds through the exchange-backed grouped count per
+    column over the PARTIAL distinct values, so the driver only ever
+    holds per-column scalars."""
+    import math
+
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            v = b.column(c).to_pandas()
+            nn = v.dropna()
+            rows.append({
+                "column": c,
+                "n": len(v),
+                "nulls": int(v.isna().sum()),
+                "mn": float(nn.min()) if len(nn) else float("nan"),
+                "mx": float(nn.max()) if len(nn) else float("nan"),
+            })
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    stats: dict = {c: [0, 0, float("inf"), float("-inf")] for c in cols}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for r in b.to_pylist():
+            s = stats[r["column"]]
+            s[0] += r["n"]
+            s[1] += r["nulls"]
+            if r["mn"] == r["mn"]:
+                s[2] = min(s[2], r["mn"])
+                s[3] = max(s[3], r["mx"])
+
+    # exact distinct per column: batch-distinct explode (tagged by
+    # column) -> one exchange-reduced count -> per-column row counts
+    def distincts(b: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c in cols:
+            vals = b.column(c).to_pandas().dropna().unique()
+            out_c.extend([c] * len(vals))
+            out_v.extend(float(x) for x in vals)
+        return pa.table({"column": pa.array(out_c, pa.string()),
+                         "value": pa.array(out_v, pa.float64())})
+
+    tagged = ds.map_batches(
+        lambda b: add_hash_column(distincts(b), ["column", "value"],
+                                  out_col="_dh"),
+        batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (t.drop_columns(["_dh"]).to_pandas()
+              .drop_duplicates(["column", "value"]))
+        out = df.groupby("column").size().reset_index(name="nd")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    nd = {c: 0 for c in cols}
+    for b in hash_partition_map(tagged, "_dh", fold).iter_batches(
+            batch_format="pyarrow"):
+        for c, n in zip(b.column("column").to_pylist(),
+                        b.column("nd").to_pylist()):
+            nd[c] += n
+
+    return pd.DataFrame({
+        "column": cols,
+        "n": [stats[c][0] for c in cols],
+        "n_nulls": [stats[c][1] for c in cols],
+        "n_distinct": [nd[c] for c in cols],
+        "min_e2": [int(math.floor(stats[c][2] * scale + 0.5))
+                   for c in cols],
+        "max_e2": [int(math.floor(stats[c][3] * scale + 0.5))
+                   for c in cols],
+    }).astype({"n": "int64", "n_nulls": "int64", "n_distinct": "int64",
+               "min_e2": "int64", "max_e2": "int64"})
