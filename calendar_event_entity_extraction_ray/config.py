@@ -30,6 +30,18 @@ class EngineConfig:
     # linking
     jaccard_threshold: float = 0.5
     top_k_pools: int = 500
+    # exchange spill location for multi-node runs: a directory every node
+    # mounts (NFS / fused object store). Empty -> $CEE_SPILL_ROOT if set,
+    # else node-local tempdir (single-node only). See stages/exchange.py.
+    spill_root: str = ""
+
+    def apply_spill_root(self) -> None:
+        """Export spill_root so stages/exchange.py picks it up (workers see
+        the path captured in the spill closure, not the env)."""
+        if self.spill_root:
+            import os
+
+            os.environ["CEE_SPILL_ROOT"] = self.spill_root
 
     @classmethod
     def load(cls, *paths: str, overrides: Optional[Dict[str, Any]] = None) -> "EngineConfig":

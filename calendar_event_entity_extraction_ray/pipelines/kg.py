@@ -171,6 +171,7 @@ def materialize_graph(
     out_dir: str,
     fingerprint: str,
     num_partitions: int = 16,
+    spill_dir: "str | None" = None,
 ) -> dict:
     """S6: partition by hash(subj) % P -> one Parquet file per partition +
     manifest; partitions already present for this fingerprint are skipped
@@ -208,7 +209,10 @@ def materialize_graph(
     from calendar_event_entity_extraction_ray.stages.dedup import add_hash_column
 
     done = M.completed_partitions(out_dir, fingerprint)
-    spill_dir = os.path.join(out_dir, "_spill")
+    # default spill next to the output (out_dir IS shared storage on a
+    # real cluster — the same place the Parquet output lands); override to
+    # e.g. a faster shared scratch volume via the parameter or config
+    spill_dir = spill_dir or os.path.join(out_dir, "_spill")
 
     def add_part_key(b: pa.Table) -> pa.Table:
         b = add_hash_column(b, ["subj"], out_col="_h")

@@ -571,7 +571,8 @@ def profile_numeric_columns(
             s = stats[r["column"]]
             s[0] += r["n"]
             s[1] += r["nulls"]
-            if r["mn"] == r["mn"]:
+            # arrow stores the no-values NaN sentinel as null -> None here
+            if r["mn"] is not None and r["mn"] == r["mn"]:
                 s[2] = min(s[2], r["mn"])
                 s[3] = max(s[3], r["mx"])
 
@@ -609,9 +610,11 @@ def profile_numeric_columns(
         "n": [stats[c][0] for c in cols],
         "n_nulls": [stats[c][1] for c in cols],
         "n_distinct": [nd[c] for c in cols],
+        # all-NULL column: min/max stay +/-inf and floor(inf) raises —
+        # report 0 (n_nulls == n tells the reader there were no values)
         "min_e2": [int(math.floor(stats[c][2] * scale + 0.5))
-                   for c in cols],
+                   if math.isfinite(stats[c][2]) else 0 for c in cols],
         "max_e2": [int(math.floor(stats[c][3] * scale + 0.5))
-                   for c in cols],
+                   if math.isfinite(stats[c][3]) else 0 for c in cols],
     }).astype({"n": "int64", "n_nulls": "int64", "n_distinct": "int64",
                "min_e2": "int64", "max_e2": "int64"})

@@ -84,6 +84,17 @@ def hash64_columns(batch: pa.Table, cols: List[str]) -> "np.ndarray":
             data[c] = pd.Series(
                 [None if v is None else repr(v) for v in col.to_pylist()],
                 dtype=object)
+        elif (pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+              or pa.types.is_boolean(col.type) or pa.types.is_decimal(col.type)):
+            # Dtype canonicalization: an int64 arrow column lands in pandas
+            # as int64 WITHOUT nulls but float64 WITH nulls, and
+            # hash_pandas_object hashes int64 5 != float64 5.0 — the same
+            # logical key would hash differently across batches and fail to
+            # co-locate on the exchange. Cast to float64 up front so equal
+            # values always hash equal (ints >2^53 may collide after the
+            # cast, which is fine: this is a shuffle key with exact
+            # re-checks, never an identity).
+            data[c] = col.cast(pa.float64()).to_pandas()
         else:
             data[c] = col.to_pandas()
     h = pd.util.hash_pandas_object(

@@ -40,6 +40,37 @@ import ray.data
 SMALL_ROWS = 100_000           # below this, one vectorized fold task wins
 TARGET_ROWS_PER_PARTITION = 100_000
 
+# Multi-node spill location. When set (env var or EngineConfig.spill_root
+# plumbed through scripts/run_job.py), every exchange creates a unique
+# subdirectory under this root; point it at storage every node can read
+# (NFS / fuse-mounted object store) and phase-2 folds work across nodes.
+# Unset -> node-local tempdir, correct only while map and reduce tasks
+# share a filesystem (single node — this sandbox).
+SPILL_ROOT_ENV = "CEE_SPILL_ROOT"
+
+# Spill dirs whose cleanup is deferred (shared-root exchanges): deleting
+# right after ray.wait would break Ray lineage reconstruction — if a fold
+# output object is later lost to node failure, re-running fold needs the
+# files. The job driver calls cleanup_pending_spill() once outputs are
+# durably consumed (scripts/run_job.py does).
+_PENDING_SPILL_DIRS: List[str] = []
+
+
+def resolve_spill_root() -> Optional[str]:
+    """Configured shared spill root, or None for node-local tempdir."""
+    root = os.environ.get(SPILL_ROOT_ENV, "").strip()
+    return root or None
+
+
+def cleanup_pending_spill() -> int:
+    """Delete deferred spill dirs (call after outputs are durably written).
+    Returns the number of directories removed."""
+    n = 0
+    while _PENDING_SPILL_DIRS:
+        shutil.rmtree(_PENDING_SPILL_DIRS.pop(), ignore_errors=True)
+        n += 1
+    return n
+
 
 def default_num_partitions(cap: int = 64) -> int:
     """~2x cluster CPUs (CLAUDE.md: granularity via block/partition count)."""
@@ -97,9 +128,28 @@ def hash_partition_map(
                 fold_fn, batch_format="pyarrow", batch_size=None)
         num_partitions = max(default_num_partitions(),
                              min(256, n_rows // TARGET_ROWS_PER_PARTITION))
-    spill_dir = spill_root or tempfile.mkdtemp(prefix="cee_exchange_")
-    shutil.rmtree(spill_dir, ignore_errors=True)  # retries of a crashed run
-    os.makedirs(spill_dir, exist_ok=True)
+    if spill_root:
+        # caller-owned dir (assumed unique to this exchange): pre-clean so
+        # a crashed prior attempt's files cannot double rows; cleanup is
+        # DEFERRED — the dir may be shared storage, where keeping the files
+        # lets lineage reconstruction of a lost fold output re-read them
+        spill_dir = spill_root
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        os.makedirs(spill_dir, exist_ok=True)
+        eager_cleanup = False
+    elif resolve_spill_root():
+        # configured shared root: unique dir per exchange (no cross-run
+        # clobbering), cleanup deferred as above
+        root = resolve_spill_root()
+        os.makedirs(root, exist_ok=True)
+        spill_dir = tempfile.mkdtemp(prefix="cee_exchange_", dir=root)
+        eager_cleanup = False
+    else:
+        # node-local tempdir: single-filesystem assumption (this sandbox);
+        # safe to delete as soon as folds complete — on one node an object
+        # lost from plasma means the node (and job) is gone anyway
+        spill_dir = tempfile.mkdtemp(prefix="cee_exchange_")
+        eager_cleanup = True
     n_parts = int(num_partitions)
 
     def spill(b: pa.Table) -> pa.Table:
@@ -132,6 +182,7 @@ def hash_partition_map(
 
     if touched_df.empty:
         # preserve the output schema on empty input
+        shutil.rmtree(spill_dir, ignore_errors=True)
         empty_in = ds.schema().base_schema.empty_table()
         return ray.data.from_arrow(fold_fn(empty_in))
 
@@ -147,6 +198,12 @@ def hash_partition_map(
 
     by_part = touched_df.groupby("part_id")["file"].apply(list)
     refs = [fold.remote(int(p), files) for p, files in by_part.items()]
-    ray.wait(refs, num_returns=len(refs))  # spill files consumed; safe to drop
-    shutil.rmtree(spill_dir, ignore_errors=True)
+    ray.wait(refs, num_returns=len(refs))
+    if eager_cleanup:
+        # single-node: folds done, files consumed (see branch above)
+        shutil.rmtree(spill_dir, ignore_errors=True)
+    else:
+        # shared storage: keep files so lineage reconstruction of a lost
+        # fold output can re-read them; driver cleans up at job end
+        _PENDING_SPILL_DIRS.append(spill_dir)
     return ray.data.from_arrow_refs(refs)

@@ -64,7 +64,9 @@ def hash_join(
 ) -> "ray.data.Dataset":
     """Inner join on ``key``; output columns = left_cols ∪ right_cols.
 
-    Column sets must be disjoint apart from ``key``.
+    Column sets must be disjoint apart from ``key``. SQL equality never
+    matches NULL = NULL, so NULL-key rows are dropped on BOTH sides up
+    front (pandas ``merge`` would otherwise happily join NaN to NaN).
     """
     from calendar_event_entity_extraction_ray.stages.exchange import (
         hash_partition_map,
@@ -72,8 +74,8 @@ def hash_join(
 
     l_only = [c for c in left_cols if c != key]
     r_only = [c for c in right_cols if c != key]
-    lt = _tag_side(left, key, "l", left_cols, r_only)
-    rt = _tag_side(right, key, "r", right_cols, l_only)
+    lt = _tag_side(left, key, "l", left_cols, r_only, drop_null_key=True)
+    rt = _tag_side(right, key, "r", right_cols, l_only, drop_null_key=True)
     both = lt.union(rt)
 
     out_cols = [key] + l_only + r_only

@@ -42,7 +42,16 @@ def sessionize(
     def fold(t: pa.Table) -> pa.Table:
         df = t.select([user_col, ts_col]).to_pandas().sort_values(
             [user_col, ts_col], kind="stable")
-        new_user = df[user_col].ne(df[user_col].shift())
+        # null-aware key change: NaN.ne(NaN) is True, which would start a
+        # new session on EVERY null-user event; the NULL group must follow
+        # the same gap rule as any other single partition key
+        prev = df[user_col].shift()
+        new_user = ~(df[user_col].eq(prev)
+                     | (df[user_col].isna() & prev.isna()))
+        if len(df):
+            # the shifted NaN above row 0 would otherwise "match" a NULL
+            # first user; the first row always starts a session
+            new_user.iloc[0] = True
         gap_break = (df[ts_col] - df[ts_col].shift()) > gap
         new_session = (new_user | gap_break).astype("int64")
         g = df.groupby(user_col, sort=False, dropna=False)

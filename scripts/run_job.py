@@ -39,7 +39,18 @@ def main() -> int:
                     help="extract pool size (default: cpus-1)")
     ap.add_argument("--fingerprint", default="",
                     help="resume fingerprint (default: derived from input)")
+    ap.add_argument("--spill-root", default="",
+                    help="shared exchange-spill directory (multi-node: "
+                         "point at storage every node mounts; default: "
+                         "node-local tempdir, or $CEE_SPILL_ROOT)")
     args = ap.parse_args()
+
+    import os as _os
+
+    if args.spill_root:
+        # before any pipeline import resolves it; exchange spill dirs under
+        # a shared root are cleanup-deferred until the job output is durable
+        _os.environ["CEE_SPILL_ROOT"] = args.spill_root
 
     import ray
 
@@ -111,6 +122,13 @@ def main() -> int:
         "extract_concurrency": conc,
     }
     write_metrics(args.out, metrics)
+    # output + manifest durable on disk -> deferred shared-root spill dirs
+    # are no longer needed for lineage reconstruction
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        cleanup_pending_spill,
+    )
+
+    cleanup_pending_spill()
     print(metrics)
     ray.shutdown()
     return 0

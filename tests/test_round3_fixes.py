@@ -1,0 +1,158 @@
+"""Round-3 correctness fixes (ADVICE.md items).
+
+- hash64_columns dtype canonicalization: equal keys must hash equal
+  regardless of whether THIS batch happened to contain a null (pandas
+  converts int64 -> float64 only when nulls are present, and
+  hash_pandas_object hashes int64 5 != float64 5.0).
+- hash_join NULL keys: SQL equality never matches NULL = NULL.
+- sessionize NULL-user group: gap rule, not one-session-per-event.
+- profile_numeric_columns: all-NULL column must not overflow.
+- exchange spill root: shared-root config + deferred cleanup.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from calendar_event_entity_extraction_ray.stages import exchange as X
+from calendar_event_entity_extraction_ray.stages.dedup import hash64_columns
+
+
+class TestHashDtypeStability:
+    def test_numeric_and_bool_keys_stable_across_null_presence(self):
+        a = pa.table({"k": pa.array([5, 7], pa.int64())})
+        b = pa.table({"k": pa.array([5, None], pa.int64())})
+        assert hash64_columns(a, ["k"])[0] == hash64_columns(b, ["k"])[0]
+
+        c = pa.table({"k": pa.array([True, False])})
+        d = pa.table({"k": pa.array([True, None])})
+        assert hash64_columns(c, ["k"])[0] == hash64_columns(d, ["k"])[0]
+
+        # int32 vs int64 carrying the same logical value also co-locate
+        e = pa.table({"k": pa.array([5], pa.int32())})
+        assert hash64_columns(e, ["k"])[0] == hash64_columns(a, ["k"])[0]
+
+    def test_grouped_count_nullable_int_key_large_path(self, ray_session):
+        """>SMALL_ROWS partials with an int key + scattered nulls: pre-fix,
+        batches WITH nulls hashed key 5 differently than batches without,
+        so one key produced duplicate output rows on the exchange."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            grouped_count,
+        )
+
+        n = 300_000
+        n_keys = 150_000  # partial rows > SMALL_ROWS -> real disk exchange
+        keys = (np.arange(n, dtype=np.int64) % n_keys).astype(object)
+        keys[::977] = None  # nulls land in SOME blocks, not all
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(list(keys), pa.int64()),
+        })).repartition(16)
+
+        out = grouped_count(ds, "k").to_pandas()
+        # one output row per distinct non-null key (NULLs dropped by
+        # grouped_count's documented semantics)
+        assert len(out) == n_keys
+        assert not out["k"].duplicated().any()
+        expect = pd.Series([k for k in keys if k is not None]).value_counts()
+        got = out.set_index(out["k"].astype(np.int64))["n"]
+        assert int(got.sum()) == int(expect.sum())
+        sample = expect.sample(200, random_state=0)
+        for k, v in sample.items():
+            assert int(got.loc[int(k)]) == int(v)
+
+
+class TestHashJoinNullKeys:
+    def test_null_keys_never_match(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": [1.0, None, 2.0, None], "lv": [1, 2, 3, 4]})
+        right = pd.DataFrame({"k": [1.0, None, 3.0], "rv": [10, 20, 30]})
+        out = hash_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(2),
+            key="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+            num_buckets=4,
+        ).to_pandas()
+        # SQL INNER JOIN: only k=1 matches; NULL = NULL is not a match
+        assert len(out) == 1
+        assert out["lv"].tolist() == [1] and out["rv"].tolist() == [10]
+
+
+class TestSessionizeNullUser:
+    def test_null_user_follows_gap_rule(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            sessionize,
+        )
+
+        ts = pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:05",  # same session
+            "2024-01-01 12:00",                        # gap -> new session
+        ])
+        df = pd.DataFrame({"user_id": pd.array([None, None, None],
+                                               dtype="object"),
+                           "ts": ts})
+        out = sessionize(ray.data.from_pandas(df), gap_minutes=30).to_pandas()
+        assert len(out) == 1  # one NULL-user group
+        assert int(out["n_events"].iloc[0]) == 3
+        # pre-fix: every NULL row started a session (n_sessions == 3)
+        assert int(out["n_sessions"].iloc[0]) == 2
+
+
+class TestProfileAllNull:
+    def test_all_null_column_reports_zero_minmax(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            profile_numeric_columns,
+        )
+
+        df = pd.DataFrame({"a": [1.0, 2.0, 3.0],
+                           "b": [None, None, None]})
+        out = profile_numeric_columns(
+            ray.data.from_pandas(df), ["a", "b"])
+        b = out[out["column"] == "b"].iloc[0]
+        assert int(b["n"]) == 3 and int(b["n_nulls"]) == 3
+        assert int(b["n_distinct"]) == 0
+        assert int(b["min_e2"]) == 0 and int(b["max_e2"]) == 0
+
+
+class TestSpillRoot:
+    def test_env_shared_root_defers_cleanup(self, ray_session, tmp_path,
+                                            monkeypatch):
+        import pyarrow.compute as pc
+        import ray
+
+        root = str(tmp_path / "shared_spill")
+        monkeypatch.setenv(X.SPILL_ROOT_ENV, root)
+        X.cleanup_pending_spill()  # drain dirs deferred by earlier tests
+
+        n = X.SMALL_ROWS + 1000
+        ds = ray.data.from_arrow(pa.table({
+            "h": pa.array(np.arange(n, dtype=np.int64) % 8),
+            "v": pa.array(np.ones(n, dtype=np.int64)),
+        })).repartition(4)
+
+        def fold(t: pa.Table) -> pa.Table:
+            s = int(pc.sum(t.column("v")).as_py())
+            return pa.table({"sum_v": pa.array([s], pa.int64())})
+
+        out = X.hash_partition_map(ds, "h", fold, num_partitions=4).to_pandas()
+        assert int(out["sum_v"].sum()) == n
+        # spill landed under the shared root and is RETAINED (deferred for
+        # lineage reconstruction), then removed by the explicit cleanup
+        kept = [d for d in os.listdir(root) if d.startswith("cee_exchange_")]
+        assert kept
+        assert X.cleanup_pending_spill() == 1
+        assert not [d for d in os.listdir(root)
+                    if d.startswith("cee_exchange_")]
