@@ -62,11 +62,18 @@ def corpus_clean(
     minhash_threshold: float = 0.8,
     min_chars: int = 50,
     keep_lang: str = "en",
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """documents -> surviving (id, text) rows after the full cleanup chain.
 
-    The near-dup drop id set is small (proportional to the dup rate), so it
-    broadcasts as an anti-join filter — no second shuffle."""
+    Near-dup removal keeps the smallest id per CLUSTER (connected
+    components over the verified MinHash pair graph — see
+    ``stages/dedup.py:minhash_lsh_dup_ids``). Drop-set application routes
+    by size: below ``broadcast_limit`` ids it broadcasts as a filter (no
+    second shuffle); above, it runs the exchange-based
+    ``stages/joins.py:anti_join`` — at web-scale dup rates (30-60%) the
+    drop set is itself corpus-sized and must never be collected to the
+    driver."""
     import ray
 
     from calendar_event_entity_extraction_ray.stages.dedup import (
@@ -82,10 +89,22 @@ def corpus_clean(
     )
     unique = exact_dedup(filtered, [text_col], id_col)
 
+    dups = minhash_lsh_dup_ids(
+        unique, text_col, id_col, threshold=minhash_threshold,
+        broadcast_limit=broadcast_limit).materialize()
+    n_drop = dups.count()
+    if n_drop == 0:
+        return unique
+    if n_drop > broadcast_limit:
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            anti_join,
+        )
+
+        keep_cols = list(unique.schema().names)
+        return anti_join(unique, dups, key=id_col, left_cols=keep_cols)
+
     drop_ids = set()
-    for b in minhash_lsh_dup_ids(
-            unique, text_col, id_col,
-            threshold=minhash_threshold).iter_batches(batch_format="pyarrow"):
+    for b in dups.iter_batches(batch_format="pyarrow"):
         drop_ids.update(b.column(id_col).to_pylist())
     drop_ref = ray.put(pa.array(sorted(drop_ids), pa.int64()))
 

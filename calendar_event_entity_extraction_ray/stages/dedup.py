@@ -209,7 +209,7 @@ class MinHashBands:
         })
 
 
-def minhash_lsh_dup_ids(
+def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     text_col: str,
     id_col: str,
@@ -217,18 +217,29 @@ def minhash_lsh_dup_ids(
     num_perm: int = 64,
     num_bands: int = 16,
     max_band_size: int = 128,
+    text_mode: str = "auto",
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
-    """Near-duplicate ids to DROP (keep smallest id per near-dup cluster).
+    """Verified near-duplicate PAIRS (id_a < id_b, Jaccard >= threshold).
 
-    band-explode -> groupby(band_key) -> within-band candidate pairs,
-    verified against the Jaccard threshold by re-shingling CANDIDATE texts
-    only: the multi-member-band id set (proportional to the dup rate, not
-    the corpus) broadcasts back as a filter, the source is re-read for just
-    those rows, and only that candidate id->text map is ``ray.put`` — the
-    driver never materializes the corpus (fixes VERDICT r1 "What's wrong"
-    #2; round 1 built a whole-corpus id->text dict here).
+    band-explode -> band-hash exchange keeps only multi-member bands ->
+    per-band all-pairs verify by re-shingling CANDIDATE texts only.
+    Candidate texts reach the verification fold one of two ways:
 
-    Returns a Dataset with a single ``{id_col}`` column of ids to drop.
+    - ``broadcast`` (auto when the candidate band index has <=
+      ``broadcast_limit`` rows): collect the candidate id set, re-read just
+      those source rows into one driver-held ``ray.put`` map. Cheapest at
+      low dup rates, but the map grows with the dup rate — at 30-60% dups
+      (100 TB web text) it IS the corpus.
+    - ``exchange`` (auto above the limit): candidate texts are hash-joined
+      to the band index (stages/joins.py:hash_join) and travel THROUGH the
+      band-hash exchange, so every verification fold finds its texts
+      in-partition and the driver materializes nothing. Texts are
+      replicated once per multi-member band membership (<= num_bands).
+
+    A pair appearing in several bands can be emitted by more than one
+    partition; pairs are distinct within a fold, not globally (the
+    connected-components consumer is insensitive to duplicate edges).
     """
     import ray
 
@@ -278,79 +289,146 @@ def minhash_lsh_dup_ids(
     hashed = bands.map_batches(
         lambda b: add_hash_column(b, ["band_key"], out_col="_bh"),
         batch_format="pyarrow")
-    cand_index = hash_partition_map(hashed, "_bh", multi_fold)
+    # materialize: consumed more than once below, and exchange folds are
+    # lazy — each consumer would re-run them (CLAUDE.md round-2.5)
+    cand_index = hash_partition_map(hashed, "_bh", multi_fold).materialize()
 
-    # Candidate-only text lookup: collect the (small) candidate id set from
-    # the filtered band index, broadcast it, re-read just those source rows.
-    cand_ids = set()
-    for b in cand_index.select_columns([id_col]).iter_batches(
-            batch_format="pyarrow"):
-        cand_ids.update(b.column(id_col).to_pylist())
-    if not cand_ids:
-        return ray.data.from_arrow(
-            pa.table({id_col: pa.array([], pa.int64())}))
-    cand_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
+    empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                            "id_b": pa.array([], pa.int64())})
+    n_cand_rows = cand_index.count()
+    if n_cand_rows == 0:
+        return ray.data.from_arrow(empty_pairs)
 
-    def cand_rows(b: pa.Table) -> pa.Table:
-        ids = ray.get(cand_ref)
-        return b.filter(pc.is_in(b.column(id_col), value_set=ids))
-
-    id_text = {}
-    for b in (ds.select_columns([id_col, text_col])
-              .map_batches(cand_rows, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        id_text.update(zip(b.column(id_col).to_pylist(),
-                           b.column(text_col).to_pylist()))
-    lookup_ref = ray.put(id_text)
-
-    def verify_fold(t: pa.Table) -> pa.Table:
-        # per-BLOCK verification: cand_index blocks come out of the
-        # exchange PARTITIONED BY BAND HASH, so every band is complete
-        # within one block and no further shuffle is needed
-        # (batch_size=None keeps one batch == one block). Bands grouped in
-        # C (pandas), texts fetched once, shingles memoized per id across
-        # the block's bands. Greedy clustering in id order per band: an id
-        # similar to ANY kept representative is dropped (not only vs the
-        # single smallest id — a band can hold several distinct clusters).
-        df = t.select(["band_key", id_col]).to_pandas()
-        texts = ray.get(lookup_ref)
+    def band_pairs(df: "pd.DataFrame", text_of) -> pa.Table:
+        """All verified in-band pairs for one fold block (bands complete
+        within the block — the exchange co-located them by band hash).
+        Shingles memoized per id across the block's bands; pairs distinct
+        within the block."""
         sh_cache: dict = {}
 
         def sh(i):
             s = sh_cache.get(i)
             if s is None:
-                s = word_shingles(texts.get(i) or "")
+                s = word_shingles(text_of(i) or "")
                 sh_cache[i] = s
             return s
 
-        dropped = set()
+        out: set = set()
         for _, g in df.groupby("band_key", sort=False):
             ids = sorted(set(g[id_col].tolist()))
             if len(ids) < 2:
                 continue
-            # bands are verified independently (exactly as the per-group
-            # version did): cross-band drops do not change a band's greedy
-            # representative choice — only the final union of drops matters
-            reps: list = []
-            for i in ids:
-                s = sh(i)
-                if any(jaccard(s, rs) >= threshold for _, rs in reps):
-                    dropped.add(i)
-                else:
-                    reps.append((i, s))
-        return pa.table({id_col: pa.array(sorted(dropped), pa.int64())})
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    p = (ids[x], ids[y])
+                    if p in out:
+                        continue
+                    if jaccard(sh(p[0]), sh(p[1])) >= threshold:
+                        out.add(p)
+        pairs = sorted(out)
+        return pa.table({
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        })
 
-    dups = cand_index.map_batches(verify_fold, batch_format="pyarrow",
-                                  batch_size=None)
-    # distinct ids (a doc can be dropped via several bands/partitions): the
-    # drop set is small by construction (proportional to the dup rate —
-    # the same bound that justified the candidate broadcast above), so the
-    # driver folds it directly instead of paying another exchange
-    distinct: set = set()
-    for b in dups.iter_batches(batch_format="pyarrow"):
-        distinct.update(b.column(id_col).to_pylist())
-    return ray.data.from_arrow(
-        pa.table({id_col: pa.array(sorted(distinct), pa.int64())}))
+    use_exchange = (text_mode == "exchange"
+                    or (text_mode == "auto"
+                        and n_cand_rows > broadcast_limit))
+    if not use_exchange:
+        # broadcast path: candidate id set -> filter source -> driver map
+        cand_ids = set()
+        for b in cand_index.select_columns([id_col]).iter_batches(
+                batch_format="pyarrow"):
+            cand_ids.update(b.column(id_col).to_pylist())
+        cand_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
+
+        def cand_rows(b: pa.Table) -> pa.Table:
+            ids = ray.get(cand_ref)
+            return b.filter(pc.is_in(b.column(id_col), value_set=ids))
+
+        id_text = {}
+        for b in (ds.select_columns([id_col, text_col])
+                  .map_batches(cand_rows, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            id_text.update(zip(b.column(id_col).to_pylist(),
+                               b.column(text_col).to_pylist()))
+        lookup_ref = ray.put(id_text)
+
+        def verify_fold(t: pa.Table) -> pa.Table:
+            df = t.select(["band_key", id_col]).to_pandas()
+            texts = ray.get(lookup_ref)
+            return band_pairs(df, texts.get)
+
+        return cand_index.map_batches(verify_fold, batch_format="pyarrow",
+                                      batch_size=None)
+
+    # exchange path: texts travel through the shuffle — nothing driver-side
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    with_text = hash_join(
+        cand_index.select_columns(["band_key", id_col]),
+        ds.select_columns([id_col, text_col]),
+        key=id_col,
+        left_cols=[id_col, "band_key"],
+        right_cols=[id_col, text_col],
+    )
+    rehashed = with_text.map_batches(
+        lambda b: add_hash_column(b, ["band_key"], out_col="_bh2"),
+        batch_format="pyarrow")
+
+    def verify_fold_x(t: pa.Table) -> pa.Table:
+        df = t.select(["band_key", id_col, text_col]).to_pandas()
+        texts = dict(zip(df[id_col], df[text_col]))
+        return band_pairs(df, texts.get)
+
+    return hash_partition_map(rehashed, "_bh2", verify_fold_x)
+
+
+def minhash_lsh_dup_ids(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    max_band_size: int = 128,
+    text_mode: str = "auto",
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Near-duplicate ids to DROP: connected components over the verified
+    pair graph (``minhash_lsh_pairs``), keep the smallest id per CLUSTER.
+
+    The cluster-keeper rule (round-3): a doc transitively linked to a
+    smaller-id doc is dropped even when no single band holds both — the
+    canonicalization a sequential dedup with union-find would produce.
+    Components run on ``stages/graph.py:connected_components`` (min-label
+    pointer jumping on the exchange; adaptive single-task union-find below
+    SMALL_ROWS), so the pair graph — proportional to the dup rate — never
+    reaches the driver.
+
+    Returns a Dataset with a single ``{id_col}`` column of ids to drop.
+    """
+    import ray
+
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        ds, text_col, id_col, threshold=threshold, num_perm=num_perm,
+        num_bands=num_bands, max_band_size=max_band_size,
+        text_mode=text_mode, broadcast_limit=broadcast_limit,
+    ).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64())}))
+    labeled = connected_components(pairs, "id_a", "id_b")
+
+    def drops(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b.column("node"), b.column("cluster"))
+        return pa.table({id_col: b.filter(keep).column("node")})
+
+    return labeled.map_batches(drops, batch_format="pyarrow")
 
 
 class JaccardPrefixTokens:

@@ -97,10 +97,13 @@ def golden_fingerprint_docs() -> pa.Table:
         fingerprint_batch(_documents()), preserve_index=False)
 
 
-def _minhash_drop_ids(ids, texts, threshold: float = 0.8) -> set:
+def _minhash_drop_ids(ids, texts, threshold: float = 0.8,
+                      max_band_size: int = 128) -> set:
     """Sequential mirror of stages/dedup.py:minhash_lsh_dup_ids (64 perms,
-    16 bands): band index -> multi-member bands -> per-band greedy verify
-    in id order -> distinct dropped ids."""
+    16 bands, round-3 cluster-keeper semantics): band index -> multi-member
+    bands (oversized bands skipped, same cap) -> verify every in-band pair
+    -> union-find over verified pairs -> drop all but the smallest id per
+    connected component."""
     from calendar_event_entity_extraction_ray.functions.dedup import (
         MinHasher,
         jaccard,
@@ -116,18 +119,30 @@ def _minhash_drop_ids(ids, texts, threshold: float = 0.8) -> set:
         sig = hasher.signature(sh)
         for key in hasher.band_keys(sig, 16):
             band_to_ids.setdefault(key, []).append(int(i))
-    dropped = set()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
     for key, members in band_to_ids.items():
         members = sorted(set(members))
-        if len(members) < 2:
+        if len(members) < 2 or len(members) > max_band_size:
             continue
-        reps = []
-        for i in members:
-            if any(jaccard(shingles[i], rs) >= threshold for _, rs in reps):
-                dropped.add(i)
-            else:
-                reps.append((i, shingles[i]))
-    return dropped
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if jaccard(shingles[a], shingles[b]) >= threshold:
+                    union(a, b)
+    return {i for i in parent if find(i) != i}
 
 
 def golden_minhash_dedup_docs() -> pa.Table:

@@ -127,6 +127,104 @@ class TestProfileAllNull:
         assert int(b["min_e2"]) == 0 and int(b["max_e2"]) == 0
 
 
+def _near_dup_chain_docs():
+    """A ~ B ~ C chain where A !~ C: cluster-keeper must drop BOTH B and C
+    (transitivity), which band-local greedy could miss when no band holds
+    A and C together."""
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    a = " ".join(words)
+    b_words = list(words)
+    b_words[2] = "changed1"
+    b = " ".join(b_words)
+    c_words = list(b_words)
+    c_words[22] = "changed2"
+    c = " ".join(c_words)
+    return a, b, c
+
+
+class TestMinHashClusterKeeper:
+    def test_transitive_chain_drops_whole_cluster(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.functions.dedup import (
+            jaccard,
+            word_shingles,
+        )
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            minhash_lsh_dup_ids,
+            minhash_lsh_pairs,
+        )
+
+        a, b, c = _near_dup_chain_docs()
+        # preconditions: A~B and B~C above threshold, A~C below
+        t = 0.7
+        assert jaccard(word_shingles(a), word_shingles(b)) >= t
+        assert jaccard(word_shingles(b), word_shingles(c)) >= t
+        assert jaccard(word_shingles(a), word_shingles(c)) < t
+
+        docs = [{"doc_id": 0, "text": a}, {"doc_id": 1, "text": b},
+                {"doc_id": 2, "text": c},
+                {"doc_id": 3, "text": "completely unrelated content about "
+                                      "ray data exchanges and arrow"}]
+        ds = ray.data.from_items(docs)
+        pairs = minhash_lsh_pairs(ds, "text", "doc_id",
+                                  threshold=t).to_pandas()
+        got = {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()}
+        assert (0, 1) in got and (1, 2) in got
+        assert (0, 2) not in got  # below threshold — verification pruned it
+
+        dropped = set(minhash_lsh_dup_ids(ds, "text", "doc_id", threshold=t)
+                      .to_pandas()["doc_id"])
+        # component {0,1,2}: keep min id 0, drop 1 AND (transitively) 2
+        assert dropped == {1, 2}
+
+    def test_text_modes_agree(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.dedup import (
+            minhash_lsh_dup_ids,
+        )
+
+        a, b, c = _near_dup_chain_docs()
+        docs = [{"doc_id": i, "text": t} for i, t in
+                enumerate([a, b, c, a + " extra tail words here", b])]
+        ds = ray.data.from_items(docs)
+        got = {}
+        for mode in ("broadcast", "exchange"):
+            got[mode] = sorted(
+                minhash_lsh_dup_ids(ds, "text", "doc_id", threshold=0.7,
+                                    text_mode=mode).to_pandas()["doc_id"])
+        assert got["broadcast"] == got["exchange"]
+        assert 4 in got["broadcast"]  # exact dup of doc 1's text
+
+
+class TestCorpusCleanAntiJoinRoute:
+    def test_exchange_route_matches_broadcast(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.pipelines.corpus import (
+            corpus_clean,
+        )
+
+        rows = []
+        for i in range(40):
+            rows.append({"doc_id": i,
+                         "text": f"The quarterly planning meeting number {i} "
+                                 f"will cover roadmap items and action "
+                                 f"points for review cycle {i}."})
+        rows.append({"doc_id": 950, "text": rows[0]["text"]})  # exact dup
+        ds1 = ray.data.from_items(rows)
+        ds2 = ray.data.from_items(rows)
+        base = sorted(corpus_clean(ds1).to_pandas()["doc_id"])
+        # broadcast_limit=0 forces BOTH the exchange text path in minhash
+        # and the anti_join route for the drop set
+        routed = sorted(corpus_clean(ds2, broadcast_limit=0)
+                        .to_pandas()["doc_id"])
+        assert base == routed
+
+
 class TestSpillRoot:
     def test_env_shared_root_defers_cleanup(self, ray_session, tmp_path,
                                             monkeypatch):
