@@ -526,36 +526,18 @@ def _embedding_pairs_ds(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_embedding_dups_lsh(sf_dir: str) -> Any:
-    """Scale path for embedding near-dup: SRP-bucket the vectors, compare
-    only within buckets (rows-only check; recall < 1 by design)."""
-    import pyarrow.compute as pc
-
-    from calendar_event_entity_extraction_ray.stages.knn import _SrpBucket, _batch_matrix
+    """Scale path for embedding near-dup: banded SRP LSH with
+    log2(n)-scaled planes per band (constant expected bucket size),
+    OR-amplified recall across 16 bands, per-bucket verify on the explicit
+    exchange, pair-hash dedupe (stages/knn.py:embedding_dup_pairs_lsh).
+    Recall < 1 by design — the ``embedding_dups`` brute-force query is the
+    exact baseline the recall tests compare against."""
+    from calendar_event_entity_extraction_ray.stages.knn import (
+        embedding_dup_pairs_lsh,
+    )
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
-    from calendar_event_entity_extraction_ray.stages.taskform import (
-        run_stage,
-    )
-
-    bucketed = ds.map_batches(
-        run_stage,
-        fn_kwargs={"_cls": _SrpBucket, "dim": dim, "n_planes": 4,
-                   "seed": 13},
-        batch_format="pyarrow",
-    )
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        ids = g["vec_id"].to_numpy()
-        sims = mat @ mat.T
-        ai, bj = np.where(sims >= 0.3)
-        rows = [(int(ids[i]), int(ids[j])) for i, j in zip(ai, bj) if ids[i] < ids[j]]
-        return pd.DataFrame(rows, columns=["vec_id_a", "vec_id_b"]).astype("int64")
-
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return embedding_dup_pairs_lsh(ds, threshold=0.3)
 
 
 def q_order_revenue_hashjoin(sf_dir: str) -> Any:

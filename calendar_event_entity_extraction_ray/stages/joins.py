@@ -30,11 +30,42 @@ import pyarrow as pa
 import ray.data
 
 
+def _sample_boundaries(ds: "ray.data.Dataset", col: str,
+                       n_buckets: int, per_batch: int = 512) -> np.ndarray:
+    """Deterministic stride sample of ``col`` -> (n_buckets - 1) ascending
+    quantile boundaries. Bucket balance only affects load, never results,
+    so a bounded sample is enough (the exact-quantile operator would cost
+    extra passes)."""
+    vals = []
+
+    def sample(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_pandas().dropna()
+        stride = max(1, len(v) // per_batch)
+        return pa.table({col: pa.Array.from_pandas(v.iloc[::stride])})
+
+    for b in (ds.select_columns([col])
+              .map_batches(sample, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        vals.append(b.column(col).to_numpy(zero_copy_only=False))
+    allv = np.concatenate(vals) if vals else np.array([])
+    if len(allv) == 0:
+        return np.array([])
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return np.sort(np.quantile(allv, qs))
+
+
 def _tag_side(ds: "ray.data.Dataset", key: str, side: str,
               cols: List[str], pad_cols: List[str],
-              drop_null_key: bool = False) -> "ray.data.Dataset":
+              drop_null_key: bool = False,
+              bucket_on=None, carry_latest: bool = False) -> "ray.data.Dataset":
     """Select + side-tag + null-pad to the union schema + vectorized key
-    hash (the exchange routing column)."""
+    hash (the exchange routing column).
+
+    ``bucket_on=(col, boundaries)`` adds a ``_tb`` range-bucket column and
+    routes on hash(key, _tb) instead of hash(key) — the as-of hot-key
+    split. ``carry_latest`` additionally emits, per (key, bucket j>0), the
+    batch's latest row STRICTLY BEFORE bucket j's start, tagged ``_tb=j``
+    (the backward-as-of carry-in; see asof_join)."""
     import pyarrow.compute as pc
 
     from calendar_event_entity_extraction_ray.stages.dedup import (
@@ -48,8 +79,36 @@ def _tag_side(ds: "ray.data.Dataset", key: str, side: str,
         b = b.append_column("_side", pa.array([side] * b.num_rows, pa.string()))
         for c in pad_cols:
             b = b.append_column(c, pa.nulls(b.num_rows))
+        if bucket_on is None:
+            return b.append_column(
+                "_kh", pa.array(hash64_columns(b, [key]), pa.int64()))
+        on_col, bounds = bucket_on
+        ov = b.column(on_col).to_numpy(zero_copy_only=False)
+        # nulls -> bucket 0 (they never match; merge_asof sees them per
+        # partition exactly as the unbucketed fold would)
+        valid = ~pd.isna(ov)
+        tb = np.zeros(len(ov), dtype=np.int64)
+        if valid.any() and len(bounds):
+            tb[valid] = np.searchsorted(bounds, ov[valid], side="right")
+        b = b.append_column("_tb", pa.array(tb, pa.int64()))
+        if carry_latest and len(bounds) and b.num_rows:
+            df = b.to_pandas()
+            carries = []
+            for j in range(1, len(bounds) + 1):
+                start = bounds[j - 1]
+                before = df[np.asarray(valid) & (ov < start)]
+                if before.empty:
+                    continue
+                ix = before.groupby(key, sort=False)[on_col].idxmax()
+                c = df.loc[ix].copy()
+                c["_tb"] = j
+                carries.append(c)
+            if carries:
+                df = pd.concat([df] + carries, ignore_index=True)
+                b = pa.Table.from_pandas(df, preserve_index=False).cast(
+                    b.schema)
         return b.append_column(
-            "_kh", pa.array(hash64_columns(b, [key]), pa.int64()))
+            "_kh", pa.array(hash64_columns(b, [key, "_tb"]), pa.int64()))
 
     return ds.map_batches(prep, batch_format="pyarrow")
 
@@ -106,20 +165,43 @@ def asof_join(
     right_cols: List[str],
     suffix: str = "_right",
     tolerance: Optional[pd.Timedelta] = None,
+    time_buckets: int = 0,
 ) -> "ray.data.Dataset":
     """Backward as-of join: for each left row, the latest right row with
     ``right.on <= left.on`` within the same ``by`` key (LEFT join: unmatched
     left rows keep nulls). SQL equality never matches NULL = NULL, so right
     rows with a NULL key are dropped up front and NULL-key left rows pass
-    through unmatched."""
+    through unmatched.
+
+    ``time_buckets`` is the HOT-KEY ESCAPE HATCH: by default the exchange
+    co-locates ALL rows of a ``by`` key in one partition (one pathological
+    key exceeding a worker breaks that). With ``time_buckets > 1`` every
+    key is additionally RANGE-SPLIT on ``on`` into that many buckets
+    (boundaries = deterministic sample quantiles of ``left.on``), the
+    exchange routes on hash(by, bucket), and the right side replicates one
+    boundary carry-in per (key, bucket): the per-batch latest right row
+    strictly before each bucket's start (the only earlier-bucket row a
+    backward as-of can need; per-batch maxima are superseded inside the
+    fold by ``merge_asof`` taking the latest, so duplicates are harmless).
+    Results are identical to the unbucketed join; the cost is the carry
+    replication (<= time_buckets rows per key per right batch)."""
     from calendar_event_entity_extraction_ray.stages.exchange import (
         hash_partition_map,
     )
 
     l_only = [c for c in left_cols if c not in (on, by)]
     r_only = [c for c in right_cols if c not in (on, by)]
-    lt = _tag_side(left, by, "l", left_cols, r_only)
-    rt = _tag_side(right, by, "r", right_cols, l_only, drop_null_key=True)
+    if time_buckets and time_buckets > 1:
+        boundaries = _sample_boundaries(left, on, time_buckets)
+    else:
+        boundaries = None
+    lt = _tag_side(left, by, "l", left_cols, r_only,
+                   bucket_on=(on, boundaries) if boundaries is not None
+                   else None)
+    rt = _tag_side(right, by, "r", right_cols, l_only, drop_null_key=True,
+                   bucket_on=(on, boundaries) if boundaries is not None
+                   else None,
+                   carry_latest=boundaries is not None)
     both = lt.union(rt)
 
     on_r = on + suffix

@@ -175,33 +175,41 @@ def _embeddings() -> pd.DataFrame:
 
 
 def golden_embedding_dups_lsh() -> pa.Table:
-    """Sequential mirror of q_embedding_dups_lsh: SRP bucket (4 planes,
-    seed 13), all pairs >= 0.3 cosine within a bucket."""
-    from calendar_event_entity_extraction_ray.stages.knn import _SrpBucket
-
+    """Sequential mirror of q_embedding_dups_lsh (round-3 banded form):
+    16 bands x ceil(log2(n/256)) planes (seed 13, one plane matrix sliced
+    per band, same as stages/knn.py:SrpBandBuckets), all pairs >= 0.3
+    cosine within any band's bucket, distinct."""
     df = _embeddings()
     dim = len(df["embedding"].iloc[0])
-    bucketer = _SrpBucket(dim=dim, n_planes=4, seed=13)
+    n = len(df)
+    n_bands, target_bucket, max_bucket = 16, 256, 4096
+    r = max(2, int(np.ceil(np.log2(max(2.0, n / target_bucket)))))
+    rng = np.random.RandomState(13)
+    planes = rng.normal(size=(dim, n_bands * r))
     mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
-    bits = (mat @ bucketer.planes) > 0
-    buckets = bits @ (1 << np.arange(4))
-    out_a, out_b = [], []
+    bits = (mat @ planes) > 0
+    weights = 1 << np.arange(r)
+    norm = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                         1e-12, None)
     ids_all = df["vec_id"].to_numpy()
-    for bkt in np.unique(buckets):
-        sel = buckets == bkt
-        sub = mat[sel]
-        sub = sub / np.linalg.norm(sub, axis=1, keepdims=True)
-        ids = ids_all[sel]
-        sims = sub @ sub.T
-        ai, bj = np.where(sims >= 0.3)
-        for i, j in zip(ai, bj):
-            if ids[i] < ids[j]:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[j]))
-    order = np.lexsort((out_b, out_a))
+    pairs: set = set()
+    for band in range(n_bands):
+        buckets = bits[:, band * r:(band + 1) * r] @ weights
+        for bkt in np.unique(buckets):
+            sel = np.nonzero(buckets == bkt)[0]
+            if len(sel) < 2 or len(sel) > max_bucket:
+                continue
+            sub = norm[sel]
+            ids = ids_all[sel]
+            sims = sub @ sub.T
+            ai, bj = np.where(sims >= 0.3)
+            for i, j in zip(ai, bj):
+                if ids[i] < ids[j]:
+                    pairs.add((int(ids[i]), int(ids[j])))
+    out = sorted(pairs)
     return pa.table({
-        "vec_id_a": pa.array([out_a[k] for k in order], pa.int64()),
-        "vec_id_b": pa.array([out_b[k] for k in order], pa.int64()),
+        "vec_id_a": pa.array([p[0] for p in out], pa.int64()),
+        "vec_id_b": pa.array([p[1] for p in out], pa.int64()),
     })
 
 

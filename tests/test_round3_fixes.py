@@ -225,6 +225,49 @@ class TestCorpusCleanAntiJoinRoute:
         assert base == routed
 
 
+class TestEmbeddingDupLsh:
+    def test_subset_of_exact_with_high_recall(self, ray_session):
+        """LSH pairs must be a SUBSET of the exact cosine pairs (in-bucket
+        verification is exact, so no false positives) and the recall
+        indicator on the fixture must clear 0.9 — the honest-approximation
+        gate (the brute-force ``embedding_dups`` query is the baseline)."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.knn import (
+            embedding_dup_pairs_lsh,
+        )
+
+        rng = np.random.RandomState(5)
+        n_base, dim = 150, 32
+        base = rng.normal(size=(n_base, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        vecs, ids = [], []
+        for i in range(n_base):
+            vecs.append(base[i]); ids.append(i)
+            if i % 3 == 0:  # planted near-dup, cosine ~0.995
+                vecs.append(base[i] + rng.normal(scale=0.03, size=dim))
+                ids.append(1000 + i)
+        mat = np.asarray(vecs)
+        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = normed @ normed.T
+        ids_np = np.asarray(ids)
+        ai, bj = np.where(sims >= 0.8)
+        exact = {(int(ids_np[i]), int(ids_np[j]))
+                 for i, j in zip(ai, bj) if ids_np[i] < ids_np[j]}
+        assert len(exact) >= n_base // 3  # the planted pairs are there
+
+        ds = ray.data.from_items(
+            [{"vec_id": int(v), "embedding": list(map(float, m))}
+             for v, m in zip(ids, mat)]).repartition(4)
+        got_df = embedding_dup_pairs_lsh(ds, threshold=0.8).to_pandas()
+        got = {(int(r.vec_id_a), int(r.vec_id_b))
+               for r in got_df.itertuples()}
+        assert got <= exact  # no false positives, no duplicate rows
+        assert len(got_df) == len(got)
+        recall = len(got) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.3f}"
+
+
 class TestSpillRoot:
     def test_env_shared_root_defers_cleanup(self, ray_session, tmp_path,
                                             monkeypatch):
