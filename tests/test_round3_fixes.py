@@ -297,3 +297,60 @@ class TestSpillRoot:
         assert X.cleanup_pending_spill() == 1
         assert not [d for d in os.listdir(root)
                     if d.startswith("cee_exchange_")]
+
+
+class TestAsofHotKeySplit:
+    def test_one_key_holds_all_rows_matches_pandas(self, ray_session):
+        """VERDICT-r2 #4: the documented-unhandled case — a single ``by``
+        key holding ~all rows of both sides, beyond the exchange's
+        SMALL_ROWS single-fold path, joined with ``time_buckets`` so the
+        hot key is range-split on the time column with carry-in
+        replication. Result must be row-identical to pandas.merge_asof
+        (right timestamps are unique per key: merge_asof's tie-break among
+        equal right timestamps is physical row order, which no partitioned
+        engine — or SQL — defines)."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            asof_join,
+        )
+
+        rng = np.random.RandomState(11)
+        nl, nr = 70_000, 35_000  # union > SMALL_ROWS -> real disk exchange
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame({
+            "ts": base + pd.to_timedelta(
+                rng.randint(0, 20_000_000, nl), unit="s"),
+            "uid": np.where(rng.rand(nl) < 0.999, 1, 2).astype(np.int64),
+            "eid": np.arange(nl, dtype=np.int64),
+        })
+        # unique right timestamps (tie-free: see docstring)
+        r_ts = rng.choice(20_000_000, size=nr, replace=False)
+        right = pd.DataFrame({
+            "ts": base + pd.to_timedelta(r_ts, unit="s"),
+            "uid": np.where(rng.rand(nr) < 0.999, 1, 2).astype(np.int64),
+            "val": rng.randint(0, 1000, nr).astype(np.int64),
+        })
+        expect = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable").rename(
+                columns={"ts": "ts_right"}),
+            left_on="ts", right_on="ts_right", by="uid",
+            direction="backward",
+        ).sort_values("eid").reset_index(drop=True)
+
+        out = asof_join(
+            ray.data.from_pandas(left).repartition(8),
+            ray.data.from_pandas(right).repartition(8),
+            on="ts", by="uid",
+            left_cols=["ts", "uid", "eid"],
+            right_cols=["ts", "uid", "val"],
+            time_buckets=8,
+        ).to_pandas().sort_values("eid").reset_index(drop=True)
+
+        assert len(out) == nl
+        for c in ("ts", "uid", "eid", "ts_right"):
+            assert out[c].equals(expect[c]), c
+        a = out["val"].astype("float64")
+        b = expect["val"].astype("float64")
+        assert ((a == b) | (a.isna() & b.isna())).all()
