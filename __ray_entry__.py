@@ -310,14 +310,14 @@ def q_customer_order_totals(sf_dir: str) -> Any:
     totals. The small side ships once via ray.put; the per-batch lookup is
     one vectorized Series.map (stages/broadcast.py); no shuffle join.
     INNER semantics (the oracle drops unmatched keys)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict,
+        broadcast_dict_local,
         broadcast_lookup,
     )
 
-    seg_ref = broadcast_dict(
-        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
-        "c_custkey", "c_mktsegment")
+    seg_ref = broadcast_dict_local(
+        f"{sf_dir}/customer.parquet", "c_custkey", "c_mktsegment")
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = broadcast_lookup(orders, seg_ref, "o_custkey", "c_mktsegment",
                               out_type=pa.string())
@@ -329,28 +329,31 @@ def q_customer_order_totals(sf_dir: str) -> Any:
             "price_c": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
         })
 
-    out = joined.map_batches(prep, batch_format="pyarrow").groupby(
-        "c_mktsegment"
-    ).aggregate(Count(alias_name="n_orders"),
-                Sum("price_c", alias_name="total_price_cents"))
+    # 5 mktsegments -> stream_reduce folds partials inside the one plan
+    out = grouped_sums(joined.map_batches(prep, batch_format="pyarrow"),
+                       key_cols=["c_mktsegment"], sum_cols=["price_c"],
+                       count_alias="n_orders",
+                       stream_reduce=True).to_pandas().rename(
+        columns={"price_c": "total_price_cents"})
     return _int64(out, ["n_orders", "total_price_cents"])
 
 
 def q_nation_customers(sf_dir: str) -> Any:
     """Broadcast join customer -> nation (INNER semantics)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict,
+        broadcast_dict_local,
         broadcast_lookup,
     )
 
-    n_ref = broadcast_dict(
-        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
-        "n_nationkey", "n_name")
+    n_ref = broadcast_dict_local(
+        f"{sf_dir}/nation.parquet", "n_nationkey", "n_name")
     cust = _read(sf_dir, "customer", columns=["c_nationkey"])
-    out = broadcast_lookup(cust, n_ref, "c_nationkey", "n_name",
-                           out_type=pa.string()
-                           ).groupby("n_name").aggregate(
-        Count(alias_name="n_customers"))
+    out = grouped_sums(
+        broadcast_lookup(cust, n_ref, "c_nationkey", "n_name",
+                         out_type=pa.string()),
+        key_cols=["n_name"], sum_cols=[], count_alias="n_customers",
+        stream_reduce=True)
     return _int64(out, ["n_customers"])
 
 
@@ -393,7 +396,8 @@ def q_orders_priority(sf_dir: str) -> Any:
 
     out = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
                        key_cols=["o_orderpriority"], sum_cols=["price_c"],
-                       count_alias="n_orders").to_pandas().rename(
+                       count_alias="n_orders",
+                       stream_reduce=True).to_pandas().rename(
         columns={"price_c": "total_price_cents"})
     return _int64(out, ["n_orders", "total_price_cents"])
 
@@ -402,13 +406,12 @@ def q_brand_revenue(sf_dir: str) -> Any:
     """lineitem x part broadcast join -> revenue per brand (INNER)."""
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict,
+        broadcast_dict_local,
         broadcast_lookup,
     )
 
-    brand_ref = broadcast_dict(
-        _read(sf_dir, "part", columns=["p_partkey", "p_brand"]),
-        "p_partkey", "p_brand")
+    brand_ref = broadcast_dict_local(
+        f"{sf_dir}/part.parquet", "p_partkey", "p_brand")
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
     joined = broadcast_lookup(li, brand_ref, "l_partkey", "p_brand",
@@ -423,7 +426,8 @@ def q_brand_revenue(sf_dir: str) -> Any:
 
     out = grouped_sums(joined.map_batches(prep, batch_format="pyarrow"),
                        key_cols=["p_brand"], sum_cols=["rev_e4"],
-                       count_alias="n_lines").to_pandas().rename(
+                       count_alias="n_lines",
+                       stream_reduce=True).to_pandas().rename(
         columns={"rev_e4": "revenue_e4"})
     return _int64(out, ["n_lines", "revenue_e4"])
 
@@ -431,13 +435,12 @@ def q_brand_revenue(sf_dir: str) -> Any:
 def q_supplier_balance(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict,
+        broadcast_dict_local,
         broadcast_lookup,
     )
 
-    n_ref = broadcast_dict(
-        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
-        "n_nationkey", "n_name")
+    n_ref = broadcast_dict_local(
+        f"{sf_dir}/nation.parquet", "n_nationkey", "n_name")
     sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
     joined = broadcast_lookup(sup, n_ref, "s_nationkey", "n_name",
                               out_type=pa.string())
@@ -451,7 +454,8 @@ def q_supplier_balance(sf_dir: str) -> Any:
 
     out = grouped_sums(joined.map_batches(prep, batch_format="pyarrow"),
                        key_cols=["n_name"], sum_cols=["bal_c"],
-                       count_alias="n_suppliers").to_pandas().rename(
+                       count_alias="n_suppliers",
+                       stream_reduce=True).to_pandas().rename(
         columns={"bal_c": "total_acctbal_cents"})
     return _int64(out, ["n_suppliers", "total_acctbal_cents"])
 
@@ -1665,14 +1669,13 @@ def q_segment_revenue(sf_dir: str) -> Any:
         grouped_sums,
     )
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict,
+        broadcast_dict_local,
         broadcast_lookup,
     )
     from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
-    seg_ref = broadcast_dict(
-        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
-        "c_custkey", "c_mktsegment")
+    seg_ref = broadcast_dict_local(
+        f"{sf_dir}/customer.parquet", "c_custkey", "c_mktsegment")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     orders_seg = broadcast_lookup(orders, seg_ref, "o_custkey",
                                   "c_mktsegment", out_type=pa.string())
@@ -1696,7 +1699,8 @@ def q_segment_revenue(sf_dir: str) -> Any:
         right_cols=["o_orderkey", "rev_e4"],
     )
     out = grouped_sums(joined, key_cols=["c_mktsegment"],
-                       sum_cols=["rev_e4"], count_alias="n_lines")
+                       sum_cols=["rev_e4"], count_alias="n_lines",
+                       stream_reduce=True)
     return _int64(out.to_pandas().rename(
         columns={"rev_e4": "revenue_e4"}), ["revenue_e4", "n_lines"])
 

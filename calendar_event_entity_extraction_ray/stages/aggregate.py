@@ -177,6 +177,7 @@ def grouped_sums(
     count_alias: str = "n",
     min_cols: Optional[List[str]] = None,
     max_cols: Optional[List[str]] = None,
+    stream_reduce: bool = False,
 ) -> "ray.data.Dataset":
     """SUM/COUNT(/MIN/MAX) GROUP BY keys with per-batch partial
     aggregation: the shuffle moves |groups| x |batches| partial rows, not
@@ -184,7 +185,14 @@ def grouped_sums(
     and the reduce runs on the explicit exchange, so high-cardinality
     keys don't hit Ray's sort-shuffle (see grouped_count). Integer sums
     stay int64 through the pandas fold (Ray's Sum widened them to
-    float64)."""
+    float64).
+
+    ``stream_reduce=True`` folds the partials inside the SAME streaming
+    plan (``repartition(1)`` + one fold task) instead of the disk
+    exchange, skipping the exchange's materialize+count pass — the right
+    reduce when the caller KNOWS group cardinality is tiny (enums,
+    segments: partials for every block fit one task). Wrong above ~10^5
+    groups; the default exchange handles those."""
     min_cols = min_cols or []
     max_cols = max_cols or []
 
@@ -230,6 +238,9 @@ def grouped_sums(
         return pa.Table.from_pandas(out.reset_index(),
                                     preserve_index=False)
 
+    if stream_reduce:
+        return partials.repartition(1).map_batches(
+            fold, batch_format="pyarrow", batch_size=None)
     return hash_partition_map(partials, "_gh", fold)
 
 

@@ -29,6 +29,20 @@ def broadcast_dict(ds: "ray.data.Dataset", key_col: str, val_col: str):
     return ray.put(mapping)
 
 
+def broadcast_dict_local(parquet_path: str, key_col: str, val_col: str):
+    """Dim-table fast path: read the small side driver-side with ONE
+    column-pruned pyarrow read instead of a Ray plan (each plan execution
+    costs a flat ~0.5-1 s — BASELINE.md §small-query profiling — which
+    dominates a kilobyte dimension read). Same driver-memory contract as
+    ``broadcast_dict``: that path builds the dict on the driver anyway,
+    so this changes WHERE the bytes are read, not what must fit where."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[key_col, val_col])
+    return ray.put(dict(zip(t.column(key_col).to_pylist(),
+                            t.column(val_col).to_pylist())))
+
+
 def broadcast_lookup(
     ds: "ray.data.Dataset",
     mapping_ref,
