@@ -1168,6 +1168,79 @@ def q_user_windows(sf_dir: str) -> Any:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_user_first_last(sf_dir: str) -> Any:
+    """FIRST_VALUE / LAST_VALUE per user over the full partition frame
+    (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — pinned in the oracle
+    too; the SQL default frame makes LAST_VALUE the current row). Values
+    cent-scaled to int BEFORE the window, so first/last are exact."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        partitioned_row_window,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts"),
+            "user_id": b.column("user_id"),
+            "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    out = partitioned_row_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id", order_cols=["ts", "event_id"],
+        value_col="value_c", first_last=True)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "first_e2": b.column("first_value"),
+            "last_e2": b.column("last_value"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_user_range_sum(sf_dir: str) -> Any:
+    """RANGE frame: SUM(value) OVER (PARTITION BY user ORDER BY epoch(ts)
+    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) — a 10-minute
+    value-range window including peers (equal timestamps) after the
+    current row, computed with one global searchsorted + prefix sums per
+    exchange partition (stages/windows.py), no per-group loop."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        partitioned_row_window,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        us = b.column("ts").combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ts_s": pa.array(us // 1_000_000),
+            "user_id": b.column("user_id"),
+            "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    out = partitioned_row_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id", order_cols=["ts_s", "event_id"],
+        value_col="value_c", range_preceding=600, range_on="ts_s")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "range10m_e2": b.column("range_sum"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_event_value_quantiles(sf_dir: str) -> Any:
     """Per-group EXACT quantile_disc (stages/quantiles.py:
     grouped_quantiles): histogram refinement with every (group, interval)
@@ -1830,6 +1903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_labels": q_kmeans,
         "orders_no_bulk": q_orders_no_bulk,
         "user_windows": q_user_windows,
+        "user_first_last": q_user_first_last,
+        "user_range_sum": q_user_range_sum,
         "event_value_quantiles": q_event_value_quantiles,
         "docs_above_p90": q_docs_above_p90,
         "grouped_approx_distinct": q_grouped_approx_distinct,
@@ -2179,6 +2254,26 @@ def oracle_sql() -> dict[str, str]:
                         AND CURRENT ROW) * 100 + 0.5) AS BIGINT) AS roll3_e2
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "user_first_last": """
+            SELECT event_id,
+                   FIRST_VALUE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       OVER w AS first_e2,
+                   LAST_VALUE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       OVER w AS last_e2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        """,
+        "user_range_sum": """
+            SELECT event_id,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       OVER w AS BIGINT) AS range10m_e2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         """,
         "event_value_quantiles": """
             SELECT event_type,

@@ -81,6 +81,12 @@ def partitioned_row_window(
     lag_col: str = "lag_value",
     lead: int = 0,
     lead_col: str = "lead_value",
+    first_last: bool = False,
+    first_col: str = "first_value",
+    last_col: str = "last_value",
+    range_preceding: int = 0,
+    range_on: "str | None" = None,
+    range_col: str = "range_sum",
 ) -> "ray.data.Dataset":
     """SQL row-window functions over a partitioned order: per ``by`` key
     ordered by ``order_cols``, emits ROW_NUMBER (``seq_col``) and, when
@@ -88,6 +94,21 @@ def partitioned_row_window(
     ``rolling`` rows including the current (``ROWS BETWEEN rolling-1
     PRECEDING AND CURRENT ROW``) and, when ``lag`` > 0, SQL
     ``LAG(value, lag)`` (NULL for each key's first ``lag`` rows).
+
+    ``first_last=True`` adds FIRST_VALUE/LAST_VALUE of ``value_col`` over
+    the FULL partition (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING`` — the frame must be pinned in the oracle SQL too; the
+    default RANGE-to-CURRENT-ROW frame makes LAST_VALUE the current row).
+
+    ``range_preceding=N`` with ``range_on`` (an int64 column, e.g. epoch
+    seconds) adds ``SUM(value) OVER (... ORDER BY range_on RANGE BETWEEN
+    N PRECEDING AND CURRENT ROW)``: all rows of the key whose ``range_on``
+    lies in ``[cur-N, cur]``, INCLUDING peers of the current row that
+    appear later in row order (SQL RANGE peer semantics). Implemented as
+    one global searchsorted over a group-offset composite key + exclusive
+    prefix sums — no per-group Python loop. Requires ``order_cols`` to
+    start with ``range_on`` so peers are contiguous; integer values keep
+    the sums exact.
 
     One exchange on the key hash, then per partition ONE vectorized
     sort + groupby.cumcount / groupby.rolling — every key's rows co-locate,
@@ -118,6 +139,27 @@ def partitioned_row_window(
         if lead > 0 and value_col is not None:
             # SQL LEAD(value, lead): NULL for the last `lead` rows per key
             df[lead_col] = g[value_col].shift(-lead)
+        if first_last and value_col is not None:
+            df[first_col] = g[value_col].transform("first")
+            df[last_col] = g[value_col].transform("last")
+        if range_preceding > 0 and range_on is not None and value_col is not None:
+            import numpy as np
+
+            o = df[range_on].to_numpy(np.int64)
+            v = df[value_col].to_numpy(np.int64)
+            # group-offset composite key: each group's keys occupy a
+            # disjoint strictly-increasing band, so ONE searchsorted finds
+            # every row's window start without a per-group loop
+            gid = g.ngroup().to_numpy(np.int64)
+            o0 = o.min() if len(o) else 0
+            span = (o.max() - o0 if len(o) else 0) + range_preceding + 1
+            key = gid * span + (o - o0)
+            left = np.searchsorted(key, key - range_preceding, side="left")
+            # RANGE ... CURRENT ROW includes ALL peers of the current
+            # order value, even ones after this row in row order
+            right = np.searchsorted(key, key, side="right")
+            prefix = np.concatenate(([0], np.cumsum(v)))
+            df[range_col] = prefix[right] - prefix[left]
         return pa.Table.from_pandas(df.drop(columns=["_kh"]),
                                     preserve_index=False)
 

@@ -279,6 +279,60 @@ class TestPartitionedRowWindow:
         assert got[got["u"] == 1]["seq"].tolist() == [1, 2, 3, 4]
         assert got[got["u"] == 2]["roll_sum"].tolist() == [10.0, 30.0]
 
+    def test_first_last_full_partition_frame(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            partitioned_row_window,
+        )
+
+        df = pd.DataFrame({
+            "u": [1, 1, 1, 2, 2],
+            "t": [3, 1, 2, 2, 1],
+            "id": [10, 11, 12, 13, 14],
+            "v": [100, 200, 300, 10, 20],
+        })
+        ds = ray.data.from_pandas(df).repartition(2)
+        got = (partitioned_row_window(
+            ds, by="u", order_cols=["t", "id"], value_col="v",
+            first_last=True).to_pandas().sort_values(["u", "seq"]))
+        # user 1 t-order: t=1(200), t=2(300), t=3(100)
+        assert got[got["u"] == 1]["first_value"].tolist() == [200] * 3
+        assert got[got["u"] == 1]["last_value"].tolist() == [100] * 3
+        assert got[got["u"] == 2]["first_value"].tolist() == [20, 20]
+        assert got[got["u"] == 2]["last_value"].tolist() == [10, 10]
+
+    def test_range_frame_includes_peers_matches_bruteforce(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            partitioned_row_window,
+        )
+
+        rng = np.random.RandomState(7)
+        n = 4000
+        df = pd.DataFrame({
+            "u": rng.randint(0, 25, n),
+            # coarse grid forces many exact-tie peers
+            "t": rng.randint(0, 500, n) * 10,
+            "id": np.arange(n),
+            "v": rng.randint(-50, 50, n).astype("int64"),
+        })
+        N = 100
+        got = (partitioned_row_window(
+            ray.data.from_pandas(df).repartition(5),
+            by="u", order_cols=["t", "id"], value_col="v",
+            range_preceding=N, range_on="t")
+            .to_pandas().set_index("id")["range_sum"])
+        # brute-force SQL RANGE semantics: all rows of the key with
+        # t in [cur-N, cur], INCLUDING later-row peers
+        for _, grp in df.groupby("u"):
+            t = grp["t"].to_numpy()
+            v = grp["v"].to_numpy()
+            for i, rid in enumerate(grp["id"]):
+                want = int(v[(t >= t[i] - N) & (t <= t[i])].sum())
+                assert got[rid] == want
+
 
 class TestSemiJoin:
     def test_exists_semantics_and_complement(self, ray_session):
