@@ -1241,6 +1241,20 @@ def q_user_range_sum(sf_dir: str) -> Any:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_model_scored_docs(sf_dir: str) -> Any:
+    """Model-hosted inference demo: a 256 MB seed-generated weight matrix
+    loaded ONCE per actor (stages/model_stage.py — the reference's
+    src/infer.py:135-147 model.generate shape), batched vectorized
+    scoring, pool bounded at 4 actors with memory= declared to the
+    scheduler. Oracle = single-process run of the same class."""
+    from calendar_event_entity_extraction_ray.stages.model_stage import (
+        score_documents,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return score_documents(ds)
+
+
 def q_event_value_quantiles(sf_dir: str) -> Any:
     """Per-group EXACT quantile_disc (stages/quantiles.py:
     grouped_quantiles): histogram refinement with every (group, interval)
@@ -1905,6 +1919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_windows": q_user_windows,
         "user_first_last": q_user_first_last,
         "user_range_sum": q_user_range_sum,
+        "model_scored_docs": q_model_scored_docs,
         "event_value_quantiles": q_event_value_quantiles,
         "docs_above_p90": q_docs_above_p90,
         "grouped_approx_distinct": q_grouped_approx_distinct,
@@ -2136,6 +2151,8 @@ def oracle_sql() -> dict[str, str]:
         # reference-semantics emitter (functions/oracle.py) and the derived
         # views are plain SQL over that one emitter output.
         "kg_flagship": f"SELECT subj, pred, obj, url FROM {_golden('kg_flagship')}",
+        "model_scored_docs":
+            f"SELECT doc_id, score_e6 FROM {_golden('model_scored_docs')}",
         "kg_entity_degree": f"""
             SELECT obj, COUNT(*) AS degree FROM {_golden('kg_flagship')}
             WHERE pred IN ('hasAttendee', 'hasLocation') GROUP BY obj

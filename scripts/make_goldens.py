@@ -528,8 +528,22 @@ def golden_media_resampled() -> pa.Table:
                      "rms_e4": pa.array(rms, pa.int64())})
 
 
+def golden_model_scored_docs() -> pa.Table:
+    """Single-process run of the SAME deterministic scorer class the
+    actor pool hosts (stages/model_stage.py) — seed-pinned weights, so
+    distributed == sequential bit-for-bit (same params as the query)."""
+    from calendar_event_entity_extraction_ray.stages.model_stage import (
+        DummyModelScorer,
+    )
+
+    df = _documents()
+    scorer = DummyModelScorer(seed=42)   # full 256 MB default weights
+    return scorer(pa.Table.from_pandas(df, preserve_index=False))
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
+    "model_scored_docs": golden_model_scored_docs,
     "simhash_docs": golden_simhash_docs,
     "langid_docs": golden_langid_docs,
     "fingerprint_docs": golden_fingerprint_docs,

@@ -354,3 +354,34 @@ class TestAsofHotKeySplit:
         a = out["val"].astype("float64")
         b = expect["val"].astype("float64")
         assert ((a == b) | (a.isna() & b.isna())).all()
+
+
+class TestModelStage:
+    def test_pool_matches_single_process_and_edge_cases(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.model_stage import (
+            DummyModelScorer,
+            score_documents,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["hello world", "", None, "hello hello", "a b c d"],
+        })
+        # small weights for the unit test; the golden pins the full size
+        scorer = DummyModelScorer(seed=7, vocab=1 << 12, dim=16)
+        want = scorer(pa.Table.from_pandas(df, preserve_index=False))
+        got = (score_documents(
+            ray.data.from_pandas(df).repartition(3),
+            seed=7, vocab=1 << 12, dim=16, concurrency=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        w = want.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["score_e6"].tolist() == w["score_e6"].tolist()
+        # empty/NULL text scores 0 (no tokens), never NaN/crash
+        assert got.loc[got["doc_id"] == 2, "score_e6"].iloc[0] == 0
+        assert got.loc[got["doc_id"] == 3, "score_e6"].iloc[0] == 0
+        # repeated token == deterministic single-token score
+        one = scorer(pa.table({"doc_id": [9], "text": ["hello"]}))
+        assert (got.loc[got["doc_id"] == 4, "score_e6"].iloc[0]
+                == one.column("score_e6")[0].as_py())
