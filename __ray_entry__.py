@@ -1241,6 +1241,85 @@ def q_user_range_sum(sf_dir: str) -> Any:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_user_ntile(sf_dir: str) -> Any:
+    """SQL NTILE(4) per user ordered by (ts, event_id) — larger buckets
+    first, vectorized from seq + group size in the window fold."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        partitioned_row_window,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = partitioned_row_window(
+        ev, by="user_id", order_cols=["ts", "event_id"], ntile=4)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "tile": b.column("ntile")})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_value_variance(sf_dir: str) -> Any:
+    """Exact distributed variance per event_type WITHOUT floats: ship
+    (sum, sum-of-squares, n) integer partials through grouped_sums, then
+    var_num = n*sumsq - sum^2 on the kilobyte result — exact-integer
+    parity with the SQL identity (no Welford-vs-sumsq last-ulp risk).
+    Domain: |value_c| <= ~1e5 cents and n <= ~1e8 rows/group before the
+    int64 numerator saturates; larger domains need the HUGEINT-style
+    widening the oracle's DuckDB side gets for free."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        vc = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "vc": pa.array(vc),
+            "vc2": pa.array(vc * vc),
+        })
+
+    out = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                       key_cols=["event_type"], sum_cols=["vc", "vc2"],
+                       count_alias="n", stream_reduce=True).to_pandas()
+    out["var_num"] = out["n"] * out["vc2"] - out["vc"] * out["vc"]
+    return _int64(out[["event_type", "n", "var_num"]],
+                  ["n", "var_num"])
+
+
+def q_customer_order_counts_left(sf_dir: str) -> Any:
+    """LEFT OUTER join: every customer, with 0 for the no-order ones
+    (TPC-H plants ~1/3 orderless customers). Orders pre-aggregate to one
+    row per custkey BEFORE the join (partial-aggregate-then-join — the
+    join ships |customers|+|custkeys| rows, not |orders|), then the
+    exchange hash join runs how='left'; unmatched counts surface as NULL
+    and become SQL COUNT's 0."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    per_cust = grouped_count(
+        _read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey",
+    ).map_batches(
+        lambda b: b.rename_columns(["c_custkey", "n"]),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    joined = hash_join(cust, per_cust, key="c_custkey",
+                       left_cols=["c_custkey"],
+                       right_cols=["c_custkey", "n"], how="left")
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_pandas().fillna(0).astype("int64")
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "n_orders": pa.array(n)})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def q_model_scored_docs(sf_dir: str) -> Any:
     """Model-hosted inference demo: a 256 MB seed-generated weight matrix
     loaded ONCE per actor (stages/model_stage.py — the reference's
@@ -1920,6 +1999,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": q_user_first_last,
         "user_range_sum": q_user_range_sum,
         "model_scored_docs": q_model_scored_docs,
+        "customer_order_counts_left": q_customer_order_counts_left,
+        "user_ntile": q_user_ntile,
+        "value_variance": q_value_variance,
         "event_value_quantiles": q_event_value_quantiles,
         "docs_above_p90": q_docs_above_p90,
         "grouped_approx_distinct": q_grouped_approx_distinct,
@@ -2282,6 +2364,28 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND UNBOUNDED FOLLOWING)
+        """,
+        "user_ntile": """
+            SELECT event_id,
+                   NTILE(4) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS tile
+            FROM events
+        """,
+        "value_variance": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) * SUM(vc * vc) - SUM(vc) * SUM(vc)
+                        AS BIGINT) AS var_num
+            FROM (SELECT event_type,
+                         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "customer_order_counts_left": """
+            SELECT c_custkey,
+                   CAST(COUNT(o_custkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
         """,
         "user_range_sum": """
             SELECT event_id,

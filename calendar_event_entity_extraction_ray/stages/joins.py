@@ -120,20 +120,30 @@ def hash_join(
     left_cols: List[str],
     right_cols: List[str],
     num_buckets: Optional[int] = None,  # None = exchange sizes itself
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Inner join on ``key``; output columns = left_cols ∪ right_cols.
+    """Inner or left-outer join on ``key``; output columns = left_cols ∪
+    right_cols.
 
     Column sets must be disjoint apart from ``key``. SQL equality never
     matches NULL = NULL, so NULL-key rows are dropped on BOTH sides up
-    front (pandas ``merge`` would otherwise happily join NaN to NaN).
-    """
+    front (pandas ``merge`` would otherwise happily join NaN to NaN) —
+    except the LEFT side of ``how="left"``, whose NULL-key rows are SQL
+    output rows (kept, unmatched, right columns NULL; the right side
+    still drops NULLs so the NaN==NaN merge quirk can't fire). Unmatched
+    right columns surface as nulls, so integer right columns widen to
+    float64 in the left-join output — the same NULL-widening any SQL
+    client sees."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only 'inner' and 'left'")
     from calendar_event_entity_extraction_ray.stages.exchange import (
         hash_partition_map,
     )
 
     l_only = [c for c in left_cols if c != key]
     r_only = [c for c in right_cols if c != key]
-    lt = _tag_side(left, key, "l", left_cols, r_only, drop_null_key=True)
+    lt = _tag_side(left, key, "l", left_cols, r_only,
+                   drop_null_key=(how == "inner"))
     rt = _tag_side(right, key, "r", right_cols, l_only, drop_null_key=True)
     both = lt.union(rt)
 
@@ -149,7 +159,7 @@ def hash_join(
               .select([key] + l_only).to_pandas())
         rg = (t.filter(pc.equal(t.column("_side"), "r"))
               .select([key] + r_only).to_pandas())
-        out = lg.merge(rg, on=key, how="inner")[out_cols]
+        out = lg.merge(rg, on=key, how=how)[out_cols]
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return hash_partition_map(both, "_kh", join_fold,

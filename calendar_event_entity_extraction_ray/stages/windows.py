@@ -87,6 +87,8 @@ def partitioned_row_window(
     range_preceding: int = 0,
     range_on: "str | None" = None,
     range_col: str = "range_sum",
+    ntile: int = 0,
+    ntile_col: str = "ntile",
 ) -> "ray.data.Dataset":
     """SQL row-window functions over a partitioned order: per ``by`` key
     ordered by ``order_cols``, emits ROW_NUMBER (``seq_col``) and, when
@@ -109,6 +111,11 @@ def partitioned_row_window(
     prefix sums — no per-group Python loop. Requires ``order_cols`` to
     start with ``range_on`` so peers are contiguous; integer values keep
     the sums exact.
+
+    ``ntile=k`` adds SQL ``NTILE(k)``: the first ``n % k`` buckets take
+    ``n//k + 1`` rows, the rest ``n//k`` (vectorized from seq + group
+    size; NOT the uniform ``floor((seq-1)*k/n)`` spread, which splits
+    remainders differently).
 
     One exchange on the key hash, then per partition ONE vectorized
     sort + groupby.cumcount / groupby.rolling — every key's rows co-locate,
@@ -139,6 +146,22 @@ def partitioned_row_window(
         if lead > 0 and value_col is not None:
             # SQL LEAD(value, lead): NULL for the last `lead` rows per key
             df[lead_col] = g[value_col].shift(-lead)
+        if ntile > 0:
+            import numpy as np
+
+            # SQL NTILE: the first n % k buckets get the extra row —
+            # sizes (base+1)*rem then base*(k-rem), NOT the uniform
+            # floor((seq-1)*k/n) spread
+            n_ = g[by].transform("size").to_numpy(np.int64)
+            seq = df[seq_col].to_numpy(np.int64)
+            base = n_ // ntile
+            rem = n_ % ntile
+            cut = rem * (base + 1)
+            safe_base = np.maximum(base, 1)  # base=0 rows all fall in cut
+            df[ntile_col] = np.where(
+                seq <= cut,
+                (seq - 1) // (base + 1),
+                rem + (seq - 1 - cut) // safe_base) + 1
         if first_last and value_col is not None:
             df[first_col] = g[value_col].transform("first")
             df[last_col] = g[value_col].transform("last")

@@ -29,6 +29,29 @@ class TestHashJoin:
         )
 
 
+    def test_left_outer_keeps_unmatched_and_null_left_keys(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": [1.0, 2.0, 3.0, None],
+                             "lv": ["a", "b", "c", "d"]})
+        right = pd.DataFrame({"k": [2.0, 2.0, None], "rv": [20, 21, 99]})
+        out = hash_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            key="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+            num_buckets=4, how="left",
+        ).to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+        # every left row survives; k=2 fans out; NULL left key kept but
+        # NEVER matches the NULL right key (rv=99 must not appear)
+        assert out["lv"].tolist() == ["a", "b", "b", "c", "d"]
+        assert out["rv"].dropna().tolist() == [20, 21]
+        assert 99 not in out["rv"].dropna().tolist()
+        assert out.loc[out["lv"] == "a", "rv"].isna().all()
+        assert out.loc[out["lv"] == "d", "k"].isna().all()
+
+
 class TestAsofJoin:
     def test_backward_asof_matches_pandas(self, ray_session):
         import ray

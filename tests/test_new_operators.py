@@ -302,6 +302,26 @@ class TestPartitionedRowWindow:
         assert got[got["u"] == 2]["first_value"].tolist() == [20, 20]
         assert got[got["u"] == 2]["last_value"].tolist() == [10, 10]
 
+    def test_ntile_remainder_buckets_first(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            partitioned_row_window,
+        )
+
+        # n=6,k=4 -> sizes 2,2,1,1; n=2,k=4 -> each row its own bucket
+        df = pd.DataFrame({
+            "u": [1] * 6 + [2] * 2,
+            "t": list(range(6)) + [0, 1],
+            "id": list(range(8)),
+        })
+        got = (partitioned_row_window(
+            ray.data.from_pandas(df).repartition(3),
+            by="u", order_cols=["t", "id"], ntile=4)
+            .to_pandas().sort_values(["u", "seq"]))
+        assert got[got["u"] == 1]["ntile"].tolist() == [1, 1, 2, 2, 3, 4]
+        assert got[got["u"] == 2]["ntile"].tolist() == [1, 2]
+
     def test_range_frame_includes_peers_matches_bruteforce(self, ray_session):
         import ray
 
