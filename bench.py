@@ -99,7 +99,10 @@ def run_bench() -> dict:
         "corpus_clean", "order_price_quantiles", "error_click_burst",
         # late-round operators
         "segment_revenue", "user_windows", "pagerank_dups",
-        "user_event_pivot", "jaccard_pairs_docs"]
+        "user_event_pivot", "jaccard_pairs_docs",
+        # round-3 operators
+        "model_scored_docs", "user_range_sum",
+        "customer_order_counts_left", "minhash_dedup_docs"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()

@@ -66,6 +66,13 @@ def main() -> int:
     }
     write_metrics(args.out, metrics)
     print(metrics)
+    # outputs are on disk: spill dirs deferred by shared-root exchanges
+    # are safe to drop now (lineage can no longer need them)
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        cleanup_pending_spill,
+    )
+
+    cleanup_pending_spill()
     ray.shutdown()
     return 0
 
