@@ -1012,6 +1012,27 @@ def q_price_quantiles(sf_dir: str) -> Any:
     })
 
 
+def q_order_price_p_cont(sf_dir: str) -> Any:
+    """Distributed percentile_cont (interpolated quantiles): the same
+    rank-selection machinery fetches the two bracketing order statistics
+    per q, then applies DuckDB's exact interpolation expression
+    lo + (hi - lo) * frac (stages/quantiles.py:percentile_cont)."""
+    import math
+
+    from calendar_event_entity_extraction_ray.stages.quantiles import (
+        percentile_cont,
+    )
+
+    qs = [0.25, 0.5, 0.9]
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    res = percentile_cont(ds, "o_totalprice", qs, bins=512,
+                          collect_cap=10_000)
+    return pd.DataFrame({
+        "q_e4": [int(round(q * 10000)) for q, _ in res],
+        "val_e2": [int(math.floor(v * 100 + 0.5)) for _, v in res],
+    })
+
+
 def q_top_docs_per_source(sf_dir: str) -> Any:
     """Per-group top-k (best-N-docs-per-source shape): local per-batch
     top-k prunes the exchange to <= k rows per group per batch."""
@@ -1292,32 +1313,45 @@ def q_value_variance(sf_dir: str) -> Any:
 
 def q_customer_order_counts_left(sf_dir: str) -> Any:
     """LEFT OUTER join: every customer, with 0 for the no-order ones
-    (TPC-H plants ~1/3 orderless customers). Orders pre-aggregate to one
-    row per custkey BEFORE the join (partial-aggregate-then-join — the
-    join ships |customers|+|custkeys| rows, not |orders|), then the
-    exchange hash join runs how='left'; unmatched counts surface as NULL
-    and become SQL COUNT's 0."""
+    (TPC-H plants ~1/3 orderless customers). Aggregation is pushed INTO
+    the join's exchange: orders collapse to (custkey, partial) per batch
+    (a hot key ships one row per batch), customers ride the same key
+    hash, and ONE fold per partition sums partials and left-merges —
+    |customers| + |custkeys|·|batches| rows through one exchange instead
+    of the two a grouped_count-then-hash_join chain would run."""
     from calendar_event_entity_extraction_ray.stages.aggregate import (
-        grouped_count,
+        partial_count_batch,
     )
-    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
 
-    per_cust = grouped_count(
-        _read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey",
-    ).map_batches(
-        lambda b: b.rename_columns(["c_custkey", "n"]),
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda b: add_hash_column(
+            partial_count_batch(b, "o_custkey", salt_mod=0)
+            .rename_columns(["c_custkey", "partial"]),
+            ["c_custkey"], out_col="_kh"),
         batch_format="pyarrow")
-    cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    joined = hash_join(cust, per_cust, key="c_custkey",
-                       left_cols=["c_custkey"],
-                       right_cols=["c_custkey", "n"], how="left")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda b: add_hash_column(
+            b.append_column("partial",
+                            pa.nulls(b.num_rows, pa.int64())),
+            ["c_custkey"], out_col="_kh"),
+        batch_format="pyarrow")
 
-    def fin(b: pa.Table) -> pa.Table:
-        n = b.column("n").to_pandas().fillna(0).astype("int64")
-        return pa.table({"c_custkey": b.column("c_custkey"),
-                         "n_orders": pa.array(n)})
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["_kh"]).to_pandas()
+        counts = (df[df["partial"].notna()]
+                  .groupby("c_custkey")["partial"].sum())
+        left = df.loc[df["partial"].isna(), ["c_custkey"]]
+        left["n_orders"] = (left["c_custkey"].map(counts)
+                            .fillna(0).astype("int64"))
+        return pa.Table.from_pandas(left, preserve_index=False)
 
-    return joined.map_batches(fin, batch_format="pyarrow")
+    return hash_partition_map(cust.union(orders), "_kh", fold)
 
 
 def q_model_scored_docs(sf_dir: str) -> Any:
@@ -1988,6 +2022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "dup_clusters": q_dup_clusters,
         "order_price_quantiles": q_price_quantiles,
+        "order_price_p_cont": q_order_price_p_cont,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2290,6 +2325,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, CAST(MIN(peer) AS BIGINT) AS cluster
             FROM reach GROUP BY node
+        """,
+        "order_price_p_cont": """
+            SELECT CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,
+                   CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS val_e2
+            FROM (SELECT unnest([0.25, 0.5, 0.9]) AS q,
+                         unnest(quantile_cont(o_totalprice,
+                                [0.25, 0.5, 0.9])) AS v
+                  FROM orders)
         """,
         "order_price_quantiles": """
             SELECT CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,

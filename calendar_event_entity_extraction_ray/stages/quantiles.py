@@ -145,6 +145,46 @@ def exact_quantiles(
     return [(float(q), float(resolved[i])) for i, q in enumerate(qs)]
 
 
+def percentile_cont(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: Sequence[float],
+    bins: int = 4096,
+    collect_cap: int = 1_000_000,
+    max_passes: int = 6,
+) -> List[Tuple[float, float]]:
+    """[(q, value)] with DuckDB ``quantile_cont`` semantics: linear
+    interpolation ``lo + (hi - lo) * frac`` between the order statistics
+    at 0-based ranks floor/ceil((n-1)*q) — DuckDB's exact interpolation
+    expression, so cent-scaled comparisons hold bit-for-bit.
+
+    Runs the same histogram-refinement rank selection as
+    ``exact_quantiles``; the needed ranks are reached by synthesizing
+    ``q' = (rank - 0.5) / n`` (ceil(q'*n) == rank, robust to fp)."""
+    ds = ds.select_columns([col]).materialize()
+    n = int(ds.map_batches(
+        lambda b: pa.table({"_v": pa.array(_column_f64(b, col),
+                                           pa.float64())}),
+        batch_format="pyarrow").count())
+    if n == 0:
+        return [(float(q), float("nan")) for q in qs]
+
+    ranks = sorted({r for q in qs
+                    for r in (math.floor((n - 1) * q) + 1,
+                              math.ceil((n - 1) * q) + 1)})
+    synth = [(r - 0.5) / n for r in ranks]
+    vals = exact_quantiles(ds, col, synth, bins=bins,
+                           collect_cap=collect_cap, max_passes=max_passes)
+    by_rank = {r: v for r, (_, v) in zip(ranks, vals)}
+    out = []
+    for q in qs:
+        x = (n - 1) * q
+        lo_r, hi_r = math.floor(x) + 1, math.ceil(x) + 1
+        lo_v, hi_v = by_rank[lo_r], by_rank[hi_r]
+        out.append((float(q), lo_v + (hi_v - lo_v) * (x - (lo_r - 1))))
+    return out
+
+
 def _collect_pick(ds: "ray.data.Dataset", col: str,
                   targets: Dict[int, Tuple[Interval, int]]) -> Dict[int, float]:
     """One filtered pass: collect each target interval's members and pick

@@ -354,6 +354,42 @@ class TestPartitionedRowWindow:
                 assert got[rid] == want
 
 
+class TestPercentileCont:
+    def test_matches_numpy_linear_interpolation(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.quantiles import (
+            percentile_cont,
+        )
+
+        rng = np.random.RandomState(11)
+        v = rng.normal(100, 25, 5000)
+        v[rng.rand(5000) < 0.02] = np.nan
+        ds = ray.data.from_pandas(pd.DataFrame({"v": v})).repartition(4)
+        qs = [0.0, 0.25, 0.5, 0.613, 0.9, 1.0]
+        got = percentile_cont(ds, "v", qs, bins=64, collect_cap=200)
+        clean = np.sort(v[~np.isnan(v)])
+        for q, val in got:
+            x = (len(clean) - 1) * q
+            lo, hi = int(np.floor(x)), int(np.ceil(x))
+            want = clean[lo] + (clean[hi] - clean[lo]) * (x - lo)
+            assert val == want, q
+
+    def test_empty_and_single(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.quantiles import (
+            percentile_cont,
+        )
+
+        empty = ray.data.from_pandas(pd.DataFrame({"v": [np.nan, np.nan]}))
+        assert all(np.isnan(val)
+                   for _, val in percentile_cont(empty, "v", [0.5]))
+        one = ray.data.from_pandas(pd.DataFrame({"v": [7.0]}))
+        assert percentile_cont(one, "v", [0.0, 0.5, 1.0]) == [
+            (0.0, 7.0), (0.5, 7.0), (1.0, 7.0)]
+
+
 class TestSemiJoin:
     def test_exists_semantics_and_complement(self, ray_session):
         import ray
