@@ -1033,6 +1033,26 @@ def q_order_price_p_cont(sf_dir: str) -> Any:
     })
 
 
+def q_order_global_rank(sf_dir: str) -> Any:
+    """Global ROW_NUMBER over a total order (o_totalprice, o_orderkey) —
+    distributed range-partitioned sort (stages/sort.py): sampled
+    boundaries route rows, per-bucket local sort + rank, kilobyte bucket
+    sizes become prefix offsets. No Ray sort-shuffle."""
+    from calendar_event_entity_extraction_ray.stages.sort import (
+        global_row_number,
+    )
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = global_row_number(ds, "o_totalprice",
+                            tiebreak_cols=["o_orderkey"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "rank": b.column("rank")})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_top_docs_per_source(sf_dir: str) -> Any:
     """Per-group top-k (best-N-docs-per-source shape): local per-batch
     top-k prunes the exchange to <= k rows per group per batch."""
@@ -2023,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "order_price_quantiles": q_price_quantiles,
         "order_price_p_cont": q_order_price_p_cont,
+        "order_global_rank": q_order_global_rank,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2325,6 +2346,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, CAST(MIN(peer) AS BIGINT) AS cluster
             FROM reach GROUP BY node
+        """,
+        "order_global_rank": """
+            SELECT o_orderkey,
+                   CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice,
+                                           o_orderkey) AS BIGINT) AS rank
+            FROM orders
         """,
         "order_price_p_cont": """
             SELECT CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,

@@ -1,0 +1,113 @@
+"""Distributed global sort / global ROW_NUMBER via range partitioning.
+
+Ray's built-in ``Dataset.sort`` runs the same sort-based shuffle whose
+high-cardinality cliff this repo's exchange exists to avoid (CLAUDE.md),
+so the global order operator rides the exchange instead:
+
+  1. sample the order column (bounded, deterministic per-batch stride)
+     and cut ``n`` range boundaries;
+  2. route each row to its range bucket — the bucket INDEX is the
+     exchange's routing value (``idx % n == idx``), so the generic
+     hash exchange becomes a range exchange with no new machinery;
+  3. one fold per bucket sorts locally and assigns 1-based local ranks —
+     equal order values co-locate (searchsorted routes by value), so
+     tie-breaks resolve inside one partition;
+  4. bucket sizes (a kilobyte) become exclusive prefix offsets, added in
+     one final streamed pass.
+
+Total order requires ``order_col`` + ``tiebreak_cols`` to be unique.
+NULL order values route to the LAST bucket and sort last (SQL ASC
+NULLS LAST, DuckDB's default).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _sample_values(ds: "ray.data.Dataset", col: str,
+                   per_batch: int = 256) -> np.ndarray:
+    """Deterministic stride sample of ``col`` (no RNG — resume-stable)."""
+    def samp(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_pandas().dropna().to_numpy()
+        if len(v) > per_batch:
+            v = v[:: max(1, len(v) // per_batch)][:per_batch]
+        return pa.table({"_s": pa.array(v)})
+
+    out = ds.map_batches(samp, batch_format="pyarrow").to_pandas()
+    return np.sort(out["_s"].to_numpy())
+
+
+def global_row_number(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    tiebreak_cols: Optional[List[str]] = None,
+    out_col: str = "rank",
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Adds ``out_col`` = SQL ``ROW_NUMBER() OVER (ORDER BY order_col,
+    *tiebreak_cols)`` (1-based, global). Output is range-partitioned and
+    sorted within each partition — i.e. a distributed global sort whose
+    partition k holds ranks (offset_k, offset_{k+1}]."""
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        default_num_partitions,
+        hash_partition_map,
+    )
+
+    tiebreak_cols = tiebreak_cols or []
+    ds = ds.materialize()  # consumed twice: sample + route
+    n_parts = num_partitions or default_num_partitions()
+    sample = _sample_values(ds, order_col)
+    if len(sample) == 0:
+        n_parts = 1
+        bounds = np.array([])
+    else:
+        cuts = np.linspace(0, len(sample) - 1,
+                           n_parts + 1)[1:-1].astype(np.int64)
+        bounds = np.unique(sample[cuts])
+        n_parts = len(bounds) + 1
+
+    def route(b: pa.Table) -> pa.Table:
+        v = b.column(order_col).to_pandas().to_numpy(dtype=np.float64,
+                                                     copy=False)
+        rb = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        rb[np.isnan(v)] = n_parts - 1  # SQL ASC: NULLS LAST
+        return b.append_column("_rb", pa.array(rb))
+
+    sort_cols = [order_col] + tiebreak_cols
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(sort_cols, kind="mergesort",
+                                       na_position="last")
+        df["_lr"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    folded = hash_partition_map(ds.map_batches(route,
+                                               batch_format="pyarrow"),
+                                "_rb", fold,
+                                num_partitions=n_parts).materialize()
+
+    sizes = (folded.map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.select(["_rb"]).to_pandas().groupby("_rb").size()
+            .reset_index(name="n"), preserve_index=False),
+        batch_format="pyarrow").to_pandas()
+        .groupby("_rb")["n"].sum())
+    offsets = {int(rb): int(off) for rb, off in zip(
+        sizes.index, np.concatenate(([0], np.cumsum(sizes.to_numpy())[:-1])))}
+    off_ref = ray.put(offsets)
+
+    def add_offset(b: pa.Table, _ref=off_ref) -> pa.Table:
+        off = ray.get(_ref) if hasattr(_ref, "hex") else _ref
+        rb = b.column("_rb").to_pandas().map(off).to_numpy(np.int64)
+        rank = b.column("_lr").to_numpy() + rb
+        return (b.drop_columns(["_rb", "_lr"])
+                .append_column(out_col, pa.array(rank, pa.int64())))
+
+    return folded.map_batches(add_offset, batch_format="pyarrow")

@@ -354,6 +354,35 @@ class TestPartitionedRowWindow:
                 assert got[rid] == want
 
 
+class TestGlobalRowNumber:
+    def test_matches_sorted_order_with_ties_and_nulls(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.sort import (
+            global_row_number,
+        )
+
+        rng = np.random.RandomState(3)
+        n = 20_000
+        df = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            # heavy ties: 500 distinct values over 20k rows
+            "v": rng.randint(0, 500, n).astype("float64"),
+        })
+        df.loc[rng.rand(n) < 0.01, "v"] = np.nan
+        got = (global_row_number(
+            ray.data.from_pandas(df).repartition(8), "v",
+            tiebreak_cols=["id"], num_partitions=6)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+        expect = df.sort_values(["v", "id"], na_position="last",
+                                kind="mergesort").reset_index(drop=True)
+        expect["rank"] = np.arange(1, n + 1, dtype=np.int64)
+        expect = expect.sort_values("id").reset_index(drop=True)
+        assert got["rank"].tolist() == expect["rank"].tolist()
+        # ranks are a permutation of 1..n
+        assert sorted(got["rank"]) == list(range(1, n + 1))
+
+
 class TestPercentileCont:
     def test_matches_numpy_linear_interpolation(self, ray_session):
         import ray
