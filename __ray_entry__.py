@@ -1033,6 +1033,51 @@ def q_order_price_p_cont(sf_dir: str) -> Any:
     })
 
 
+def q_distinct_user_types(sf_dir: str) -> Any:
+    """SELECT DISTINCT (user_id, event_type): per-batch local distinct
+    collapses before the exchange (a hot pair ships one row per batch),
+    then the grouped fold keeps one row per key — NULL groups kept, as
+    SQL DISTINCT does."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_sums(ds, key_cols=["user_id", "event_type"],
+                       sum_cols=[]).drop_columns(["n"])
+    return _int64(out.to_pandas(), ["user_id"])
+
+
+def q_chunk_docs(sf_dir: str) -> Any:
+    """Training-window chunking: split each document into 64-token
+    windows with stride 48 (the LLM-pretraining context-packing shape) —
+    a pure flat-map, no shuffle. Token rule = split(' ') (empties kept),
+    which DuckDB's string_split mirrors exactly, so the oracle slices
+    lists in SQL."""
+    W, S = 64, 48
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids, starts, ntoks, texts = [], [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            toks = (txt or "").split(" ")
+            for s in range(0, len(toks), S):
+                w = toks[s:s + W]
+                ids.append(did)
+                starts.append(s)
+                ntoks.append(len(w))
+                texts.append(" ".join(w))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "start": pa.array(starts, pa.int64()),
+            "n_tok": pa.array(ntoks, pa.int64()),
+            "chunk": pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
 def q_order_global_rank(sf_dir: str) -> Any:
     """Global ROW_NUMBER over a total order (o_totalprice, o_orderkey) —
     distributed range-partitioned sort (stages/sort.py): sampled
@@ -2044,6 +2089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": q_price_quantiles,
         "order_price_p_cont": q_order_price_p_cont,
         "order_global_rank": q_order_global_rank,
+        "distinct_user_types": q_distinct_user_types,
+        "chunk_docs": q_chunk_docs,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2346,6 +2393,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, CAST(MIN(peer) AS BIGINT) AS cluster
             FROM reach GROUP BY node
+        """,
+        "distinct_user_types": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s AS BIGINT) AS start,
+                   CAST(least(64, len(t) - s) AS BIGINT) AS n_tok,
+                   array_to_string(list_slice(t, s + 1, s + 64),
+                                   ' ') AS chunk
+            FROM toks, unnest(generate_series(0, len(t) - 1, 48)) AS u(s)
         """,
         "order_global_rank": """
             SELECT o_orderkey,
