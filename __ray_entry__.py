@@ -2024,6 +2024,105 @@ def q_profile_orders(sf_dir: str) -> Any:
     return profile_numeric_columns(ds, cols)
 
 
+def q_qty_discount_corr(sf_dir: str) -> Any:
+    """Grouped Pearson correlation WITHOUT floats (SQL corr() family):
+    ship integer moment partials (x, y, xy, x2, y2, n) through one
+    grouped_sums pass, then emit the three exact-integer numerators
+    cov_num = n*Sxy - Sx*Sy, varx_num = n*Sx2 - Sx^2, vary_num =
+    n*Sy2 - Sy^2 (corr = cov_num / sqrt(varx_num*vary_num) if a float
+    were wanted). Same order-independence argument as value_variance:
+    integer partials commute, no Welford last-ulp risk. Domain:
+    |x|<=50, |y|<=10 here — n*Sxy saturates int64 around 1e9 rows/group
+    at these magnitudes (DuckDB's HUGEINT widens for free; the Ray side
+    would need object-dtype or splitting at that scale)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = np.floor(b.column("l_quantity").to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(b.column("l_discount").to_numpy() * 100 + 0.5).astype(
+            np.int64)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "x": pa.array(x), "y": pa.array(y),
+            "xy": pa.array(x * y), "x2": pa.array(x * x),
+            "y2": pa.array(y * y),
+        })
+
+    out = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                       key_cols=["l_returnflag"],
+                       sum_cols=["x", "y", "xy", "x2", "y2"],
+                       count_alias="n", stream_reduce=True).to_pandas()
+    out["cov_num"] = out["n"] * out["xy"] - out["x"] * out["y"]
+    out["varx_num"] = out["n"] * out["x2"] - out["x"] * out["x"]
+    out["vary_num"] = out["n"] * out["y2"] - out["y"] * out["y"]
+    return _int64(out[["l_returnflag", "n", "cov_num", "varx_num",
+                       "vary_num"]],
+                  ["n", "cov_num", "varx_num", "vary_num"])
+
+
+def q_user_mode_event(sf_dir: str) -> Any:
+    """MODE() per group — each user's most frequent event_type (ties ->
+    lexicographically smallest type, pinned so the oracle can mirror it).
+    Composition of existing scale-safe pieces: grouped_count on
+    (user_id, event_type) — per-batch pre-agg, exchange reduce — then
+    top_k_per_group(k=1) over the count rows (<= |users|x|types| rows,
+    already tiny relative to the input)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+        top_k_per_group,
+    )
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_sums(ev, key_cols=["user_id", "event_type"],
+                          sum_cols=[], count_alias="n")
+    best = top_k_per_group(counts, group_col="user_id", order_col="n",
+                           k=1, tiebreak_col="event_type")
+    out = best.to_pandas()[["user_id", "event_type", "n"]]
+    out = out.rename(columns={"event_type": "mode_type"})
+    return _int64(out.reset_index(drop=True), ["n"])
+
+
+def q_decontaminate_docs(sf_dir: str) -> Any:
+    """Benchmark decontamination: train docs sharing any word 4-gram with
+    the eval split (GPT-3-style contamination check; real pipelines use
+    13-grams — the fixture's short template texts need n=4 for a
+    non-trivial result). Split assignment hashes str(doc_id) so exact
+    duplicate TEXTS can land on both sides (hashing the text itself would
+    make cross-split duplication impossible by construction). Broadcast
+    regime here (eval side is tiny); the exchange regime is pinned
+    identical by tests (stages/decontam.py)."""
+    from calendar_event_entity_extraction_ray.functions.textsig import (
+        stable_bucket,
+    )
+    from calendar_event_entity_extraction_ray.stages.decontam import (
+        contaminated_doc_ids,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        # md5 of str(doc_id): parity with the oracle's
+        # md5(CAST(doc_id AS VARCHAR)) bucket rule; per-row md5 is the
+        # documented DuckDB-parity exception (cold path, id-sized rows)
+        splits = []
+        for did in b.column("doc_id").to_pylist():
+            bk = stable_bucket(str(did), 10000)
+            splits.append("train" if bk < 7500
+                          else ("eval" if bk < 9000 else "test"))
+        return b.append_column("split", pa.array(splits, pa.string()))
+
+    with_split = ds.map_batches(assign, batch_format="pyarrow")
+    train = with_split.filter(expr="split == 'train'")
+    ev = with_split.filter(expr="split == 'eval'")
+    out = contaminated_doc_ids(train, ev, n=4, mode="broadcast")
+    return _int64(out.to_pandas(), ["doc_id"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2091,6 +2190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_global_rank": q_order_global_rank,
         "distinct_user_types": q_distinct_user_types,
         "chunk_docs": q_chunk_docs,
+        "qty_discount_corr": q_qty_discount_corr,
+        "user_mode_event": q_user_mode_event,
+        "decontaminate_docs": q_decontaminate_docs,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2396,6 +2498,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_user_types": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "qty_discount_corr": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)
+                        AS BIGINT) AS cov_num,
+                   CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                        AS BIGINT) AS varx_num,
+                   CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)
+                        AS BIGINT) AS vary_num
+            FROM (SELECT l_returnflag,
+                         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        """,
+        "user_mode_event": """
+            SELECT user_id, mode_type, n FROM (
+                SELECT user_id, event_type AS mode_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
+        """,
+        "decontaminate_docs": """
+            WITH s AS (
+                SELECT doc_id, text,
+                    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                   AS BIGINT) % 10000 < 7500 THEN 'train'
+                         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                   AS BIGINT) % 10000 < 9000 THEN 'eval'
+                         ELSE 'test' END AS split
+                FROM documents),
+            toks AS (
+                SELECT doc_id, split, string_split(text, ' ') AS t
+                FROM s WHERE text IS NOT NULL),
+            grams AS (
+                SELECT doc_id, split,
+                       array_to_string(list_slice(t, i + 1, i + 4), ' ') AS gram
+                FROM toks, unnest(generate_series(0, len(t) - 4, 1)) AS u(i))
+            SELECT DISTINCT doc_id FROM grams
+            WHERE split = 'train'
+              AND gram IN (SELECT gram FROM grams WHERE split = 'eval')
         """,
         "chunk_docs": """
             WITH toks AS (
