@@ -2123,6 +2123,20 @@ def q_decontaminate_docs(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["doc_id"])
 
 
+def q_pack_docs(sf_dir: str) -> Any:
+    """Greedy first-fit sequence packing into 256-token training bins,
+    bucketed by doc_id range so packing parallelizes (bins never cross
+    buckets; result independent of execution order). Oracle replays the
+    identical walk as a recursive CTE. stages/pack.py."""
+    from calendar_event_entity_extraction_ray.stages.pack import (
+        pack_first_fit,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_first_fit(ds, capacity=256, bucket_size=32)
+    return _int64(out.to_pandas(), ["doc_id", "bucket", "bin", "ntok"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2193,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_discount_corr": q_qty_discount_corr,
         "user_mode_event": q_user_mode_event,
         "decontaminate_docs": q_decontaminate_docs,
+        "pack_docs": q_pack_docs,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2543,6 +2558,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM grams
             WHERE split = 'train'
               AND gram IN (SELECT gram FROM grams WHERE split = 'eval')
+        """,
+        "pack_docs": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                       doc_id // 32 AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id // 32
+                                          ORDER BY doc_id) AS rn
+                FROM documents WHERE text IS NOT NULL),
+            p AS (
+                SELECT bucket, rn, doc_id, ntok,
+                       CAST(0 AS BIGINT) AS bin, ntok AS acc
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.bucket, t.rn, t.doc_id, t.ntok,
+                       CASE WHEN p.acc + t.ntok > 256
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.acc + t.ntok > 256
+                            THEN t.ntok ELSE p.acc + t.ntok END
+                FROM p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1)
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, bin, ntok
+            FROM p
         """,
         "chunk_docs": """
             WITH toks AS (

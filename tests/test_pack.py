@@ -1,0 +1,74 @@
+"""Greedy first-fit sequence packing (stages/pack.py).
+
+Pins: bin assignments match a single-process replay of the same walk;
+capacity is respected (except single oversized docs, which get their own
+bin); result is independent of input partitioning; NULL text dropped.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from calendar_event_entity_extraction_ray.stages.pack import pack_first_fit
+
+
+def _replay(df: pd.DataFrame, capacity: int, bucket_size: int) -> pd.DataFrame:
+    rows = []
+    df = df[df["text"].notna()].copy()
+    df["ntok"] = df["text"].str.split(" ").str.len()
+    df["bucket"] = df["doc_id"] // bucket_size
+    for bk, g in df.sort_values("doc_id").groupby("bucket"):
+        acc, binno = 0, 0
+        first = True
+        for _, r in g.iterrows():
+            if not first and acc + r["ntok"] > capacity:
+                binno += 1
+                acc = 0
+            first = False
+            acc += r["ntok"]
+            rows.append((r["doc_id"], bk, binno, r["ntok"]))
+    return pd.DataFrame(rows, columns=["doc_id", "bucket", "bin", "ntok"])
+
+
+@pytest.fixture(scope="module")
+def docs():
+    # token counts chosen to exercise: exact-fit, overflow, oversized doc
+    texts = {
+        0: "a " * 9, 1: "b " * 9, 2: "c " * 3,     # 10+10+4 = fit in 20
+        3: "d " * 19,                               # 20 -> own bin
+        4: "e " * 30,                               # 31 > capacity: own bin
+        5: "f " * 4,
+        40: "g " * 7, 41: None, 42: "h " * 15,      # NULL dropped
+    }
+    return pd.DataFrame({
+        "doc_id": list(texts), "text": [texts[k] for k in texts]})
+
+
+class TestPackFirstFit:
+    def test_matches_replay_and_partition_invariance(self, ray_session,
+                                                     docs):
+        import ray
+
+        want = _replay(docs, capacity=20, bucket_size=32)
+        for nparts in (1, 4):
+            ds = ray.data.from_pandas(docs).repartition(nparts)
+            got = (pack_first_fit(ds, capacity=20, bucket_size=32)
+                   .to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True).astype("int64"))
+            assert got.equals(
+                want.sort_values("doc_id").reset_index(drop=True)
+                .astype("int64"))
+
+    def test_capacity_respected_except_oversized(self, ray_session, docs):
+        import ray
+
+        got = pack_first_fit(ray.data.from_pandas(docs), capacity=20,
+                             bucket_size=32).to_pandas()
+        sums = got.groupby(["bucket", "bin"]).agg(
+            tok=("ntok", "sum"), n=("doc_id", "count"))
+        over = sums[sums["tok"] > 20]
+        # only single-doc (oversized) bins may exceed capacity
+        assert (over["n"] == 1).all()
+        # bins never cross buckets by construction; NULL text dropped
+        assert 41 not in set(got["doc_id"])
