@@ -81,13 +81,38 @@ def corpus_clean(
         minhash_lsh_dup_ids,
     )
 
-    def filters(b: pd.DataFrame) -> pd.DataFrame:
-        b = quality_filter_batch(b, text_col, min_chars=min_chars)
-        if keep_lang:  # falsy -> skip language filtering
-            b = langid_filter_batch(b, text_col, keep_lang=keep_lang)
-        return b
+    def filters(b: pa.Table) -> pa.Table:
+        # Arrow-native: the keep mask comes from pyarrow.compute kernels
+        # (+ the per-row langid heuristic on the text column only), and
+        # rows are dropped with Table.filter — no Arrow->pandas->Arrow
+        # round trip of every column per block (VERDICT r2 minor #4).
+        # Formula parity with quality_filter_batch / the quality_scores
+        # oracle: utf8 char counts, integer ppm arithmetic.
+        import numpy as np
+        import pyarrow.compute as pc
 
-    filtered = docs.map_batches(filters, batch_format="pandas")
+        col = b.column(text_col)
+        n = pc.fill_null(pc.utf8_length(col), 0).to_numpy().astype("int64")
+        alpha = pc.fill_null(pc.count_substring_regex(col, "[A-Za-z]"),
+                             0).to_numpy().astype("int64")
+        digit = pc.fill_null(pc.count_substring_regex(col, "[0-9]"),
+                             0).to_numpy().astype("int64")
+        nz = np.where(n > 0, n, 1)
+        keep = ((n >= min_chars)
+                & (alpha * 1_000_000 // nz >= 500_000)
+                & (digit * 1_000_000 // nz <= 300_000))
+        if keep_lang:  # falsy -> skip language filtering
+            from calendar_event_entity_extraction_ray.functions.textstats import (
+                detect_lang,
+            )
+
+            langs = np.fromiter(
+                (detect_lang(t) == keep_lang for t in col.to_pylist()),
+                dtype=bool, count=len(n))
+            keep &= langs
+        return b.filter(pa.array(keep))
+
+    filtered = docs.map_batches(filters, batch_format="pyarrow")
     # exchange outputs are LAZY (each consumer re-runs the fold and its
     # whole upstream — CLAUDE.md round-2.5); `unique` feeds the minhash
     # band stage, the candidate-text join AND the final anti filter, so pin
