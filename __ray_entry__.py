@@ -2137,6 +2137,40 @@ def q_pack_docs(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["doc_id", "bucket", "bin", "ntok"])
 
 
+def q_weighted_sample_docs(sf_dir: str) -> Any:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each row gets key = ln(u)/w with a DETERMINISTIC uniform u from
+    md5(doc_id) and weight w = n_chars; the global top-k by key IS a
+    weighted sample. Distributed as a partial top-k per block + one tiny
+    final fold — no global sort, no driver-side data. The double
+    arithmetic (one divide, one ln, one divide) is bit-identical between
+    numpy and DuckDB, so ordering on it is oracle-safe (md5-driven keys
+    are collision-free at the boundary)."""
+    import hashlib
+
+    K = 50
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keyed_topk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        w = b.column("n_chars").to_numpy().astype("float64")
+        v = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in ids], dtype="float64")
+        key = np.log((v + 1.0) / 4294967297.0) / w
+        df = pd.DataFrame({"doc_id": ids, "n_chars":
+                           b.column("n_chars").to_numpy(), "k": key})
+        df = df[w > 0].sort_values(["k", "doc_id"],
+                                   ascending=[False, True]).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (ds.map_batches(keyed_topk, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(keyed_topk, batch_format="pyarrow", batch_size=None))
+    return _int64(out.to_pandas()[["doc_id", "n_chars"]],
+                  ["doc_id", "n_chars"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2208,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event": q_user_mode_event,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_docs": q_pack_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2580,6 +2615,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1)
             SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, bin, ntok
             FROM p
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) + 1) / 4294967297.0)
+                       / n_chars AS k
+                FROM documents WHERE n_chars > 0)
+            ORDER BY k DESC, doc_id LIMIT 50
         """,
         "chunk_docs": """
             WITH toks AS (

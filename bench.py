@@ -102,7 +102,8 @@ def run_bench() -> dict:
         "user_event_pivot", "jaccard_pairs_docs",
         # round-3 operators
         "model_scored_docs", "user_range_sum",
-        "customer_order_counts_left", "minhash_dedup_docs"]
+        "customer_order_counts_left", "minhash_dedup_docs",
+        "order_global_rank", "decontaminate_docs", "pack_docs"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()
