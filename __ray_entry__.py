@@ -2171,6 +2171,31 @@ def q_weighted_sample_docs(sf_dir: str) -> Any:
                   ["doc_id", "n_chars"])
 
 
+def q_repeated_ngram_spans(sf_dir: str) -> Any:
+    """Training-data repetition audit (the Lee-et-al "deduplicating
+    training data" diagnostic): every word 6-gram appearing in >= 2
+    DISTINCT documents, with its document frequency. Per-doc-distinct
+    gram explode (stages/decontam.py) keeps a doc repeating a phrase
+    from inflating its count; grouped_count reduces on the exchange
+    (gram cardinality scales with the corpus — never Ray's sort
+    shuffle); the >= 2 filter prunes the long unique tail before any
+    driver collect."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+    from calendar_event_entity_extraction_ray.stages.decontam import (
+        gram_explode_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda b: gram_explode_batch(b, "doc_id", "text", 6),
+        batch_format="pyarrow")
+    counts = grouped_count(grams, "gram", out_col="n_docs", salt_mod=0)
+    out = counts.filter(expr="n_docs >= 2")
+    return _int64(out.to_pandas()[["gram", "n_docs"]], ["n_docs"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2243,6 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "pack_docs": q_pack_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "repeated_ngram_spans": q_repeated_ngram_spans,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2624,6 +2650,17 @@ def oracle_sql() -> dict[str, str]:
                        / n_chars AS k
                 FROM documents WHERE n_chars > 0)
             ORDER BY k DESC, doc_id LIMIT 50
+        """,
+        "repeated_ngram_spans": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE text IS NOT NULL),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(t, i + 1, i + 6), ' ') AS gram
+                FROM toks, unnest(generate_series(0, len(t) - 6, 1)) AS u(i))
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM grams GROUP BY gram HAVING COUNT(*) >= 2
         """,
         "chunk_docs": """
             WITH toks AS (
