@@ -2196,6 +2196,38 @@ def q_repeated_ngram_spans(sf_dir: str) -> Any:
     return _int64(out.to_pandas()[["gram", "n_docs"]], ["n_docs"])
 
 
+def q_customer_order_full(sf_dir: str) -> Any:
+    """FULL OUTER hash join (completes the join family): BUILDING-segment
+    customers vs per-customer order counts — unmatched rows survive from
+    BOTH sides. Output stays integer/NULL-free for the hash gate:
+    has_cust flags the customer side, n_orders fills 0 for customers who
+    never ordered."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'")
+            .map_batches(
+                lambda b: pa.table({
+                    "custkey": b.column("c_custkey"),
+                    "has_cust": pa.array([1] * b.num_rows, pa.int64()),
+                }), batch_format="pyarrow"))
+    counts = grouped_sums(
+        _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+            lambda b: pa.table({"custkey": b.column("o_custkey")}),
+            batch_format="pyarrow"),
+        key_cols=["custkey"], sum_cols=[], count_alias="n_orders")
+    out = hash_join(cust, counts, "custkey",
+                    ["custkey", "has_cust"], ["custkey", "n_orders"],
+                    how="full").to_pandas()
+    out["has_cust"] = out["has_cust"].fillna(0)
+    out["n_orders"] = out["n_orders"].fillna(0)
+    return _int64(out[["custkey", "has_cust", "n_orders"]],
+                  ["custkey", "has_cust", "n_orders"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2269,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": q_pack_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "repeated_ngram_spans": q_repeated_ngram_spans,
+        "customer_order_full": q_customer_order_full,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2661,6 +2694,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks, unnest(generate_series(0, len(t) - 6, 1)) AS u(i))
             SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+        """,
+        "customer_order_full": """
+            SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+                   CAST(COALESCE(c.has_cust, 0) AS BIGINT) AS has_cust,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+            FROM (SELECT c_custkey AS custkey, 1 AS has_cust
+                  FROM customer WHERE c_mktsegment = 'BUILDING') c
+            FULL OUTER JOIN
+                 (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+                  FROM orders GROUP BY o_custkey) o
+            ON c.custkey = o.custkey
         """,
         "chunk_docs": """
             WITH toks AS (

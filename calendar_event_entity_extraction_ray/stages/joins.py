@@ -128,14 +128,14 @@ def hash_join(
     Column sets must be disjoint apart from ``key``. SQL equality never
     matches NULL = NULL, so NULL-key rows are dropped on BOTH sides up
     front (pandas ``merge`` would otherwise happily join NaN to NaN) —
-    except the LEFT side of ``how="left"``, whose NULL-key rows are SQL
-    output rows (kept, unmatched, right columns NULL; the right side
-    still drops NULLs so the NaN==NaN merge quirk can't fire). Unmatched
-    right columns surface as nulls, so integer right columns widen to
-    float64 in the left-join output — the same NULL-widening any SQL
-    client sees."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: only 'inner' and 'left'")
+    except sides whose NULL-key rows are SQL OUTPUT rows: the left side
+    of ``how="left"`` and both sides of ``how="full"`` (kept, unmatched,
+    other side's columns NULL; the merge itself only ever sees non-null
+    keys, so the NaN==NaN quirk can't fire). Unmatched columns surface
+    as nulls, so integer columns widen to float64 in outer-join output —
+    the same NULL-widening any SQL client sees."""
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how={how!r}: only 'inner', 'left', 'full'")
     from calendar_event_entity_extraction_ray.stages.exchange import (
         hash_partition_map,
     )
@@ -144,7 +144,8 @@ def hash_join(
     r_only = [c for c in right_cols if c != key]
     lt = _tag_side(left, key, "l", left_cols, r_only,
                    drop_null_key=(how == "inner"))
-    rt = _tag_side(right, key, "r", right_cols, l_only, drop_null_key=True)
+    rt = _tag_side(right, key, "r", right_cols, l_only,
+                   drop_null_key=(how != "full"))
     both = lt.union(rt)
 
     out_cols = [key] + l_only + r_only
@@ -159,7 +160,19 @@ def hash_join(
               .select([key] + l_only).to_pandas())
         rg = (t.filter(pc.equal(t.column("_side"), "r"))
               .select([key] + r_only).to_pandas())
-        out = lg.merge(rg, on=key, how=how)[out_cols]
+        if how == "full":
+            # NULL-key rows on either side are unmatched OUTPUT rows;
+            # excise them before the merge (NaN must never join NaN),
+            # re-append padded after
+            l_null = lg[lg[key].isna()]
+            r_null = rg[rg[key].isna()]
+            out = lg[lg[key].notna()].merge(
+                rg[rg[key].notna()], on=key, how="outer")
+            if len(l_null) or len(r_null):
+                out = pd.concat([out, l_null, r_null], ignore_index=True)
+            out = out[out_cols]
+        else:
+            out = lg.merge(rg, on=key, how=how)[out_cols]
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return hash_partition_map(both, "_kh", join_fold,

@@ -51,6 +51,41 @@ class TestHashJoin:
         assert out.loc[out["lv"] == "a", "rv"].isna().all()
         assert out.loc[out["lv"] == "d", "k"].isna().all()
 
+    def test_full_outer_keeps_both_sides_null_keys_never_match(
+            self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": [1.0, 2.0, None], "lv": ["a", "b", "c"]})
+        right = pd.DataFrame({"k": [2.0, 2.0, 5.0, None],
+                              "rv": [20, 21, 50, 99]})
+        out = hash_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            key="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+            num_buckets=4, how="full",
+        ).to_pandas()
+        # matched: b fans out to (20, 21); unmatched left: a, c (NULL key);
+        # unmatched right: 50 and 99 (NULL key) — NULLs never join NULLs
+        assert sorted(out["lv"].dropna()) == ["a", "b", "b", "c"]
+        assert sorted(out["rv"].dropna().astype(int)) == [20, 21, 50, 99]
+        assert len(out) == 6
+        assert out.loc[out["rv"] == 99, "lv"].isna().all()
+        assert out.loc[out["lv"] == "c", "rv"].isna().all()
+        # DuckDB cross-check of the same frame
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("left_df", left)
+        con.register("right_df", right)
+        want = con.execute(
+            "SELECT l.k AS lk, l.lv, r.k AS rk, r.rv FROM left_df l "
+            "FULL OUTER JOIN right_df r ON l.k = r.k").df()
+        assert sorted(want["lv"].dropna()) == sorted(out["lv"].dropna())
+        assert sorted(want["rv"].dropna()) == sorted(
+            out["rv"].dropna().astype(int))
+
 
 class TestAsofJoin:
     def test_backward_asof_matches_pandas(self, ray_session):
