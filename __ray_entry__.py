@@ -2228,6 +2228,43 @@ def q_customer_order_full(sf_dir: str) -> Any:
                   ["custkey", "has_cust", "n_orders"])
 
 
+def q_partsupp_qty(sf_dir: str) -> Any:
+    """Composite-key LEFT join — per (l_partkey, l_suppkey): all pairs'
+    line counts joined to the returned-flag ('R') quantity sums. Rows
+    route on the tuple hash (one exchange); exact tuple equality in the
+    fold; pairs with no 'R' lines carry 0."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    keys = ["l_partkey", "l_suppkey"]
+    li = _read(sf_dir, "lineitem",
+               columns=keys + ["l_quantity", "l_returnflag"])
+    all_pairs = grouped_sums(li.select_columns(keys), key_cols=keys,
+                             sum_cols=[], count_alias="n_lines")
+
+    def prep_r(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        q = np.floor(b.column("l_quantity").to_numpy(zero_copy_only=False)
+                     + 0.5).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "qty": pa.array(q)})
+
+    r_pairs = grouped_sums(li.map_batches(prep_r, batch_format="pyarrow"),
+                           key_cols=keys, sum_cols=["qty"],
+                           count_alias="_n").drop_columns(["_n"])
+    out = hash_join(all_pairs, r_pairs, keys,
+                    keys + ["n_lines"], keys + ["qty"],
+                    how="left").to_pandas()
+    out["qty_r"] = out["qty"].fillna(0)
+    return _int64(out[keys + ["n_lines", "qty_r"]],
+                  ["l_partkey", "l_suppkey", "n_lines", "qty_r"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2302,6 +2339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "customer_order_full": q_customer_order_full,
+        "partsupp_qty": q_partsupp_qty,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2705,6 +2743,20 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
                   FROM orders GROUP BY o_custkey) o
             ON c.custkey = o.custkey
+        """,
+        "partsupp_qty": """
+            SELECT a.l_partkey, a.l_suppkey, a.n_lines,
+                   CAST(COALESCE(b.qty_r, 0) AS BIGINT) AS qty_r
+            FROM (SELECT l_partkey, l_suppkey,
+                         CAST(COUNT(*) AS BIGINT) AS n_lines
+                  FROM lineitem GROUP BY l_partkey, l_suppkey) a
+            LEFT JOIN
+                 (SELECT l_partkey, l_suppkey,
+                         CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                              AS BIGINT) AS qty_r
+                  FROM lineitem WHERE l_returnflag = 'R'
+                  GROUP BY l_partkey, l_suppkey) b
+            USING (l_partkey, l_suppkey)
         """,
         "chunk_docs": """
             WITH toks AS (

@@ -54,12 +54,15 @@ def _sample_boundaries(ds: "ray.data.Dataset", col: str,
     return np.sort(np.quantile(allv, qs))
 
 
-def _tag_side(ds: "ray.data.Dataset", key: str, side: str,
+def _tag_side(ds: "ray.data.Dataset", key, side: str,
               cols: List[str], pad_cols: List[str],
               drop_null_key: bool = False,
               bucket_on=None, carry_latest: bool = False) -> "ray.data.Dataset":
     """Select + side-tag + null-pad to the union schema + vectorized key
-    hash (the exchange routing column).
+    hash (the exchange routing column). ``key`` is one column name or a
+    list (composite key: rows route on the tuple hash; ``drop_null_key``
+    drops rows where ANY key column is NULL — SQL composite equality
+    can't match through a NULL component).
 
     ``bucket_on=(col, boundaries)`` adds a ``_tb`` range-bucket column and
     routes on hash(key, _tb) instead of hash(key) — the as-of hot-key
@@ -72,16 +75,19 @@ def _tag_side(ds: "ray.data.Dataset", key: str, side: str,
         hash64_columns,
     )
 
+    keys = [key] if isinstance(key, str) else list(key)
+
     def prep(b: pa.Table) -> pa.Table:
         b = b.select(cols)
         if drop_null_key:
-            b = b.filter(pc.is_valid(b.column(key)))
+            for kc in keys:
+                b = b.filter(pc.is_valid(b.column(kc)))
         b = b.append_column("_side", pa.array([side] * b.num_rows, pa.string()))
         for c in pad_cols:
             b = b.append_column(c, pa.nulls(b.num_rows))
         if bucket_on is None:
             return b.append_column(
-                "_kh", pa.array(hash64_columns(b, [key]), pa.int64()))
+                "_kh", pa.array(hash64_columns(b, keys), pa.int64()))
         on_col, bounds = bucket_on
         ov = b.column(on_col).to_numpy(zero_copy_only=False)
         # nulls -> bucket 0 (they never match; merge_asof sees them per
@@ -108,7 +114,7 @@ def _tag_side(ds: "ray.data.Dataset", key: str, side: str,
                 b = pa.Table.from_pandas(df, preserve_index=False).cast(
                     b.schema)
         return b.append_column(
-            "_kh", pa.array(hash64_columns(b, [key, "_tb"]), pa.int64()))
+            "_kh", pa.array(hash64_columns(b, keys + ["_tb"]), pa.int64()))
 
     return ds.map_batches(prep, batch_format="pyarrow")
 
@@ -116,14 +122,14 @@ def _tag_side(ds: "ray.data.Dataset", key: str, side: str,
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
-    key: str,
+    key,
     left_cols: List[str],
     right_cols: List[str],
     num_buckets: Optional[int] = None,  # None = exchange sizes itself
     how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Inner or left-outer join on ``key``; output columns = left_cols ∪
-    right_cols.
+    """Inner / left- / full-outer join on ``key`` (one column name or a
+    list for a composite key); output columns = left_cols ∪ right_cols.
 
     Column sets must be disjoint apart from ``key``. SQL equality never
     matches NULL = NULL, so NULL-key rows are dropped on BOTH sides up
@@ -140,15 +146,16 @@ def hash_join(
         hash_partition_map,
     )
 
-    l_only = [c for c in left_cols if c != key]
-    r_only = [c for c in right_cols if c != key]
-    lt = _tag_side(left, key, "l", left_cols, r_only,
+    keys = [key] if isinstance(key, str) else list(key)
+    l_only = [c for c in left_cols if c not in keys]
+    r_only = [c for c in right_cols if c not in keys]
+    lt = _tag_side(left, keys, "l", left_cols, r_only,
                    drop_null_key=(how == "inner"))
-    rt = _tag_side(right, key, "r", right_cols, l_only,
+    rt = _tag_side(right, keys, "r", right_cols, l_only,
                    drop_null_key=(how != "full"))
     both = lt.union(rt)
 
-    out_cols = [key] + l_only + r_only
+    out_cols = keys + l_only + r_only
 
     def join_fold(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -157,22 +164,24 @@ def hash_join(
         # no nulls, so integer dtypes survive (converting the unioned table
         # first would see the other side's null pads and float-poison them)
         lg = (t.filter(pc.equal(t.column("_side"), "l"))
-              .select([key] + l_only).to_pandas())
+              .select(keys + l_only).to_pandas())
         rg = (t.filter(pc.equal(t.column("_side"), "r"))
-              .select([key] + r_only).to_pandas())
+              .select(keys + r_only).to_pandas())
         if how == "full":
-            # NULL-key rows on either side are unmatched OUTPUT rows;
+            # any-NULL-key rows on either side are unmatched OUTPUT rows;
             # excise them before the merge (NaN must never join NaN),
             # re-append padded after
-            l_null = lg[lg[key].isna()]
-            r_null = rg[rg[key].isna()]
-            out = lg[lg[key].notna()].merge(
-                rg[rg[key].notna()], on=key, how="outer")
-            if len(l_null) or len(r_null):
-                out = pd.concat([out, l_null, r_null], ignore_index=True)
+            # (composite: one NULL component fails the whole equality)
+            l_nullmask = lg[keys].isna().any(axis=1)
+            r_nullmask = rg[keys].isna().any(axis=1)
+            out = lg[~l_nullmask].merge(
+                rg[~r_nullmask], on=keys, how="outer")
+            if l_nullmask.any() or r_nullmask.any():
+                out = pd.concat([out, lg[l_nullmask], rg[r_nullmask]],
+                                ignore_index=True)
             out = out[out_cols]
         else:
-            out = lg.merge(rg, on=key, how=how)[out_cols]
+            out = lg.merge(rg, on=keys, how=how)[out_cols]
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return hash_partition_map(both, "_kh", join_fold,

@@ -86,6 +86,29 @@ class TestHashJoin:
         assert sorted(want["rv"].dropna()) == sorted(
             out["rv"].dropna().astype(int))
 
+    def test_composite_key_inner_null_component_never_matches(
+            self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"a": [1.0, 1.0, None, 2.0],
+                             "b": [10.0, 11.0, 10.0, None],
+                             "lv": ["x", "y", "z", "w"]})
+        right = pd.DataFrame({"a": [1.0, 1.0, None],
+                              "b": [10.0, 10.0, 10.0],
+                              "rv": [7, 8, 9]})
+        out = hash_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(2),
+            key=["a", "b"], left_cols=["a", "b", "lv"],
+            right_cols=["a", "b", "rv"], num_buckets=4,
+        ).to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+        # only (1, 10) matches, fanning out to rv 7 and 8; rows with a
+        # NULL key component on either side never join
+        assert out["lv"].tolist() == ["x", "x"]
+        assert sorted(out["rv"].astype(int)) == [7, 8]
+
 
 class TestAsofJoin:
     def test_backward_asof_matches_pandas(self, ray_session):
