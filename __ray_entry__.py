@@ -2265,6 +2265,21 @@ def q_partsupp_qty(sf_dir: str) -> Any:
                   ["l_partkey", "l_suppkey", "n_lines", "qty_r"])
 
 
+def q_training_sequences(sf_dir: str) -> Any:
+    """End-to-end training-data preparation (pipelines/traindata.py):
+    id-hash split -> corpus_clean -> 4-gram decontamination vs the raw
+    eval side -> first-fit pack -> packed (bucket, bin) sequences.
+    Golden-checked against a sequential single-process mirror of the
+    whole chain."""
+    from calendar_event_entity_extraction_ray.pipelines.traindata import (
+        training_sequences,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = training_sequences(ds)
+    return _int64(out.to_pandas(), ["bucket", "bin", "n_docs", "n_tok"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2340,6 +2355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "customer_order_full": q_customer_order_full,
         "partsupp_qty": q_partsupp_qty,
+        "training_sequences": q_training_sequences,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2621,6 +2637,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
         "jaccard_pairs_docs": f"SELECT * FROM {_golden('jaccard_pairs_docs')}",
         "corpus_clean": f"SELECT * FROM {_golden('corpus_clean')}",
+        "training_sequences":
+            f"SELECT * FROM {_golden('training_sequences')}",
         "doc_sample": """
             SELECT doc_id FROM documents
             WHERE text IS NOT NULL

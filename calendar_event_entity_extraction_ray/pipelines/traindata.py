@@ -1,0 +1,109 @@
+"""End-to-end training-data preparation: the composed LLM-pretraining
+chain built from the engine's oracle-checked operators —
+
+    documents (doc_id, text)
+      split          train/eval by md5(str(doc_id)) bucket (7500/9000) —
+                     id-based, so duplicate TEXTS can cross splits (the
+                     realistic contamination channel)
+      clean          pipelines/corpus.py:corpus_clean on the train side
+                     (quality -> langid -> exact dedup -> near-dup drop)
+      decontaminate  stages/decontam.py vs the RAW eval side (benchmarks
+                     are never cleaned), dropping contaminated train docs
+      pack           stages/pack.py first-fit into token-capacity bins
+      emit           one row per (bucket, bin): docs concatenated in
+                     doc_id order -> the packed training sequence
+
+Every stage is individually oracle-checked; this module only composes
+them, and the composition is itself golden-checked end-to-end by the
+``training_sequences`` query against a sequential single-process mirror
+(scripts/make_goldens.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+
+def split_by_id_batch(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """train/eval/test split on md5(str(id)) — oracle-parity bucket rule
+    (same 7500/9000 thresholds as the text-hash split)."""
+    from calendar_event_entity_extraction_ray.functions.textsig import (
+        stable_bucket,
+    )
+
+    splits = []
+    for did in b.column(id_col).to_pylist():
+        bk = stable_bucket(str(did), 10000)
+        splits.append("train" if bk < 7500
+                      else ("eval" if bk < 9000 else "test"))
+    return b.append_column("split", pa.array(splits, pa.string()))
+
+
+def training_sequences(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 4,
+    capacity: int = 256,
+    bucket_size: int = 32,
+    decontam_mode: str = "auto",
+) -> "ray.data.Dataset":
+    """(bucket, bin, n_docs, n_tok, seq_text) — packed train sequences."""
+    from calendar_event_entity_extraction_ray.pipelines.corpus import (
+        corpus_clean,
+    )
+    from calendar_event_entity_extraction_ray.stages.decontam import (
+        contaminated_doc_ids,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import (
+        anti_join,
+        hash_join,
+    )
+    from calendar_event_entity_extraction_ray.stages.pack import (
+        pack_first_fit,
+    )
+
+    with_split = docs.map_batches(
+        lambda b: split_by_id_batch(b, id_col), batch_format="pyarrow")
+    train = with_split.filter(expr="split == 'train'").drop_columns(["split"])
+    ev = with_split.filter(expr="split == 'eval'").drop_columns(["split"])
+
+    clean = corpus_clean(train, text_col=text_col, id_col=id_col)
+    # eval sides are small by construction; contaminated ids join back via
+    # the exchange anti_join, so nothing here grows with the corpus
+    contaminated = contaminated_doc_ids(
+        clean, ev, doc_id_col=id_col, text_col=text_col, n=n_gram,
+        mode=decontam_mode)
+    survivors = anti_join(clean, contaminated, key=id_col,
+                          left_cols=[id_col, text_col]).materialize()
+
+    packed = pack_first_fit(survivors, doc_id_col=id_col, text_col=text_col,
+                            capacity=capacity, bucket_size=bucket_size)
+    with_text = hash_join(packed, survivors, id_col,
+                          [id_col, "bucket", "bin", "ntok"],
+                          [id_col, text_col])
+
+    def emit(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["_bb"]).to_pandas().sort_values(
+            ["bucket", "bin", id_col], kind="mergesort")
+        g = df.groupby(["bucket", "bin"], sort=False)
+        out = g.agg(
+            n_docs=(id_col, "count"),
+            n_tok=("ntok", "sum"),
+            seq_text=(text_col, "\n".join),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    keyed = with_text.map_batches(
+        lambda b: add_hash_column(b, ["bucket", "bin"], out_col="_bb"),
+        batch_format="pyarrow")
+    return hash_partition_map(keyed, "_bb", emit)

@@ -541,8 +541,72 @@ def golden_model_scored_docs() -> pa.Table:
     return scorer(pa.Table.from_pandas(df, preserve_index=False))
 
 
+def golden_training_sequences() -> pa.Table:
+    """Sequential mirror of pipelines/traindata.py:training_sequences:
+    id-hash split -> quality/langid -> exact first-wins dedup -> minhash
+    cluster-keeper drop -> 4-gram decontam vs raw eval -> first-fit pack
+    (capacity 256, bucket 32) -> per-(bucket, bin) ordered concat."""
+    import hashlib
+
+    from calendar_event_entity_extraction_ray.pipelines.corpus import (
+        langid_filter_batch,
+        quality_filter_batch,
+    )
+
+    df = _documents()
+    bucket10k = df["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+        % 10000)
+    train = df[bucket10k < 7500]
+    ev = df[(bucket10k >= 7500) & (bucket10k < 9000)]
+
+    clean = langid_filter_batch(quality_filter_batch(train))
+    clean = clean.sort_values("doc_id").drop_duplicates("text", keep="first")
+    dropped = _minhash_drop_ids(clean["doc_id"], clean["text"])
+    clean = clean[~clean["doc_id"].isin(dropped)]
+
+    def grams(text: str, n: int = 4) -> set:
+        toks = text.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    ev_grams: set = set()
+    for t in ev["text"]:
+        if t is not None:
+            ev_grams |= grams(t)
+    keep = [t is not None and not (grams(t) & ev_grams)
+            for t in clean["text"]]
+    clean = clean[keep]
+
+    rows = []
+    clean = clean.sort_values("doc_id")
+    clean["bucket"] = clean["doc_id"] // 32
+    for bk, g in clean.groupby("bucket"):
+        acc, binno, first = 0, 0, True
+        for _, r in g.iterrows():
+            ntok = len(r["text"].split(" "))
+            if not first and acc + ntok > 256:
+                binno += 1
+                acc = 0
+            first = False
+            acc += ntok
+            rows.append((int(bk), binno, int(r["doc_id"]), ntok, r["text"]))
+    out = pd.DataFrame(rows, columns=["bucket", "bin", "doc_id", "ntok",
+                                      "text"])
+    g = out.groupby(["bucket", "bin"], sort=True)
+    agg = g.agg(n_docs=("doc_id", "count"), n_tok=("ntok", "sum"),
+                seq_text=("text", "\n".join)).reset_index()
+    return pa.table({
+        "bucket": pa.array(agg["bucket"], pa.int64()),
+        "bin": pa.array(agg["bin"], pa.int64()),
+        "n_docs": pa.array(agg["n_docs"], pa.int64()),
+        "n_tok": pa.array(agg["n_tok"], pa.int64()),
+        "seq_text": pa.array(agg["seq_text"], pa.string()),
+    })
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
+    "training_sequences": golden_training_sequences,
     "model_scored_docs": golden_model_scored_docs,
     "simhash_docs": golden_simhash_docs,
     "langid_docs": golden_langid_docs,
