@@ -2280,6 +2280,34 @@ def q_training_sequences(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["bucket", "bin", "n_docs", "n_tok"])
 
 
+def q_user_value_rank(sf_dir: str) -> Any:
+    """RANK() and DENSE_RANK() per user over whole-dollar event values
+    (ties are frequent at dollar granularity, so the two functions
+    genuinely diverge); one key-hash exchange, vectorized groupby.rank in
+    the fold (stages/windows.py rank_on)."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        partitioned_row_window,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        vd = np.floor(b.column("value").to_numpy(zero_copy_only=False)
+                      ).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "value_d": pa.array(vd)})
+
+    out = partitioned_row_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id", order_cols=["value_d", "event_id"],
+        rank_on="value_d")
+    return _int64(
+        out.to_pandas()[["event_id", "user_id", "value_d", "rank",
+                         "dense_rank"]],
+        ["event_id", "user_id", "value_d", "rank", "dense_rank"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2356,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_full": q_customer_order_full,
         "partsupp_qty": q_partsupp_qty,
         "training_sequences": q_training_sequences,
+        "user_value_rank": q_user_value_rank,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2761,6 +2790,19 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
                   FROM orders GROUP BY o_custkey) o
             ON c.custkey = o.custkey
+        """,
+        "user_value_rank": """
+            SELECT event_id, user_id,
+                   CAST(floor(value) AS BIGINT) AS value_d,
+                   CAST(RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(value) AS BIGINT)) AS BIGINT)
+                       AS rank,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(value) AS BIGINT)) AS BIGINT)
+                       AS dense_rank
+            FROM events
         """,
         "partsupp_qty": """
             SELECT a.l_partkey, a.l_suppkey, a.n_lines,

@@ -89,6 +89,9 @@ def partitioned_row_window(
     range_col: str = "range_sum",
     ntile: int = 0,
     ntile_col: str = "ntile",
+    rank_on: "str | None" = None,
+    rank_col: str = "rank",
+    dense_col: str = "dense_rank",
 ) -> "ray.data.Dataset":
     """SQL row-window functions over a partitioned order: per ``by`` key
     ordered by ``order_cols``, emits ROW_NUMBER (``seq_col``) and, when
@@ -116,6 +119,13 @@ def partitioned_row_window(
     ``n//k + 1`` rows, the rest ``n//k`` (vectorized from seq + group
     size; NOT the uniform ``floor((seq-1)*k/n)`` spread, which splits
     remainders differently).
+
+    ``rank_on=col`` adds SQL ``RANK()`` and ``DENSE_RANK()`` ordered by
+    that column per partition (ties share a rank; RANK leaves gaps,
+    DENSE_RANK doesn't). ``order_cols`` must start with ``rank_on`` so
+    peers are contiguous in the sort. NULL order values: callers should
+    keep ``rank_on`` non-null (pandas NaN != NaN would split NULL peers,
+    diverging from SQL's shared-peer rank for NULLs).
 
     One exchange on the key hash, then per partition ONE vectorized
     sort + groupby.cumcount / groupby.rolling — every key's rows co-locate,
@@ -162,6 +172,9 @@ def partitioned_row_window(
                 seq <= cut,
                 (seq - 1) // (base + 1),
                 rem + (seq - 1 - cut) // safe_base) + 1
+        if rank_on is not None:
+            df[rank_col] = g[rank_on].rank(method="min").astype("int64")
+            df[dense_col] = g[rank_on].rank(method="dense").astype("int64")
         if first_last and value_col is not None:
             df[first_col] = g[value_col].transform("first")
             df[last_col] = g[value_col].transform("last")
