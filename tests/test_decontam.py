@@ -99,6 +99,20 @@ class TestRegimesAgree:
                 n=3, mode=mode)
             assert out.count() == 0
 
+    def test_empty_eval_side_flags_nothing(self, ray_session):
+        import ray
+
+        train = pd.DataFrame({"doc_id": [1, 2],
+                              "text": ["a b c d", "e f g h"]})
+        empty = pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "text": pd.array([], dtype="string")})
+        for mode in ("broadcast", "exchange"):
+            out = contaminated_doc_ids(
+                ray.data.from_pandas(train), ray.data.from_pandas(empty),
+                n=3, mode=mode)
+            assert out.count() == 0
+
     def test_auto_picks_broadcast_small(self, ray_session, corpus):
         import ray
 

@@ -60,6 +60,14 @@ class TestPackFirstFit:
                 want.sort_values("doc_id").reset_index(drop=True)
                 .astype("int64"))
 
+    def test_empty_input_yields_empty_output(self, ray_session):
+        import ray
+
+        empty = pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "text": pd.array([], dtype="string")})
+        assert pack_first_fit(ray.data.from_pandas(empty)).count() == 0
+
     def test_capacity_respected_except_oversized(self, ray_session, docs):
         import ray
 
