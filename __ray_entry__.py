@@ -2308,6 +2308,20 @@ def q_user_value_rank(sf_dir: str) -> Any:
         ["event_id", "user_id", "value_d", "rank", "dense_rank"])
 
 
+def q_dedup_spans_docs(sf_dir: str) -> Any:
+    """Repeated-span removal (Lee-et-al remediation): strip every token
+    window whose 6-gram appears in >= 2 distinct docs; fully-covered
+    docs (exact duplicates of each other) drop entirely
+    (stages/spandedup.py — two exchanges, nothing driver-side)."""
+    from calendar_event_entity_extraction_ray.stages.spandedup import (
+        remove_repeated_spans,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = remove_repeated_spans(ds, n=6)
+    return _int64(out.to_pandas(), ["doc_id"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2385,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partsupp_qty": q_partsupp_qty,
         "training_sequences": q_training_sequences,
         "user_value_rank": q_user_value_rank,
+        "dedup_spans_docs": q_dedup_spans_docs,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2790,6 +2805,35 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
                   FROM orders GROUP BY o_custkey) o
             ON c.custkey = o.custkey
+        """,
+        "dedup_spans_docs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents WHERE text IS NOT NULL),
+            lists AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE text IS NOT NULL),
+            grams AS (
+                SELECT doc_id, i + 1 AS pos,
+                       array_to_string(list_slice(t, i + 1, i + 6), ' ') AS gram
+                FROM lists, unnest(generate_series(0, len(t) - 6, 1)) AS u(i)),
+            rep AS (
+                SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+                GROUP BY gram HAVING COUNT(*) >= 2),
+            hits AS (
+                SELECT doc_id, pos FROM grams
+                WHERE gram IN (SELECT gram FROM rep)),
+            covered AS (
+                SELECT DISTINCT t.doc_id, t.pos FROM toks t
+                JOIN hits h ON h.doc_id = t.doc_id
+                           AND t.pos BETWEEN h.pos AND h.pos + 5)
+            SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos)
+                       AS clean_text
+            FROM toks t LEFT JOIN covered c
+              ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.doc_id IS NULL
+            GROUP BY t.doc_id
         """,
         "user_value_rank": """
             SELECT event_id, user_id,
