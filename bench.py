@@ -103,7 +103,8 @@ def run_bench() -> dict:
         # round-3 operators
         "model_scored_docs", "user_range_sum",
         "customer_order_counts_left", "minhash_dedup_docs",
-        "order_global_rank", "decontaminate_docs", "pack_docs"]
+        "order_global_rank", "decontaminate_docs", "pack_docs",
+        "dedup_spans_docs", "training_sequences"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()
