@@ -2322,6 +2322,274 @@ def q_dedup_spans_docs(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["doc_id"])
 
 
+def _users_of_type(sf_dir: str, etype: str) -> Any:
+    """DISTINCT-agnostic projection: user_id of every event of one type
+    (set_op dedups; the filter runs Arrow-side in the read tasks)."""
+    import pyarrow.compute as pc
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return ev.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("event_type"), etype)).select(["user_id"]),
+        batch_format="pyarrow")
+
+
+def q_users_intersect(sf_dir: str) -> Any:
+    """SQL INTERSECT: users who clicked AND purchased. One content-hash
+    exchange over the tagged union; per-partition vectorized
+    side-membership fold (stages/setops.py — NULLs compare equal, the
+    set-op rule joins don't share)."""
+    from calendar_event_entity_extraction_ray.stages.setops import set_op
+
+    out = set_op(_users_of_type(sf_dir, "click"),
+                 _users_of_type(sf_dir, "purchase"),
+                 ["user_id"], "intersect")
+    return _int64(out.to_pandas(), ["user_id"])
+
+
+def q_users_except(sf_dir: str) -> Any:
+    """SQL EXCEPT over a multi-column element: (user, day) pairs with a
+    click but no same-day purchase (stages/setops.py — composite rows
+    hash as one content key, same single-exchange plan as INTERSECT)."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.setops import set_op
+
+    def user_days(etype: str):
+        ev = _read(sf_dir, "events",
+                   columns=["user_id", "event_type", "ts"])
+
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b.column("event_type"), etype))
+            return pa.table({
+                "user_id": b.column("user_id"),
+                "day": pc.floor_temporal(b.column("ts"), unit="day")})
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    out = set_op(user_days("click"), user_days("purchase"),
+                 ["user_id", "day"], "except")
+    return _int64(out.to_pandas(), ["user_id"])
+
+
+def q_users_union(sf_dir: str) -> Any:
+    """SQL UNION (distinct): users who signed up or errored
+    (stages/setops.py)."""
+    from calendar_event_entity_extraction_ray.stages.setops import set_op
+
+    out = set_op(_users_of_type(sf_dir, "signup"),
+                 _users_of_type(sf_dir, "error"),
+                 ["user_id"], "union")
+    return _int64(out.to_pandas(), ["user_id"])
+
+
+def q_user_value_prank(sf_dir: str) -> Any:
+    """PERCENT_RANK() per user over whole-dollar event values:
+    (rank-1)/(n-1) from exact integer operands — bit-identical doubles
+    vs the SQL oracle, scaled to e6 for integer comparison
+    (stages/windows.py percent=True)."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        partitioned_row_window,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        vd = np.floor(b.column("value").to_numpy(zero_copy_only=False)
+                      ).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "value_d": pa.array(vd)})
+
+    out = partitioned_row_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id", order_cols=["value_d", "event_id"],
+        rank_on="value_d", percent=True)
+    df = out.to_pandas()
+    df["prank_e6"] = np.floor(
+        df["percent_rank"].to_numpy(np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    return _int64(df[["event_id", "user_id", "prank_e6"]],
+                  ["event_id", "user_id", "prank_e6"])
+
+
+def q_region_nation_revenue(sf_dir: str) -> Any:
+    """TPC-H Q5 shape — region-local supplier revenue, a five-way join:
+    the three kilobyte dimensions (region->nation filter, customer->
+    nation, supplier->nation) broadcast once via ray.put (region
+    predicate applied by the INNER lookup drop); orders |X| lineitem is
+    the one genuinely large-large edge and runs on the exchange hash
+    join; the same-nation predicate filters post-join; the 25-nation
+    final aggregate stream-reduces. At full web scale customer stops
+    being dimension-sized — swap its lookup for hash_join on the same
+    plan; nothing else changes."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_lookup,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    rkeys = {r["r_regionkey"] for r in region if r["r_name"] == "ASIA"}
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    nat_name = {n["n_nationkey"]: n["n_name"] for n in nation
+                if n["n_regionkey"] in rkeys}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    c_nat_ref = _ray.put({c: n for c, n in zip(
+        cust.column("c_custkey").to_pylist(),
+        cust.column("c_nationkey").to_pylist()) if n in nat_name})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    s_nat_ref = _ray.put({s: n for s, n in zip(
+        supp.column("s_suppkey").to_pylist(),
+        supp.column("s_nationkey").to_pylist()) if n in nat_name})
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    orders = broadcast_lookup(orders, c_nat_ref, "o_custkey", "c_nat",
+                              out_type=pa.int64())
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "rev_e4": pa.array(rev)})
+
+    li = broadcast_lookup(li.map_batches(prep, batch_format="pyarrow"),
+                          s_nat_ref, "l_suppkey", "s_nat",
+                          out_type=pa.int64())
+
+    joined = hash_join(
+        orders.map_batches(
+            lambda b: b.select(["o_orderkey", "c_nat"]),
+            batch_format="pyarrow"),
+        li.map_batches(
+            lambda b: b.select(["o_orderkey", "s_nat", "rev_e4"]),
+            batch_format="pyarrow"),
+        key="o_orderkey",
+        left_cols=["o_orderkey", "c_nat"],
+        right_cols=["o_orderkey", "s_nat", "rev_e4"],
+    )
+
+    name_ref = _ray.put(nat_name)
+    same_nat = joined.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_nat"),
+                                    b.column("s_nat"))),
+        batch_format="pyarrow")
+    named = broadcast_lookup(same_nat, name_ref, "c_nat", "n_name",
+                             out_type=pa.string())
+    out = grouped_sums(
+        named.map_batches(lambda b: b.select(["n_name", "rev_e4"]),
+                          batch_format="pyarrow"),
+        key_cols=["n_name"], sum_cols=["rev_e4"], count_alias="n_lines",
+        stream_reduce=True)
+    return _int64(out.to_pandas().rename(
+        columns={"rev_e4": "revenue_e4"}), ["revenue_e4", "n_lines"])
+
+
+def q_brand_small_qty(sf_dir: str) -> Any:
+    """TPC-H Q17 shape — the correlated AVG subquery decorrelated into a
+    join: lineitem semi-filters to one brand's parts (broadcast partkey
+    set; at full part cardinality this routes through
+    stages/joins.py:semi_join unchanged), an exchange grouped (sum, n)
+    per part yields the exact per-part threshold 0.2*avg (integer
+    quantities make the avg an exact rational, so the double compare is
+    bit-identical to SQL), hash_join ships the thresholds back onto the
+    lines, and the strict < predicate plus the final per-part aggregate
+    finish the plan."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_lookup,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_ref = _ray.put({k: 1 for k, b in zip(
+        part.column("p_partkey").to_pylist(),
+        part.column("p_brand").to_pylist()) if b == "Brand#13"})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = broadcast_lookup(li, brand_ref, "l_partkey", "_b",
+                          out_type=pa.int64())
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy()
+        rev = np.floor(b.column("l_extendedprice").to_numpy()
+                       * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "qty_i": pa.array(qty.astype(np.int64)),
+                         "l_quantity": b.column("l_quantity"),
+                         "rev_e4": pa.array(rev)})
+
+    lines = li.map_batches(prep, batch_format="pyarrow").materialize()
+
+    stats = grouped_sums(
+        lines.map_batches(lambda b: b.select(["l_partkey", "qty_i"]),
+                          batch_format="pyarrow"),
+        key_cols=["l_partkey"], sum_cols=["qty_i"], count_alias="n")
+
+    def to_thresh(b: pa.Table) -> pa.Table:
+        s = b.column("qty_i").to_numpy().astype(np.float64)
+        n = b.column("n").to_numpy().astype(np.float64)
+        # 0.2 * AVG: avg first, multiply second — the oracle's op order
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "thresh": pa.array(0.2 * (s / n))})
+
+    thresholds = stats.map_batches(to_thresh, batch_format="pyarrow")
+
+    joined = hash_join(
+        lines.map_batches(
+            lambda b: b.select(["l_partkey", "l_quantity", "rev_e4"]),
+            batch_format="pyarrow"),
+        thresholds,
+        key="l_partkey",
+        left_cols=["l_partkey", "l_quantity", "rev_e4"],
+        right_cols=["l_partkey", "thresh"],
+    )
+
+    import pyarrow.compute as pc
+
+    small = joined.map_batches(
+        lambda b: b.filter(pc.less(b.column("l_quantity"),
+                                   b.column("thresh"))
+                           ).select(["l_partkey", "rev_e4"]),
+        batch_format="pyarrow")
+    out = grouped_sums(small, key_cols=["l_partkey"],
+                       sum_cols=["rev_e4"], count_alias="n_small")
+    return _int64(out.to_pandas(), ["l_partkey", "rev_e4", "n_small"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2400,6 +2668,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_sequences": q_training_sequences,
         "user_value_rank": q_user_value_rank,
         "dedup_spans_docs": q_dedup_spans_docs,
+        "users_intersect": q_users_intersect,
+        "users_except": q_users_except,
+        "users_union": q_users_union,
+        "user_value_prank": q_user_value_prank,
+        "region_nation_revenue": q_region_nation_revenue,
+        "brand_small_qty": q_brand_small_qty,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -2847,6 +3121,62 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(floor(value) AS BIGINT)) AS BIGINT)
                        AS dense_rank
             FROM events
+        """,
+        "users_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "users_except": """
+            SELECT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, date_trunc('day', ts)
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "users_union": """
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "user_value_prank": """
+            SELECT event_id, user_id,
+                   CAST(FLOOR(PERCENT_RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(value) AS BIGINT))
+                       * 1000000 + 0.5) AS BIGINT) AS prank_e6
+            FROM events
+        """,
+        "region_nation_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_lines
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate <  DATE '1998-01-01'
+            GROUP BY n.n_name
+        """,
+        "brand_small_qty": """
+            SELECT l_partkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS rev_e4,
+                   COUNT(*) AS n_small
+            FROM lineitem l
+            JOIN part ON p_partkey = l.l_partkey
+            WHERE p_brand = 'Brand#13'
+              AND l.l_quantity < 0.2 * (
+                  SELECT AVG(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = l.l_partkey)
+            GROUP BY l.l_partkey
         """,
         "partsupp_qty": """
             SELECT a.l_partkey, a.l_suppkey, a.n_lines,

@@ -104,7 +104,8 @@ def run_bench() -> dict:
         "model_scored_docs", "user_range_sum",
         "customer_order_counts_left", "minhash_dedup_docs",
         "order_global_rank", "decontaminate_docs", "pack_docs",
-        "dedup_spans_docs", "training_sequences"]
+        "dedup_spans_docs", "training_sequences",
+        "region_nation_revenue", "brand_small_qty"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()

@@ -1,0 +1,72 @@
+"""SQL set operators — UNION / INTERSECT / EXCEPT (DISTINCT semantics).
+
+Set operators differ from joins in one load-bearing way: NULLs compare
+EQUAL for membership (two ``(NULL, 'a')`` rows are the same element), so
+the fold groups with ``dropna=False`` instead of the joins' drop-null-key
+rule (SQL join equality never matches NULL; SQL set ops always do).
+
+Plan shape: project each side to the compared columns, tag a side flag,
+union the two datasets (zero-shuffle concatenation), ONE exchange on the
+full-row content hash (``stages/dedup.py:hash64_columns`` — dtype-
+canonicalized, process-stable), then a single vectorized groupby per
+partition computes per-element side membership. Equal rows co-locate by
+construction, so the fold is exact; nothing driver-side grows with the
+input, and bag sizes stream through the exchange spill like every other
+wide op. The reference has no set operators (single-process pandas
+scripts); these are engine additions for the SQL surface.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_OPS = ("union", "intersect", "except")
+
+
+def set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    cols: List[str],
+    op: str,
+) -> "ray.data.Dataset":
+    """``left <OP> right`` over ``cols`` with SQL DISTINCT semantics:
+    ``union`` = elements in either side, ``intersect`` = in both,
+    ``except`` = in left and not in right; output is one row per
+    distinct element (NULLs compare equal, as SQL set ops require)."""
+    if op not in _OPS:
+        raise ValueError(f"op={op!r}: one of {_OPS}")
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.select(cols).append_column(
+                "_s", pa.array([side] * b.num_rows, pa.int64()))
+            return add_hash_column(t, cols, out_col="_rh")
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(cols, sort=False, dropna=False)["_s"]
+        agg = g.agg(["min", "max"]).reset_index()
+        if op == "intersect":
+            agg = agg[(agg["min"] == 0) & (agg["max"] == 1)]
+        elif op == "except":
+            agg = agg[agg["max"] == 0]
+        out = agg[cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return hash_partition_map(both, "_rh", fold)

@@ -92,6 +92,8 @@ def partitioned_row_window(
     rank_on: "str | None" = None,
     rank_col: str = "rank",
     dense_col: str = "dense_rank",
+    percent: bool = False,
+    percent_col: str = "percent_rank",
 ) -> "ray.data.Dataset":
     """SQL row-window functions over a partitioned order: per ``by`` key
     ordered by ``order_cols``, emits ROW_NUMBER (``seq_col``) and, when
@@ -125,7 +127,10 @@ def partitioned_row_window(
     DENSE_RANK doesn't). ``order_cols`` must start with ``rank_on`` so
     peers are contiguous in the sort. NULL order values: callers should
     keep ``rank_on`` non-null (pandas NaN != NaN would split NULL peers,
-    diverging from SQL's shared-peer rank for NULLs).
+    diverging from SQL's shared-peer rank for NULLs). ``percent=True``
+    adds SQL ``PERCENT_RANK()`` = (rank-1)/(n-1) (0.0 for singleton
+    partitions) — exact integer operands divided in double, so the
+    result is bit-identical to a SQL engine's.
 
     One exchange on the key hash, then per partition ONE vectorized
     sort + groupby.cumcount / groupby.rolling — every key's rows co-locate,
@@ -175,6 +180,16 @@ def partitioned_row_window(
         if rank_on is not None:
             df[rank_col] = g[rank_on].rank(method="min").astype("int64")
             df[dense_col] = g[rank_on].rank(method="dense").astype("int64")
+            if percent:
+                # SQL PERCENT_RANK = (rank-1)/(n-1), 0.0 for singleton
+                # partitions; integer rank and size divide in double, so
+                # the value is bit-identical to a SQL engine's
+                import numpy as np
+
+                n_ = g[by].transform("size").to_numpy(np.int64)
+                r_ = df[rank_col].to_numpy(np.int64)
+                df[percent_col] = np.where(
+                    n_ > 1, (r_ - 1) / np.maximum(n_ - 1, 1), 0.0)
         if first_last and value_col is not None:
             df[first_col] = g[value_col].transform("first")
             df[last_col] = g[value_col].transform("last")
