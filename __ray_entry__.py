@@ -35,8 +35,18 @@ from ray.data.aggregate import Count, Max, Min, Sum
 # helpers
 # ---------------------------------------------------------------------------
 
-def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None,
+          predicate=None) -> "ray.data.Dataset":
+    """Pruned read: only ``columns`` leave storage, and ``predicate`` (a
+    ``pyarrow.dataset`` expression) pushes into the scan — row groups
+    whose statistics exclude the predicate never get decoded, and the
+    filter may reference columns outside the projection. At 100 TB this
+    is the difference between scanning a week and scanning a year."""
+    kwargs = {}
+    if predicate is not None:
+        kwargs["filter"] = predicate
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns, **kwargs)
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -106,22 +116,20 @@ def q_lineitem_agg(sf_dir: str) -> Any:
 
 
 def q_revenue(sf_dir: str) -> Any:
-    """TPC-H Q6-shaped filter + global sum (pruned read, scaled ints)."""
+    """TPC-H Q6-shaped filter + global sum: the whole predicate pushes
+    into the parquet scan (row-group statistics prune before decode; the
+    filter references l_shipdate/l_quantity, which never leave the
+    scan — only the two revenue columns are projected)."""
+    import pyarrow.dataset as pds
+
+    pred = ((pds.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+            & (pds.field("l_shipdate") < pd.Timestamp("1997-01-01"))
+            & (pds.field("l_discount") >= 0.05)
+            & (pds.field("l_quantity") < 24.0))
     ds = _read(sf_dir, "lineitem",
-               columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+               columns=["l_extendedprice", "l_discount"], predicate=pred)
 
     def prep(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = pc.and_(
-            pc.and_(pc.greater_equal(b.column("l_shipdate"),
-                                     pa.scalar(pd.Timestamp("1996-01-01"))),
-                    pc.less(b.column("l_shipdate"),
-                            pa.scalar(pd.Timestamp("1997-01-01")))),
-            pc.and_(pc.greater_equal(b.column("l_discount"), pa.scalar(0.05)),
-                    pc.less(b.column("l_quantity"), pa.scalar(24.0))),
-        )
-        b = b.filter(m)
         rev = b.column("l_extendedprice").to_numpy() * b.column("l_discount").to_numpy()
         return pa.table({"rev_e4": pa.array(np.floor(rev * 10_000 + 0.5).astype(np.int64))})
 
@@ -575,20 +583,16 @@ def q_order_revenue_hashjoin(sf_dir: str) -> Any:
 
 def q_error_prev_click(sf_dir: str) -> Any:
     """Backward as-of join: for each 'error' event, the most recent
-    preceding 'click' by the same user (partitioned merge_asof)."""
-    import pyarrow.compute as pc
+    preceding 'click' by the same user (partitioned merge_asof; each
+    side's type predicate pushes into its own parquet scan)."""
+    import pyarrow.dataset as pds
 
     from calendar_event_entity_extraction_ray.stages.joins import asof_join
 
-    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-    errors = ev.map_batches(
-        lambda b: b.filter(pc.equal(b.column("event_type"), "error"))
-                   .select(["event_id", "ts", "user_id"]),
-        batch_format="pyarrow")
-    clicks = ev.map_batches(
-        lambda b: b.filter(pc.equal(b.column("event_type"), "click"))
-                   .select(["ts", "user_id"]),
-        batch_format="pyarrow")
+    errors = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+                   predicate=(pds.field("event_type") == "error"))
+    clicks = _read(sf_dir, "events", columns=["ts", "user_id"],
+                   predicate=(pds.field("event_type") == "click"))
     out = asof_join(errors, clicks, on="ts", by="user_id",
                     left_cols=["ts", "user_id", "event_id"],
                     right_cols=["ts", "user_id"], suffix="_click")
@@ -1150,21 +1154,20 @@ def q_error_click_burst(sf_dir: str) -> Any:
     """Range join (count form): for each error event, the number of clicks
     by the same user in the preceding 5 minutes — two vectorized
     searchsorted rank lookups per user group after one exchange, never a
-    pair explosion (stages/joins.py:range_join_count)."""
+    pair explosion (stages/joins.py:range_join_count; each side's type
+    predicate pushes into its own parquet scan)."""
     import numpy as np
 
-    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
 
     from calendar_event_entity_extraction_ray.stages.joins import (
         range_join_count,
     )
 
-    ev = _read(sf_dir, "events",
-               columns=["event_id", "ts", "user_id", "event_type"])
-    errors = ev.filter(expr="event_type == 'error'").select_columns(
-        ["event_id", "ts", "user_id"])
-    clicks = ev.filter(expr="event_type == 'click'").select_columns(
-        ["ts", "user_id"])
+    errors = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+                   predicate=(pds.field("event_type") == "error"))
+    clicks = _read(sf_dir, "events", columns=["ts", "user_id"],
+                   predicate=(pds.field("event_type") == "click"))
     out = range_join_count(
         errors, clicks, on="ts", by="user_id",
         lo=np.timedelta64(-300, "s"), hi=np.timedelta64(0, "s"),
@@ -1778,9 +1781,12 @@ def q_user_journey(sf_dir: str) -> Any:
         string_agg_by_key,
     )
 
+    import pyarrow.dataset as pds
+
     ev = _read(sf_dir, "events",
-               columns=["event_id", "ts", "user_id", "event_type"])
-    ev = ev.filter(expr="event_type == 'signup' or event_type == 'purchase'")
+               columns=["event_id", "ts", "user_id", "event_type"],
+               predicate=pds.field("event_type").isin(
+                   ["signup", "purchase"]))
     out = string_agg_by_key(ev, "user_id", "event_type",
                             ["ts", "event_id"], sep=",", out_col="journey")
     return out.map_batches(
@@ -2324,14 +2330,11 @@ def q_dedup_spans_docs(sf_dir: str) -> Any:
 
 def _users_of_type(sf_dir: str, etype: str) -> Any:
     """DISTINCT-agnostic projection: user_id of every event of one type
-    (set_op dedups; the filter runs Arrow-side in the read tasks)."""
-    import pyarrow.compute as pc
+    (set_op dedups; the type predicate pushes into the parquet scan)."""
+    import pyarrow.dataset as pds
 
-    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    return ev.map_batches(
-        lambda b: b.filter(
-            pc.equal(b.column("event_type"), etype)).select(["user_id"]),
-        batch_format="pyarrow")
+    return _read(sf_dir, "events", columns=["user_id"],
+                 predicate=(pds.field("event_type") == etype))
 
 
 def q_users_intersect(sf_dir: str) -> Any:
@@ -2356,11 +2359,12 @@ def q_users_except(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.setops import set_op
 
     def user_days(etype: str):
-        ev = _read(sf_dir, "events",
-                   columns=["user_id", "event_type", "ts"])
+        import pyarrow.dataset as pds
+
+        ev = _read(sf_dir, "events", columns=["user_id", "ts"],
+                   predicate=(pds.field("event_type") == etype))
 
         def f(b: pa.Table) -> pa.Table:
-            b = b.filter(pc.equal(b.column("event_type"), etype))
             return pa.table({
                 "user_id": b.column("user_id"),
                 "day": pc.floor_temporal(b.column("ts"), unit="day")})
@@ -2454,15 +2458,14 @@ def q_region_nation_revenue(sf_dir: str) -> Any:
         supp.column("s_suppkey").to_pylist(),
         supp.column("s_nationkey").to_pylist()) if n in nat_name})
 
+    import pyarrow.dataset as pds
+
     lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = orders.map_batches(
-        lambda b: b.filter(pc.and_(
-            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
-            pc.less(b.column("o_orderdate"), pa.scalar(hi)))
-        ).select(["o_orderkey", "o_custkey"]),
-        batch_format="pyarrow")
+    # date predicate pushes into the scan (row-group pruning); the
+    # filter column never leaves storage
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   predicate=((pds.field("o_orderdate") >= lo)
+                              & (pds.field("o_orderdate") < hi)))
     orders = broadcast_lookup(orders, c_nat_ref, "o_custkey", "c_nat",
                               out_type=pa.int64())
 
