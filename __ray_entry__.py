@@ -2593,6 +2593,46 @@ def q_brand_small_qty(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["l_partkey", "rev_e4", "n_small"])
 
 
+def q_grouped_heavy_hitters(sf_dir: str) -> Any:
+    """Misra-Gries heavy hitters PER GROUP
+    (stages/aggregate.py:grouped_heavy_hitters — (group, batch)-partial
+    counter sets merged per group on the exchange; rows never leave the
+    read tasks). Oracle-shaped output: the exact per-type top-3 users
+    (exchange-reduced counts + skew-safe top-k) with an ``mg_ok``
+    indicator that each sketch estimate (k=256) lies within the
+    guaranteed [true - group_n/(k+1), true] band."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_heavy_hitters,
+        grouped_sums,
+        top_k_per_group,
+    )
+
+    K = 256
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    sk = grouped_heavy_hitters(ds, "event_type", "user_id", k=K
+                               ).to_pandas()
+    est = {(g, u): (e, n) for g, u, e, n in zip(
+        sk["event_type"], sk["user_id"], sk["mg_est"], sk["group_n"])}
+
+    counts = grouped_sums(ds, key_cols=["event_type", "user_id"],
+                          sum_cols=[], count_alias="n")
+    top3 = top_k_per_group(counts, "event_type", "n", 3, "user_id"
+                           ).to_pandas()
+    top3 = top3.sort_values(["event_type", "rnk"]).reset_index(drop=True)
+
+    def ok(row) -> int:
+        e, gn = est.get((row["event_type"], row["user_id"]), (None, 0))
+        if e is None:
+            return 0
+        bound = gn / (K + 1)
+        return 1 if (row["n"] - bound) <= e <= row["n"] else 0
+
+    top3["mg_ok"] = [ok(r) for _, r in top3.iterrows()]
+    return _int64(top3[["event_type", "user_id", "n", "rnk", "mg_ok"]],
+                  ["user_id", "n", "rnk", "mg_ok"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2671,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_sequences": q_training_sequences,
         "user_value_rank": q_user_value_rank,
         "dedup_spans_docs": q_dedup_spans_docs,
+        "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
         "users_union": q_users_union,
@@ -3124,6 +3165,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(floor(value) AS BIGINT)) AS BIGINT)
                        AS dense_rank
             FROM events
+        """,
+        "grouped_heavy_hitters": """
+            WITH c AS (
+                SELECT event_type, user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type, user_id
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY event_type
+                    ORDER BY n DESC, user_id) AS rnk
+                FROM c
+            )
+            SELECT event_type, user_id, n, CAST(rnk AS BIGINT) AS rnk,
+                   1 AS mg_ok
+            FROM r WHERE rnk <= 3
         """,
         "users_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -629,3 +629,77 @@ def profile_numeric_columns(
                    if math.isfinite(stats[c][3]) else 0 for c in cols],
     }).astype({"n": "int64", "n_nulls": "int64", "n_distinct": "int64",
                "min_e2": "int64", "max_e2": "int64"})
+
+
+def grouped_heavy_hitters(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+) -> "ray.data.Dataset":
+    """Misra-Gries heavy hitters PER GROUP: one bounded counter set per
+    (group, batch) ships to the exchange (counters, never rows), sketches
+    merge per group in the hash-partition fold, and the output is one row
+    per surviving (group, item) with the sketch estimate and the group's
+    true row count (``group_n``, summed from exact per-partial counts —
+    it rides along for free and prices the n/(k+1) undercount bound).
+
+    Guarantee preserved under merge: any item with true per-group count
+    > group_n/(k+1) survives, and its estimate lies in
+    [true - group_n/(k+1), true]. Skew-safe by construction — a hot
+    group contributes <= k counters per batch regardless of row count;
+    the driver never sees rows or sketches (the fold emits final rows).
+    """
+    from calendar_event_entity_extraction_ray.functions.sketch import (
+        MisraGries,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, item_col]).to_pandas()
+        by_group: dict = {}
+        counts: dict = {}
+        for g, items in df.groupby(group_col, sort=False,
+                                   dropna=False)[item_col]:
+            by_group[g] = MisraGries(k=k).add_many(items.tolist())
+            counts[g] = len(items)
+        t = pa.table({
+            group_col: pa.array(list(by_group)),
+            "mg": pa.array([s.serialize() for s in by_group.values()],
+                           pa.binary()),
+            "bn": pa.array([counts[g] for g in by_group], pa.int64()),
+        })
+        return add_hash_column(t, [group_col], out_col="_gh")
+
+    def fold(t: pa.Table) -> pa.Table:
+        merged: dict = {}
+        totals: dict = {}
+        for g, blob, bn in zip(t.column(group_col).to_pylist(),
+                               t.column("mg").to_pylist(),
+                               t.column("bn").to_pylist()):
+            s = MisraGries.deserialize(blob, k=k)
+            if g in merged:
+                merged[g].merge(s)
+                totals[g] += bn
+            else:
+                merged[g] = s
+                totals[g] = bn
+        groups, items, ests, ns = [], [], [], []
+        for g, s in merged.items():
+            for item, est in s.counters.items():
+                groups.append(g)
+                items.append(item)
+                ests.append(int(est))
+                ns.append(totals[g])
+        return pa.table({group_col: pa.array(groups),
+                         item_col: pa.array(items),
+                         "mg_est": pa.array(ests, pa.int64()),
+                         "group_n": pa.array(ns, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_map(partials, "_gh", fold)

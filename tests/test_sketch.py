@@ -92,3 +92,42 @@ class TestQuantileSketch:
         import math
 
         assert math.isnan(QuantileSketch().quantile(0.5))
+
+
+class TestGroupedHeavyHitters:
+    def test_per_group_guarantee_on_zipf(self, ray_session):
+        """Every item with true count > group_n/(k+1) survives in its
+        group's counter set with an estimate inside the guaranteed
+        undercount band — under distributed batching and merge."""
+        import collections
+
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            grouped_heavy_hitters,
+        )
+
+        rng = np.random.RandomState(11)
+        K = 32
+        rows = []
+        truth = {}
+        for g in ["a", "b"]:
+            items = rng.zipf(1.5, 20000) % 500  # heavy skew
+            truth[g] = collections.Counter(items.tolist())
+            rows.append(pa.table({
+                "g": pa.array([g] * len(items)),
+                "v": pa.array(items.astype(np.int64))}))
+        ds = ray.data.from_arrow(pa.concat_tables(rows)).repartition(16)
+        out = grouped_heavy_hitters(ds, "g", "v", k=K).to_pandas()
+        est = {(r["g"], r["v"]): r["mg_est"] for _, r in out.iterrows()}
+        gn = {(r["g"],): r["group_n"] for _, r in out.iterrows()}
+        for g in ["a", "b"]:
+            n = sum(truth[g].values())
+            assert gn[(g,)] == n
+            bound = n / (K + 1)
+            for item, true_c in truth[g].items():
+                if true_c > bound:
+                    assert (g, item) in est, (g, item, true_c, bound)
+                    assert true_c - bound <= est[(g, item)] <= true_c
