@@ -2387,6 +2387,18 @@ def q_users_union(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id"])
 
 
+def q_users_intersect_all(sf_dir: str) -> Any:
+    """SQL INTERSECT ALL (bag semantics): one row per user per
+    min(#clicks, #purchases) — multiplicities ride the exchange as
+    per-batch partial counts (stages/setops.py ALL variants)."""
+    from calendar_event_entity_extraction_ray.stages.setops import set_op
+
+    out = set_op(_users_of_type(sf_dir, "click"),
+                 _users_of_type(sf_dir, "purchase"),
+                 ["user_id"], "intersect_all")
+    return _int64(out.to_pandas(), ["user_id"])
+
+
 def q_user_value_prank(sf_dir: str) -> Any:
     """PERCENT_RANK() per user over whole-dollar event values:
     (rank-1)/(n-1) from exact integer operands — bit-identical doubles
@@ -2715,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
         "users_union": q_users_union,
+        "users_intersect_all": q_users_intersect_all,
         "user_value_prank": q_user_value_prank,
         "region_nation_revenue": q_region_nation_revenue,
         "brand_small_qty": q_brand_small_qty,
@@ -3197,6 +3210,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'signup'
             UNION
             SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "users_intersect_all": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
         "user_value_prank": """
             SELECT event_id, user_id,

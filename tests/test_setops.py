@@ -138,3 +138,63 @@ class TestPercentRank:
         assert a.loc[3, "percent_rank"] == 1.0
         solo = out[out["g"] == "solo"]
         assert list(solo["percent_rank"]) == [0.0]
+
+
+class TestSetOpsAll:
+    def test_bag_multiplicities(self, ray_session):
+        """INTERSECT ALL = min(l, r) copies; EXCEPT ALL = max(l-r, 0);
+        UNION ALL = plain concatenation."""
+        from calendar_event_entity_extraction_ray.stages.setops import (
+            set_op,
+        )
+
+        left = _ds([{"k": v} for v in [1, 1, 1, 2, 3]])
+        right = _ds([{"k": v} for v in [1, 2, 2, 4]])
+        ia = sorted(set_op(left, right, ["k"], "intersect_all")
+                    .to_pandas()["k"])
+        assert ia == [1, 2]
+        ea = sorted(set_op(left, right, ["k"], "except_all")
+                    .to_pandas()["k"])
+        assert ea == [1, 1, 3]
+        ua = sorted(set_op(left, right, ["k"], "union_all")
+                    .to_pandas()["k"])
+        assert ua == [1, 1, 1, 1, 2, 2, 2, 3, 4]
+
+    def test_all_variants_match_duckdb(self, ray_session):
+        import collections
+
+        import duckdb
+
+        from calendar_event_entity_extraction_ray.stages.setops import (
+            set_op,
+        )
+
+        rng = np.random.RandomState(13)
+        l = pd.DataFrame({"k": rng.randint(0, 30, 400)})
+        r = pd.DataFrame({"k": rng.randint(10, 40, 400)})
+        con = duckdb.connect()
+        con.register("l", l)
+        con.register("r", r)
+        for op, sql in [("union_all", "UNION ALL"),
+                        ("intersect_all", "INTERSECT ALL"),
+                        ("except_all", "EXCEPT ALL")]:
+            want = collections.Counter(con.execute(
+                f"SELECT k FROM l {sql} SELECT k FROM r").fetchdf()["k"]
+                .astype("int64"))
+            got = collections.Counter(
+                set_op(_ds(l.to_dict("records")),
+                       _ds(r.to_dict("records")),
+                       ["k"], op).to_pandas()["k"].astype("int64"))
+            assert got == want, op
+
+    def test_all_multiplicity_survives_pre_distinct_off(self, ray_session):
+        from calendar_event_entity_extraction_ray.stages.setops import (
+            set_op,
+        )
+
+        left = _ds([{"k": 7}] * 5)
+        right = _ds([{"k": 7}] * 3)
+        for pd_flag in (True, False):
+            got = set_op(left, right, ["k"], "intersect_all",
+                         pre_distinct=pd_flag).to_pandas()
+            assert list(got["k"]) == [7, 7, 7], pd_flag
