@@ -2605,6 +2605,37 @@ def q_brand_small_qty(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["l_partkey", "rev_e4", "n_small"])
 
 
+def q_redact_pii(sf_dir: str) -> Any:
+    """PII scrub (stages/redact.py): e-mail / phone / IPv4 replaced with
+    typed tokens by RE2 inside the Arrow kernel, per-category counts per
+    row. Synthetic PII is injected deterministically from doc_id (the
+    corpus has none) with the SAME concatenation the oracle builds in
+    SQL, so clean_text compares byte-for-byte — both engines run RE2,
+    which is the parity point."""
+    from calendar_event_entity_extraction_ray.stages.redact import (
+        redact_pii,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        suf = [(f" Contact u{i}@ex.org or +1-202-555-0199,"
+                f" host 10.0.0.{i % 200}")
+               for i in b.column("doc_id").to_pylist()]
+        aug = pc.binary_join_element_wise(
+            b.column("text"), pa.array(suf, pa.string()), "")
+        return pa.table({"doc_id": b.column("doc_id"), "text": aug})
+
+    out = redact_pii(ds.map_batches(inject, batch_format="pyarrow"))
+    df = out.map_batches(
+        lambda b: b.select(["doc_id", "clean_text",
+                            "n_email", "n_phone", "n_ipv4"]),
+        batch_format="pyarrow").to_pandas()
+    return _int64(df, ["doc_id", "n_email", "n_phone", "n_ipv4"])
+
+
 def q_grouped_heavy_hitters(sf_dir: str) -> Any:
     """Misra-Gries heavy hitters PER GROUP
     (stages/aggregate.py:grouped_heavy_hitters — (group, batch)-partial
@@ -2723,6 +2754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_sequences": q_training_sequences,
         "user_value_rank": q_user_value_rank,
         "dedup_spans_docs": q_dedup_spans_docs,
+        "redact_pii": q_redact_pii,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
@@ -3178,6 +3210,47 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(floor(value) AS BIGINT)) AS BIGINT)
                        AS dense_rank
             FROM events
+        """,
+        "redact_pii": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' Contact u' || CAST(doc_id AS VARCHAR)
+                            || '@ex.org or +1-202-555-0199, host 10.0.0.'
+                            || CAST(doc_id % 200 AS VARCHAR) AS t
+                FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS n_email,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM aug
+            ), p AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t,
+                           '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
+                           AS n_phone,
+                       regexp_replace(t,
+                           '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b',
+                           '<PHONE>', 'g') AS t
+                FROM e
+            ), i AS (
+                SELECT doc_id, n_email, n_phone,
+                       len(regexp_extract_all(t,
+                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                           AS n_ipv4,
+                       regexp_replace(t,
+                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                           '<IP>', 'g') AS t
+                FROM p
+            )
+            SELECT doc_id, t AS clean_text,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4
+            FROM i
         """,
         "grouped_heavy_hitters": """
             WITH c AS (

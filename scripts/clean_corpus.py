@@ -29,6 +29,9 @@ def main() -> int:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--minhash-threshold", type=float, default=0.8)
     ap.add_argument("--fingerprint", default="")
+    ap.add_argument("--redact", action="store_true",
+                    help="scrub PII (email/phone/IPv4 -> typed tokens) "
+                         "after cleaning; text column is replaced")
     args = ap.parse_args()
 
     import ray
@@ -51,9 +54,26 @@ def main() -> int:
     cleaned = corpus_clean(
         docs, minhash_threshold=args.minhash_threshold,
         min_chars=args.min_chars, keep_lang=args.lang)
+    if args.redact:
+        import pyarrow as pa
+
+        from calendar_event_entity_extraction_ray.stages.redact import (
+            redact_pii,
+        )
+
+        def _swap_text(b: "pa.Table") -> "pa.Table":
+            keep = [c for c in b.column_names
+                    if c not in ("text", "n_email", "n_phone", "n_ipv4")]
+            b = b.select(keep)
+            return b.rename_columns(
+                ["text" if c == "clean_text" else c for c in b.column_names])
+
+        cleaned = redact_pii(cleaned).map_batches(
+            _swap_text, batch_format="pyarrow")
     fingerprint = args.fingerprint or (
         f"clean-{args.input}-{args.min_chars}-{args.lang}-"
-        f"{args.minhash_threshold}")
+        f"{args.minhash_threshold}"
+        + ("-redact" if args.redact else ""))
     manifest = write_corpus(cleaned, args.out, fingerprint=fingerprint,
                             num_partitions=args.partitions)
     wall = time.time() - t0
