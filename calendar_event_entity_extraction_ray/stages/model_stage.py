@@ -65,8 +65,12 @@ class DummyModelScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pandas()
         ids, lens = self._token_ids(texts)
-        # gather + project: s[t] = W[t] @ p, doc score = mean over tokens
-        tok_scores = self.weights[ids] @ self.proj
+        # gather + project: s[t] = W[t] @ p, doc score = mean over tokens.
+        # Accumulate in float64: a float32 matvec's BLAS kernel varies by
+        # host CPU, and its ~1e-6 relative error flips the e6 rounding
+        # boundary between sessions (observed as a 1-unit golden drift).
+        tok_scores = self.weights[ids].astype(np.float64) @ \
+            self.proj.astype(np.float64)
         bounds = np.concatenate(([0], np.cumsum(lens)))
         sums = np.add.reduceat(
             np.concatenate((tok_scores, [0.0])), bounds[:-1])
