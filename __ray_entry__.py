@@ -2676,6 +2676,160 @@ def q_grouped_heavy_hitters(sf_dir: str) -> Any:
                   ["user_id", "n", "rnk", "mg_ok"])
 
 
+def q_priority_line_counts(sf_dir: str) -> Any:
+    """TPC-H Q12 shape — conditional aggregation over a large-large join:
+    a date window pushes into the lineitem scan, the order side ships only
+    (key, priority-class bit), the exchange hash join co-locates, and the
+    per-batch partial turns each row into 0/1 columns so the 2-group
+    final reduce stream-folds kilobytes. The classic "CASE WHEN inside
+    SUM" plan: no row carries a string past the first map."""
+    import pyarrow.dataset as pds
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    pred = ((pds.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+            & (pds.field("l_shipdate") < pd.Timestamp("1997-01-01")))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linestatus"], predicate=pred)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pr = b.column("o_orderpriority")
+        high = pc.cast(
+            pc.or_(pc.equal(pr, "1-URGENT"), pc.equal(pr, "2-HIGH")),
+            pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "is_high": high})
+
+    joined = hash_join(
+        li.map_batches(
+            lambda b: b.rename_columns(["o_orderkey", "l_linestatus"]),
+            batch_format="pyarrow"),
+        orders.map_batches(tag, batch_format="pyarrow"),
+        key="o_orderkey",
+        left_cols=["o_orderkey", "l_linestatus"],
+        right_cols=["o_orderkey", "is_high"],
+    )
+
+    def split_counts(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        low = pc.subtract(pa.scalar(1, pa.int64()), b.column("is_high"))
+        return pa.table({"l_linestatus": b.column("l_linestatus"),
+                         "high_lines": b.column("is_high"),
+                         "low_lines": low})
+
+    out = grouped_sums(
+        joined.map_batches(split_counts, batch_format="pyarrow"),
+        key_cols=["l_linestatus"], sum_cols=["high_lines", "low_lines"],
+        count_alias="n_lines", stream_reduce=True)
+    return _int64(out.to_pandas(),
+                  ["high_lines", "low_lines", "n_lines"])
+
+
+def q_promo_revenue(sf_dir: str) -> Any:
+    """TPC-H Q14 shape — promo revenue share for one shipping month:
+    the part type predicate becomes a broadcast bitmap (p_partkey ->
+    is-promo, dim-sized; at web-scale part cardinality the identical
+    plan swaps the lookup for ``semi_join``/``hash_join`` on the same
+    key), the month window prunes lineitem row groups at the scan, and
+    both SUMs ride one streaming pass. Exact-integer output (promo and
+    total revenue in e4 units) instead of the 100*x/y double — ratio
+    parity is the consumer's division, not a float the hash gate has
+    to defend."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_lookup,
+    )
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo_ref = _ray.put({k: (1 if t == "PROMO" else 0) for k, t in zip(
+        part.column("p_partkey").to_pylist(),
+        part.column("p_type").to_pylist())})
+
+    pred = ((pds.field("l_shipdate") >= pd.Timestamp("1996-09-01"))
+            & (pds.field("l_shipdate") < pd.Timestamp("1996-10-01")))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"],
+               predicate=pred)
+    li = broadcast_lookup(li, promo_ref, "l_partkey", "is_promo",
+                          out_type=pa.int64())
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
+        promo = b.column("is_promo").to_numpy()
+        return pa.table({"promo_rev_e4": pa.array(rev * promo),
+                         "rev_e4": pa.array(rev)})
+
+    agg = li.map_batches(prep, batch_format="pyarrow").aggregate(
+        Sum("promo_rev_e4", alias_name="promo_rev_e4"),
+        Sum("rev_e4", alias_name="total_rev_e4"),
+        Count(alias_name="n_lines"))
+    return pd.DataFrame([{"promo_rev_e4": int(agg["promo_rev_e4"]),
+                          "total_rev_e4": int(agg["total_rev_e4"]),
+                          "n_lines": int(agg["n_lines"])}])
+
+
+def q_large_orders(sf_dir: str) -> Any:
+    """TPC-H Q18 shape — HAVING over a high-cardinality group, joined
+    back: per-order quantity sums reduce on the exchange (per-batch
+    partials; never Ray's sort shuffle at ~orderkey cardinality), the
+    HAVING predicate filters the aggregate stream, and only surviving
+    orders ship into the exchange hash join against the orders table.
+    The join's build side is the post-HAVING set — at 100 TB that is
+    the skew-safe order: aggregate first, join the survivors."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy().astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "qty_i": pa.array(qty)})
+
+    sums = grouped_sums(li.map_batches(prep, batch_format="pyarrow"),
+                        key_cols=["o_orderkey"], sum_cols=["qty_i"],
+                        count_alias="n_lines")
+
+    def having(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = b.filter(pc.greater(b.column("qty_i"),
+                                   pa.scalar(180, pa.int64())))
+        return pa.table({"o_orderkey": keep.column("o_orderkey"),
+                         "total_qty": keep.column("qty_i"),
+                         "n_lines": keep.column("n_lines")})
+
+    big = sums.map_batches(having, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    out = hash_join(
+        big, orders,
+        key="o_orderkey",
+        left_cols=["o_orderkey", "total_qty", "n_lines"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+    return _int64(out.to_pandas(),
+                  ["o_orderkey", "total_qty", "n_lines", "o_custkey"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2763,6 +2917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_prank": q_user_value_prank,
         "region_nation_revenue": q_region_nation_revenue,
         "brand_small_qty": q_brand_small_qty,
+        "priority_line_counts": q_priority_line_counts,
+        "promo_revenue": q_promo_revenue,
+        "large_orders": q_large_orders,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -3327,6 +3484,46 @@ def oracle_sql() -> dict[str, str]:
                   SELECT AVG(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = l.l_partkey)
             GROUP BY l.l_partkey
+        """,
+        "priority_line_counts": """
+            SELECT l.l_linestatus,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_lines,
+                   COUNT(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate <  DATE '1997-01-01'
+            GROUP BY l.l_linestatus
+        """,
+        "promo_revenue": """
+            SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN CAST(FLOOR(l.l_extendedprice
+                                 * (1.0 - l.l_discount) * 10000 + 0.5)
+                                 AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS promo_rev_e4,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_rev_e4,
+                   COUNT(*) AS n_lines
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= DATE '1996-09-01'
+              AND l.l_shipdate <  DATE '1996-10-01'
+        """,
+        "large_orders": """
+            SELECT s.o_orderkey, s.total_qty, s.n_lines, o.o_custkey
+            FROM (SELECT l_orderkey AS o_orderkey,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                             AS total_qty,
+                         COUNT(*) AS n_lines
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(CAST(l_quantity AS BIGINT)) > 180) s
+            JOIN orders o ON o.o_orderkey = s.o_orderkey
         """,
         "partsupp_qty": """
             SELECT a.l_partkey, a.l_suppkey, a.n_lines,
