@@ -2830,6 +2830,21 @@ def q_large_orders(sf_dir: str) -> Any:
                   ["o_orderkey", "total_qty", "n_lines", "o_custkey"])
 
 
+def q_term_postings(sf_dir: str) -> Any:
+    """Inverted index (stages/text_analysis.py:inverted_index): exact
+    per-term document frequency + the first 16 doc ids ascending. The
+    cap of 16 is far below the common-term df (~390 at sf0.01), so the
+    partial-top-k merge path is what the oracle checks, not just tiny
+    lists."""
+    from calendar_event_entity_extraction_ray.stages.text_analysis import (
+        inverted_index,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = inverted_index(ds, max_postings=16)
+    return _int64(out.to_pandas(), ["df"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -2920,6 +2935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_line_counts": q_priority_line_counts,
         "promo_revenue": q_promo_revenue,
         "large_orders": q_large_orders,
+        "term_postings": q_term_postings,
         "top_docs_per_source": q_top_docs_per_source,
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
@@ -3524,6 +3540,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY l_orderkey
                   HAVING SUM(CAST(l_quantity AS BIGINT)) > 180) s
             JOIN orders o ON o.o_orderkey = s.o_orderkey
+        """,
+        "term_postings": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, u.term
+              FROM documents, unnest(string_split(text, ' ')) AS u(term)
+            )
+            SELECT term, COUNT(*) AS df,
+                   array_to_string(list_slice(
+                       list(doc_id ORDER BY doc_id), 1, 16), ',')
+                       AS postings
+            FROM pairs GROUP BY term
         """,
         "partsupp_qty": """
             SELECT a.l_partkey, a.l_suppkey, a.n_lines,

@@ -88,3 +88,64 @@ def term_document_frequency(
     ex = ds.map_batches(explode_distinct, batch_format="pyarrow")
     counts = grouped_count(ex, "term", out_col="df")
     return counts.sort(["df", "term"], descending=[True, False]).limit(top_n)
+
+
+def inverted_index(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 1000,
+) -> "ray.data.Dataset":
+    """Build an inverted index: one row per term with its exact document
+    frequency and the first ``max_postings`` doc ids ascending
+    (comma-joined). Tokenization is exactly ``str.split(" ")`` (empty
+    tokens kept, NULL text skipped) — the DuckDB ``string_split`` +
+    ``list(doc_id ORDER BY doc_id)`` oracle reproduces it byte-for-byte.
+
+    Scale shape: the per-batch partial groups (term, partial-df, the
+    batch's ``max_postings`` SMALLEST ids) — a valid partial top-k, so
+    the exchange moves at most batch-vocabulary x cap rows, never one
+    row per posting occurrence; the term-keyed fold merges partials per
+    term. The cap is the standard posting-list valve (uncapped stopword
+    lists ARE the corpus at web scale); df stays exact regardless."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids: list = []
+        terms: list = []
+        for i, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            if t is None:
+                continue
+            for w in set(t.split(" ")):
+                ids.append(i)
+                terms.append(w)
+        df = pd.DataFrame({"term": terms, "_id": ids})
+        g = df.groupby("term", dropna=False)["_id"].agg(
+            n="size", ids=lambda s: sorted(s)[:max_postings])
+        out = pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        return add_hash_column(out, ["term"], "part_key")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("term", dropna=False).agg(
+            df=("n", "sum"),
+            ids=("ids", lambda s: sorted(
+                np.concatenate(list(s)).tolist())[:max_postings]))
+        g = g.reset_index()
+        postings = [",".join(str(i) for i in lst) for lst in g["ids"]]
+        return pa.table({
+            "term": pa.array(g["term"], pa.string()),
+            "df": pa.array(g["df"].astype("int64")),
+            "postings": pa.array(postings, pa.string()),
+        })
+
+    ex = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_map(ex, "part_key", fold)

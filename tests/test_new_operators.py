@@ -520,3 +520,26 @@ class TestGroupedQuantilesAllNullGroup:
         m = {g: v for g, _, v in got}
         assert m["a"] == 1.0   # disc rank max(1, ceil(0.5*2)) = 1
         assert np.isnan(m["b"])
+
+
+class TestInvertedIndex:
+    def test_postings_cap_and_exact_df(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.text_analysis import (
+            inverted_index,
+        )
+
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [5, 1, 3, 2, 4],
+            "text": ["x y", "x x z", None, "x", "y x"],
+        })).repartition(3)
+        got = inverted_index(ds, max_postings=2).to_pandas()
+        m = {r["term"]: (int(r["df"]), r["postings"])
+             for _, r in got.iterrows()}
+        # df is exact even past the cap; postings are the 2 SMALLEST ids
+        # merged across batches (partial top-k), ascending
+        assert m["x"] == (4, "1,2")
+        assert m["y"] == (2, "4,5")
+        assert m["z"] == (1, "1")
+        assert set(m) == {"x", "y", "z"}
