@@ -1750,6 +1750,44 @@ def q_heavy_hitters(sf_dir: str) -> Any:
     return _int64(exact)
 
 
+def q_cm_user_counts(sf_dir: str) -> Any:
+    """Count-Min frequency estimates (functions/sketch.py:CountMin): one
+    d x w counter matrix per batch, merged on the driver by elementwise
+    add (kilobytes per batch — rows never ship). Oracle-shaped output:
+    the exact top-10 users by event count with a ``cm_ok`` indicator
+    that each sketch estimate respects both CM guarantees — never below
+    the true count, and within the e/w overcount band of it."""
+    from calendar_event_entity_extraction_ray.functions.sketch import (
+        CountMin,
+    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+
+    W, D = 8192, 5
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cm = CountMin(w=W, d=D).add_many(b.column("user_id").to_pylist())
+        return pa.table({"cm": pa.array([cm.serialize()], pa.binary())})
+
+    merged = CountMin(w=W, d=D)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b.column("cm").to_pylist():
+            merged.merge(CountMin.deserialize(blob))
+    total = int(merged.table[0].sum())
+
+    exact = grouped_count(ds, "user_id", out_col="n").to_pandas()
+    exact = (exact.sort_values(["n", "user_id"], ascending=[False, True])
+             .head(10).reset_index(drop=True))
+    band = np.e / W * total
+    ests = merged.estimate_many(exact["user_id"].tolist())
+    exact["cm_ok"] = [1 if n <= e <= n + band else 0
+                      for n, e in zip(exact["n"], ests)]
+    return _int64(exact)
+
+
 def q_events_rollup(sf_dir: str) -> Any:
     """GROUP BY ROLLUP(event_type, day): one distributed pass at the
     finest level, coarser levels re-aggregated from the bounded result;
@@ -2959,6 +2997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": q_lineitem_melt,
         "user_value_lag": q_user_value_lag,
         "heavy_hitter_users": q_heavy_hitters,
+        "cm_user_counts": q_cm_user_counts,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
         "user_next_value": q_user_next_value,
@@ -3752,6 +3791,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitter_users": """
             SELECT user_id, n, 1 AS mg_ok FROM (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id)
+                         AS rnk
+              FROM events GROUP BY user_id)
+            WHERE rnk <= 10
+        """,
+        "cm_user_counts": """
+            SELECT user_id, n, 1 AS cm_ok FROM (
               SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
                      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id)
                          AS rnk

@@ -199,3 +199,69 @@ class QuantileSketch:
         s._parity = d["p"]
         s.levels = d["levels"]
         return s
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan): a ``d x w`` counter
+    matrix; item estimate = min over the d rows; never undercounts, and
+    overcounts by at most eps*N (eps = e/w) with probability >= 1-e^-d
+    per item. Merge = elementwise add — a per-batch partial aggregate
+    like HLL/Misra-Gries (kilobytes per batch, rows never ship).
+
+    Hashing is the fixed-key vectorized siphash (``hash_pandas_object``
+    with a distinct 16-byte key per row — process-stable; Python
+    ``hash()`` is salted per process and would break merging across
+    workers), one C pass per row instead of a per-item md5 loop."""
+
+    def __init__(self, w: int = 4096, d: int = 5) -> None:
+        self.w = w
+        self.d = d
+        self.table = np.zeros((d, w), dtype=np.int64)
+        self._keys = [f"cmsketchrow{j:04d}"[:16].ljust(16, "0")
+                      for j in range(d)]
+
+    def _indices(self, values) -> "np.ndarray":
+        """(d, n) bucket indices for a sequence of non-null values."""
+        import pandas as pd
+
+        s = pd.Series(list(values), dtype="object").astype(str)
+        return np.stack([
+            (pd.util.hash_pandas_object(s, index=False, hash_key=k)
+             .to_numpy() % np.uint64(self.w)).astype(np.int64)
+            for k in self._keys])
+
+    def add_many(self, items) -> "CountMin":
+        vals = [x for x in items if x is not None]
+        if not vals:
+            return self
+        idx = self._indices(vals)
+        for j in range(self.d):
+            self.table[j] += np.bincount(idx[j], minlength=self.w)
+        return self
+
+    def estimate(self, value) -> int:
+        idx = self._indices([value])
+        return int(min(self.table[j, idx[j, 0]] for j in range(self.d)))
+
+    def estimate_many(self, values) -> "np.ndarray":
+        idx = self._indices(list(values))
+        return np.min(
+            np.stack([self.table[j, idx[j]] for j in range(self.d)]),
+            axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert self.w == other.w and self.d == other.d
+        self.table += other.table
+        return self
+
+    def serialize(self) -> bytes:
+        return (self.w.to_bytes(4, "big") + self.d.to_bytes(4, "big")
+                + self.table.tobytes())
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "CountMin":
+        w = int.from_bytes(data[:4], "big")
+        d = int.from_bytes(data[4:8], "big")
+        s = cls(w=w, d=d)
+        s.table = np.frombuffer(data[8:], dtype=np.int64).reshape(d, w).copy()
+        return s

@@ -131,3 +131,51 @@ class TestGroupedHeavyHitters:
                 if true_c > bound:
                     assert (g, item) in est, (g, item, true_c, bound)
                     assert true_c - bound <= est[(g, item)] <= true_c
+
+
+class TestCountMin:
+    def test_never_undercounts_and_eps_bound(self):
+        import collections
+
+        import numpy as np
+
+        from calendar_event_entity_extraction_ray.functions.sketch import (
+            CountMin,
+        )
+
+        rng = np.random.default_rng(7)
+        items = rng.zipf(1.5, 50_000)
+        items = items[items < 10_000].tolist()
+        true = collections.Counter(items)
+        cm = CountMin(w=4096, d=5).add_many(items)
+        n = len(items)
+        eps = np.e / 4096
+        keys = list(true)
+        ests = cm.estimate_many(keys)
+        for k, est in zip(keys, ests):
+            assert est >= true[k]                 # CM never undercounts
+            assert est <= true[k] + eps * n + 1   # CM overcount bound
+
+    def test_merge_equals_single_pass(self):
+        from calendar_event_entity_extraction_ray.functions.sketch import (
+            CountMin,
+        )
+
+        a = CountMin(w=512, d=4).add_many([f"k{i % 50}" for i in range(3000)])
+        b = CountMin(w=512, d=4).add_many([f"k{i % 70}" for i in range(2000)])
+        both = CountMin(w=512, d=4).add_many(
+            [f"k{i % 50}" for i in range(3000)]
+            + [f"k{i % 70}" for i in range(2000)])
+        a.merge(b)
+        assert (a.table == both.table).all()
+
+    def test_serialize_roundtrip_and_none(self):
+        from calendar_event_entity_extraction_ray.functions.sketch import (
+            CountMin,
+        )
+
+        cm = CountMin(w=256, d=3).add_many(["a", None, "b", "a"])
+        cm2 = CountMin.deserialize(cm.serialize())
+        assert cm2.estimate("a") == cm.estimate("a") == 2
+        assert cm2.estimate("b") == 1
+        assert cm2.estimate("zzz") <= 4  # collisions only
