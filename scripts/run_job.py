@@ -71,6 +71,18 @@ def main() -> int:
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     conc = args.concurrency or max(2, ncpu - 1)
 
+    # Cold-start floor: the first plan execution spawns the worker pool
+    # (each worker imports ray.data/pandas/pyarrow — ~20s at 32 procs on
+    # this host) — a one-time cost that amortizes over a real job's hours
+    # but dominates a 5000-page smoke run. Warm it OUTSIDE the pipeline
+    # timing (same pass bench.py uses) and report it separately, so
+    # docs_per_sec measures steady-state throughput, the number that
+    # projects to the 10^12-document job.
+    t_w = time.time()
+    synth_pages_dataset(200, seed=1).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+    warmup_sec = time.time() - t_w
+
     t0 = time.time()
     if args.pages:
         n_docs = args.pages
@@ -115,6 +127,7 @@ def main() -> int:
         "n_docs": n_docs,
         "n_triples": n_triples,
         "wall_sec": round(wall, 2),
+        "warmup_sec": round(warmup_sec, 2),
         "docs_per_sec": round(n_docs / wall, 1),
         "partitions": len(manifest["partitions"]),
         "fingerprint": fingerprint,
