@@ -1788,6 +1788,124 @@ def q_cm_user_counts(sf_dir: str) -> Any:
     return _int64(exact)
 
 
+def q_first_order(sf_dir: str) -> Any:
+    """ARGMIN row per group (TPC-H Q2's min-cost-supplier family without
+    the join-back): each customer's earliest order, ties broken by
+    o_orderkey, via stages/aggregate.py:extreme_row_per_group — per-batch
+    local winners cut the exchange to <= one row per (customer, batch)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        extreme_row_per_group,
+    )
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = np.floor(b.column("o_totalprice").to_numpy()
+                         * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "o_orderkey": b.column("o_orderkey"),
+                         "o_orderdate": b.column("o_orderdate"),
+                         "price_e2": pa.array(price)})
+
+    out = extreme_row_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["o_custkey"],
+        order_by=[("o_orderdate", "ascending"),
+                  ("o_orderkey", "ascending")])
+    return _int64(out.to_pandas(),
+                  ["o_custkey", "o_orderkey", "price_e2"])
+
+
+def q_supplier_value_share(sf_dir: str) -> Any:
+    """TPC-H Q11 shape — per-group sums kept only when they exceed a
+    FRACTION of the global total (share > 1.05%). The global total is one
+    tiny second aggregate whose scalar closes over the distributed
+    filter (a broadcast scalar, not a join); the compare is exact
+    integer cross-multiplication (rev_e4 * 10000 > total_e4 * 105), no
+    float threshold to drift."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = (b.column("l_extendedprice").to_numpy()
+               * (1.0 - b.column("l_discount").to_numpy()))
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "rev_e4": pa.array(np.floor(rev * 10_000 + 0.5)
+                               .astype(np.int64))})
+
+    # consumed by both the grouped exchange and the global aggregate
+    lines = li.map_batches(prep, batch_format="pyarrow").materialize()
+    per_supp = grouped_sums(lines, key_cols=["l_suppkey"],
+                            sum_cols=["rev_e4"], count_alias="n")
+    total = int(lines.aggregate(Sum("rev_e4", alias_name="t"))["t"])
+
+    out = per_supp.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b.column("rev_e4"), pa.scalar(10000, pa.int64())),
+            pa.scalar(total * 105, pa.int64()))),
+        batch_format="pyarrow")
+    return _int64(out.to_pandas(), ["l_suppkey", "rev_e4", "n"])
+
+
+def q_idle_rich_customers(sf_dir: str) -> Any:
+    """TPC-H Q22 shape — scalar-subquery threshold + NOT EXISTS:
+    customers with above-average positive balance and no URGENT order,
+    counted per nation. The average is an exact rational (bal_e2 * n >
+    sum_e2 — integer cross-multiply on cents), the NOT EXISTS predicate
+    pushes into the orders scan and routes through the exchange
+    anti_join, and the final rollup is a grouped sum."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import anti_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bal = np.floor(b.column("c_acctbal").to_numpy()
+                       * 100 + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_nationkey": b.column("c_nationkey"),
+                         "bal_e2": pa.array(bal)})
+
+    c = cust.map_batches(prep, batch_format="pyarrow").materialize()
+    agg = c.map_batches(
+        lambda b: b.filter(pc.greater(b.column("bal_e2"), 0)),
+        batch_format="pyarrow").aggregate(
+            Sum("bal_e2", alias_name="s"), Count(alias_name="n"))
+    s, n = int(agg["s"]), int(agg["n"])
+
+    rich = c.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b.column("bal_e2"), pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow")
+    import pyarrow.dataset as pds
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey"],
+        predicate=(pds.field("o_orderpriority") == "1-URGENT"),
+    ).map_batches(
+        lambda b: b.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    idle = anti_join(rich, orders, key="c_custkey",
+                     left_cols=["c_custkey", "c_nationkey", "bal_e2"])
+    out = grouped_sums(idle, key_cols=["c_nationkey"],
+                       sum_cols=["bal_e2"], count_alias="n_cust")
+    return _int64(out.to_pandas(), ["c_nationkey", "bal_e2", "n_cust"])
+
+
 def q_events_rollup(sf_dir: str) -> Any:
     """GROUP BY ROLLUP(event_type, day): one distributed pass at the
     finest level, coarser levels re-aggregated from the bounded result;
@@ -2998,6 +3116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_lag": q_user_value_lag,
         "heavy_hitter_users": q_heavy_hitters,
         "cm_user_counts": q_cm_user_counts,
+        "first_order": q_first_order,
+        "supplier_value_share": q_supplier_value_share,
+        "idle_rich_customers": q_idle_rich_customers,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
         "user_next_value": q_user_next_value,
@@ -3804,6 +3925,44 @@ def oracle_sql() -> dict[str, str]:
                          AS rnk
               FROM events GROUP BY user_id)
             WHERE rnk <= 10
+        """,
+        "first_order": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_e2
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn = 1
+        """,
+        "supplier_value_share": """
+            SELECT l_suppkey, rev_e4, n FROM (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                          * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e4,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_suppkey)
+            WHERE rev_e4 * 10000 > 105 *
+              (SELECT SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                       * 10000 + 0.5) AS BIGINT)) FROM lineitem)
+        """,
+        "idle_rich_customers": """
+            SELECT c_nationkey,
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS bal_e2,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM customer
+            WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                  * (SELECT COUNT(*) FROM customer
+                     WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > 0)
+                  > (SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                     FROM customer
+                     WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "events_rollup": """
             SELECT event_type, date_trunc('day', ts) AS day,

@@ -323,6 +323,52 @@ def top_k_per_group(
     return out.drop_columns(["_gh"])
 
 
+def extreme_row_per_group(
+    ds: "ray.data.Dataset",
+    key_cols: List[str],
+    order_by: List[tuple],
+) -> "ray.data.Dataset":
+    """ARGMIN/ARGMAX: the single row per key tuple that sorts FIRST by
+    ``order_by`` (``[(col, "ascending"|"descending"), ...]``) — the
+    TPC-H Q2 family (min-cost supplier per part, first order per
+    customer) WITHOUT the join-back: the winner row carries all its
+    columns through the exchange.
+
+    Callers must end ``order_by`` with a unique column so ties are
+    deterministic. Per-batch local winners commute (a batch's winner per
+    key is its only possible contribution), so the exchange moves <= one
+    row per (key, batch) — a hot key ships one row per batch, same skew
+    story as grouped_count. The winner selection runs Arrow-native
+    (``Table.sort_by`` + a first-occurrence mask on the key columns):
+    value columns never round-trip through pandas, so a batch with NULLs
+    in an int64 column can't flip it to float64 and break the exchange
+    concat (the dtype trap documented at dedup.py:hash64_columns).
+    NULL order values sort last (Arrow default) = SQL NULLS LAST for
+    ASC; NULL keys form one group (SQL GROUP BY semantics).
+    """
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def winners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.sort_by(order_by)
+        # first occurrence per key tuple; pandas duplicated() treats
+        # NaN == NaN, giving SQL's one-NULL-group behavior
+        dup = t.select(key_cols).to_pandas().duplicated().to_numpy()
+        return t.filter(pa.array(~dup))
+
+    pruned = ds.map_batches(
+        lambda b: add_hash_column(winners(b), key_cols, out_col="_gh"),
+        batch_format="pyarrow")
+    out = hash_partition_map(pruned, "_gh", winners)
+    return out.drop_columns(["_gh"])
+
+
 def pivot_count(
     ds: "ray.data.Dataset",
     key_col: str,

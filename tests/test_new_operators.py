@@ -543,3 +543,79 @@ class TestInvertedIndex:
         assert m["y"] == (2, "4,5")
         assert m["z"] == (1, "1")
         assert set(m) == {"x", "y", "z"}
+
+
+class TestExtremeRowPerGroup:
+    def test_matches_sql_argmin(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            extreme_row_per_group,
+        )
+
+        rng = np.random.RandomState(11)
+        n = 5000
+        df = pd.DataFrame({
+            "k": rng.randint(0, 200, n),
+            "o": rng.randint(0, 40, n),       # many ties per key
+            "uid": np.arange(n),
+            "payload": rng.randint(-5, 5, n),
+        })
+        ds = ray.data.from_pandas(df).repartition(7)
+        got = extreme_row_per_group(
+            ds, ["k"],
+            [("o", "ascending"), ("uid", "ascending")]).to_pandas()
+        want = (df.sort_values(["o", "uid"], kind="mergesort")
+                .drop_duplicates(subset=["k"]).sort_values("k")
+                .reset_index(drop=True))
+        got = got.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "o", "uid", "payload"]],
+            want[["k", "o", "uid", "payload"]])
+
+    def test_nullable_int_value_survives_large_exchange(self, ray_session):
+        # >SMALL_ROWS forces the disk exchange; a nullable int64 VALUE
+        # column must stay int64 across batches with/without nulls
+        # (the pandas round-trip would flip null-bearing batches to
+        # float64 and break the exchange concat)
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            extreme_row_per_group,
+        )
+
+        n = 120_000
+        k = np.arange(n) % 30_000
+        v = np.arange(n, dtype=np.int64)
+        nullable = pa.array(
+            [None if i % 2 else int(i) for i in range(n)], pa.int64())
+        t = pa.table({"k": pa.array(k), "v": pa.array(v),
+                      "extra": nullable})
+        ds = ray.data.from_arrow(t).repartition(16)
+        got = extreme_row_per_group(
+            ds, ["k"], [("v", "descending")]).to_pandas()
+        assert len(got) == 30_000
+        # argmax of v per key = key + 3*30_000; extra carries its value
+        got = got.sort_values("k").reset_index(drop=True)
+        assert (got["v"].to_numpy() == np.arange(30_000) + 90_000).all()
+        assert got["extra"].isna().sum() == 15_000
+
+    def test_max_and_null_keys_one_group(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            extreme_row_per_group,
+        )
+
+        df = pd.DataFrame({
+            "k": ["a", "a", None, None, "b"],
+            "o": [1, 5, 2, 9, 3],
+            "uid": [0, 1, 2, 3, 4],
+        })
+        ds = ray.data.from_pandas(df).repartition(3)
+        got = extreme_row_per_group(
+            ds, ["k"],
+            [("o", "descending"), ("uid", "ascending")]).to_pandas()
+        m = {("" if pd.isna(r["k"]) else r["k"]): int(r["o"])
+             for _, r in got.iterrows()}
+        assert m == {"a": 5, "": 9, "b": 3}
