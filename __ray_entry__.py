@@ -772,6 +772,19 @@ def q_knn_ivf(sf_dir: str) -> Any:
     return knn_ivf(ds, q, k=10, n_cells=16, n_probe=4).select(["vec_id"])
 
 
+def q_knn_pq(sf_dir: str) -> Any:
+    """Product-quantization ANN (stages/knn.py:knn_pq): driver-trained
+    per-subspace codebook (broadcast once), one distributed encode pass
+    (vector -> 8 bytes, a 32x index shrink), lookup-table scan over the
+    codes, exact cosine re-rank of the 40 candidates. Golden oracle =
+    sequential mirror (scripts/make_goldens.py:golden_knn_pq)."""
+    from calendar_event_entity_extraction_ray.stages.knn import knn_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    return knn_pq(ds, q, k=10, m=8, n_codes=256, rerank=4).select(["vec_id"])
+
+
 def q_kg_flagship(sf_dir: str) -> Any:
     """Flagship: synthetic pages (deterministic, sized by sf) -> triples."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -3059,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_records": q_tokenize,
         "chatml_records": q_chatml,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "jaccard_pairs_docs": q_jaccard_pairs,
         "corpus_clean": q_corpus_clean,
         "doc_sample": q_doc_sample,
@@ -3375,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_records": f"SELECT * FROM {_golden('tokenize_records')}",
         "chatml_records": f"SELECT * FROM {_golden('chatml_records')}",
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
+        "knn_pq": f"SELECT * FROM {_golden('knn_pq')}",
         "jaccard_pairs_docs": f"SELECT * FROM {_golden('jaccard_pairs_docs')}",
         "corpus_clean": f"SELECT * FROM {_golden('corpus_clean')}",
         "training_sequences":

@@ -372,3 +372,152 @@ def embedding_dup_pairs_lsh(
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return hash_partition_map(hashed_pairs, "_ph", distinct_fold)
+
+
+def train_pq_codebook(
+    sample: np.ndarray, m: int = 8, n_codes: int = 256,
+    n_iters: int = 12, seed: int = 13,
+) -> np.ndarray:
+    """Product-quantization codebook (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search"): split the d dims into ``m`` subspaces
+    and run seeded Lloyd k-means INDEPENDENTLY in each. Driver-side on a
+    bounded sample — the codebook is m * n_codes * (d/m) float64
+    (d=64, m=8, 256 codes = 128 KiB), broadcast once; the corpus never
+    moves. Vectors are L2-normalized first so the asymmetric dot against
+    a normalized query approximates cosine. Returns (m, n_codes, d//m).
+    """
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub_d = d // m
+    n_codes = min(n_codes, len(x))
+    rng = np.random.RandomState(seed)
+    codebook = np.zeros((m, n_codes, sub_d))
+    for j in range(m):
+        sub = x[:, j * sub_d:(j + 1) * sub_d]
+        cents = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
+        for _ in range(n_iters):
+            # argmin ||s-c||^2 == argmax (s.c - 0.5|c|^2); one matmul
+            assign = np.argmax(sub @ cents.T - 0.5 * (cents ** 2).sum(1),
+                               axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        codebook[j] = cents
+    return codebook
+
+
+class _PqEncode:
+    """Task/actor stage: vector -> m uint8 codes (nearest sub-centroid per
+    subspace). Output is (id, pq_code fixed_size_list<uint8, m>) ONLY —
+    the float embedding column is dropped, which is the point: the
+    searchable corpus shrinks d*4 bytes -> m bytes per row (64-dim
+    float32 -> 8 bytes = 32x) before it is stored or broadcast."""
+
+    def __init__(self, codebook_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> None:
+        import ray as _ray
+
+        cb = (_ray.get(codebook_ref)
+              if isinstance(codebook_ref, _ray.ObjectRef) else codebook_ref)
+        self.cb = np.asarray(cb, dtype=np.float64)   # (m, n_codes, sub_d)
+        self.half_sq = 0.5 * (self.cb ** 2).sum(axis=2)  # (m, n_codes)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-12, None)
+        m, _, sub_d = self.cb.shape
+        codes = np.empty((batch.num_rows, m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * sub_d:(j + 1) * sub_d]
+            codes[:, j] = np.argmax(sub @ self.cb[j].T - self.half_sq[j],
+                                    axis=1).astype(np.uint8)
+        code_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.uint8()), m)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "pq_code": code_col})
+
+
+def knn_pq(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 4096,
+    rerank: int = 4,
+    seed: int = 13,
+) -> pa.Table:
+    """Approximate top-k via PQ asymmetric distance + exact re-rank:
+
+      1. train the codebook on a bounded sample (driver-side, broadcast);
+      2. one distributed encode pass — each vector becomes m bytes;
+      3. the query builds an (m, n_codes) dot-product lookup table
+         (kilobytes, closed over — no broadcast needed); approximate
+         score of a row = m table lookups + a sum, no per-row matmul;
+      4. partial top-(rerank*k) per batch over CODES ONLY, tiny global
+         merge -> candidate ids;
+      5. exact cosine re-rank of just the candidates (broadcast id set,
+         one filtered brute-force pass).
+
+    At 10^12 rows the scan in step 4 touches m bytes/row instead of
+    d*4 — the index fits where the raw vectors cannot.
+    """
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cb = train_pq_codebook(sample, m=m, n_codes=n_codes, seed=seed)
+    cb_ref = ray.put(cb)
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    sub_d = cb.shape[2]
+    # lut[j, c] = qn_j . cb[j, c]  -> approx cos = sum_j lut[j, code_j]
+    lut = np.stack([cb[j] @ qn[j * sub_d:(j + 1) * sub_d]
+                    for j in range(cb.shape[0])])
+
+    encoded = ds.map_batches(
+        run_stage,
+        fn_kwargs={"_cls": _PqEncode, "codebook_ref": cb_ref,
+                   "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+    )
+
+    n_cand = max(k, rerank * k)
+    j_ix = np.arange(cb.shape[0])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        codes = (batch.column("pq_code").combine_chunks().flatten()
+                 .to_numpy(zero_copy_only=False)
+                 .reshape(batch.num_rows, -1).astype(np.int64))
+        scores = lut[j_ix[None, :], codes].sum(axis=1)
+        ids = batch.column(id_col).to_numpy()
+        if len(scores) > n_cand:
+            ix = np.argpartition(-scores, n_cand)[:n_cand]
+        else:
+            ix = np.arange(len(scores))
+        return pa.table({id_col: pa.array(ids[ix], pa.int64()),
+                         "pq_score": pa.array(scores[ix], pa.float64())})
+
+    partials = encoded.map_batches(partial_topk, batch_format="pyarrow")
+    cand = (partials.sort(["pq_score", id_col], descending=[True, False])
+            .limit(n_cand).to_pandas())
+    cand_ids = pa.array(sorted(cand[id_col].tolist()), pa.int64())
+
+    cand_ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=cand_ids)),
+        batch_format="pyarrow")
+    return knn_bruteforce(cand_ds, q, k=k, id_col=id_col, vec_col=vec_col)

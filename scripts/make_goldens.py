@@ -300,6 +300,44 @@ def golden_knn_ivf() -> pa.Table:
     return pa.table({"vec_id": pa.array(ids[order], pa.int64())})
 
 
+def golden_knn_pq() -> pa.Table:
+    """Sequential mirror of q_knn_pq: same first-4096-row sample, same
+    seed-13 per-subspace codebook, full-table encode (normalized
+    float64), lut-scored global top-40 by (-pq_score, vec_id), exact
+    cosine top-10 re-rank among those candidates."""
+    from calendar_event_entity_extraction_ray.stages.knn import (
+        train_pq_codebook,
+    )
+
+    df = _embeddings()
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    ids = df["vec_id"].to_numpy()
+    q = mat[0]
+    cb = train_pq_codebook(mat[:4096], m=8, n_codes=256, seed=13)
+    m, _, sub_d = cb.shape
+
+    norm_rows = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12, None)
+    half_sq = 0.5 * (cb ** 2).sum(axis=2)
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        sub = norm_rows[:, j * sub_d:(j + 1) * sub_d]
+        codes[:, j] = np.argmax(sub @ cb[j].T - half_sq[j], axis=1)
+
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.stack([cb[j] @ qn[j * sub_d:(j + 1) * sub_d]
+                    for j in range(m)])
+    scores = lut[np.arange(m)[None, :], codes].sum(axis=1)
+    cand = np.lexsort((ids, -scores))[:40]
+
+    exact = mat[cand]
+    norms = np.linalg.norm(exact, axis=1) * np.linalg.norm(q)
+    norms = np.where(norms == 0, 1e-12, norms)
+    cos = (exact @ q) / norms
+    order = np.lexsort((ids[cand], -cos))[:10]
+    return pa.table({"vec_id": pa.array(ids[cand][order], pa.int64())})
+
+
 def golden_augment_records() -> pa.Table:
     """Sequential mirror of pipelines/augmentation.py:augment_pipeline over
     the seed-7 synthetic records (n_synth=0): normalize -> top-500 pools ->
@@ -615,6 +653,7 @@ GOLDENS = {
     "embedding_dups_lsh": golden_embedding_dups_lsh,
     "knn_lsh": golden_knn_lsh,
     "knn_ivf": golden_knn_ivf,
+    "knn_pq": golden_knn_pq,
     "jaccard_pairs_docs": golden_jaccard_pairs_docs,
     "corpus_clean": golden_corpus_clean,
     "augment_records": golden_augment_records,

@@ -318,6 +318,45 @@ class TestKnn:
                              sample_size=200).to_pandas()["vec_id"])
         assert len(exact & approx) >= 8  # query's own cluster is probed
 
+    def test_pq_recall_and_compression(self, ray_session):
+        """PQ asymmetric-distance search: deterministic codebook, encoded
+        index is m bytes/row, and with exact re-rank the top-10 recall vs
+        brute force is high on clustered data."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.knn import (
+            _PqEncode,
+            knn_bruteforce,
+            knn_pq,
+            train_pq_codebook,
+        )
+
+        rng = np.random.RandomState(6)
+        centers = 3.0 * rng.standard_normal((8, 16))
+        mat = np.vstack([c + 0.3 * rng.standard_normal((80, 16))
+                         for c in centers])
+        cb1 = train_pq_codebook(mat[:300], m=4, n_codes=32, seed=13)
+        cb2 = train_pq_codebook(mat[:300], m=4, n_codes=32, seed=13)
+        assert (cb1 == cb2).all() and cb1.shape == (4, 32, 4)
+
+        t = pa.table({
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        })
+        enc = _PqEncode(cb1)(t)
+        assert enc.column("pq_code").type == pa.list_(pa.uint8(), 4)
+        assert enc.num_rows == len(mat)
+
+        ds = ray.data.from_arrow(t).repartition(4)
+        q = mat[5]
+        exact = knn_bruteforce(ds, q, k=10).to_pandas()["vec_id"].tolist()
+        approx = knn_pq(ds, q, k=10, m=4, n_codes=32, sample_size=300,
+                        rerank=12).to_pandas()["vec_id"].tolist()
+        # re-rank is exact cosine, so overlap order matches brute force
+        assert len(set(exact) & set(approx)) >= 8
+        common = [v for v in exact if v in set(approx)]
+        assert [v for v in approx if v in set(exact)] == common
+
     def test_embedding_lsh_pairs_subset_and_recall(self, ray_session):
         """The SRP-bucketed near-dup pairs are a SUBSET of the brute-force
         pairs (same threshold, no false positives by construction) and, at
