@@ -772,6 +772,20 @@ def q_knn_ivf(sf_dir: str) -> Any:
     return knn_ivf(ds, q, k=10, n_cells=16, n_probe=4).select(["vec_id"])
 
 
+def q_levenshtein_pairs(sf_dir: str) -> Any:
+    """Edit-distance near-dup pairs (stages/editdist.py): EXACT
+    levenshtein <= 15 over all document pairs via lossless length
+    banding + char-bag prune + Myers bit-parallel distance. Oracle is
+    DuckDB's own levenshtein() over the length-filtered self-join."""
+    from calendar_event_entity_extraction_ray.stages.editdist import (
+        levenshtein_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = levenshtein_pairs(ds, max_d=15)
+    return _int64(out.to_pandas(), ["doc_id_a", "doc_id_b", "dist"])
+
+
 def q_knn_pq(sf_dir: str) -> Any:
     """Product-quantization ANN (stages/knn.py:knn_pq): driver-trained
     per-subspace codebook (broadcast once), one distributed encode pass
@@ -3073,6 +3087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chatml_records": q_chatml,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "levenshtein_pairs_docs": q_levenshtein_pairs,
         "jaccard_pairs_docs": q_jaccard_pairs,
         "corpus_clean": q_corpus_clean,
         "doc_sample": q_doc_sample,
@@ -3390,6 +3405,14 @@ def oracle_sql() -> dict[str, str]:
         "chatml_records": f"SELECT * FROM {_golden('chatml_records')}",
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
         "knn_pq": f"SELECT * FROM {_golden('knn_pq')}",
+        "levenshtein_pairs_docs": """
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM documents a, documents b
+            WHERE a.doc_id < b.doc_id
+              AND abs(length(a.text) - length(b.text)) <= 15
+              AND levenshtein(a.text, b.text) <= 15
+        """,
         "jaccard_pairs_docs": f"SELECT * FROM {_golden('jaccard_pairs_docs')}",
         "corpus_clean": f"SELECT * FROM {_golden('corpus_clean')}",
         "training_sequences":
