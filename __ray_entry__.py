@@ -18,6 +18,7 @@ per-row double arithmetic + floor is bit-identical between numpy and DuckDB.
 from __future__ import annotations
 
 import json
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -770,6 +771,92 @@ def q_knn_ivf(sf_dir: str) -> Any:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
     return knn_ivf(ds, q, k=10, n_cells=16, n_probe=4).select(["vec_id"])
+
+
+def q_grouped_approx_quantiles(sf_dir: str) -> Any:
+    """Grouped streaming quantiles: one KLL sketch per (group, batch)
+    ships to the driver (|groups| x k floats — never the values), merged
+    per group. Oracle-shaped like the global sketch query: the output
+    rows are the EXACT per-group quantiles (grouped histogram-refine)
+    plus an indicator that each sketch estimate's true in-group rank
+    landed within 2% of the target."""
+    from calendar_event_entity_extraction_ray.functions.sketch import (
+        QuantileSketch,
+    )
+    from calendar_event_entity_extraction_ray.stages.quantiles import (
+        grouped_quantiles,
+    )
+
+    qs = [0.5, 0.9]
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.materialize()   # three passes: sketch, exact, rank check
+
+    def partial(b: pa.Table) -> pa.Table:
+        by_group: dict = {}
+        for g, v in zip(b.column("event_type").to_pylist(),
+                        b.column("value").to_pylist()):
+            if v is not None:
+                by_group.setdefault(g, QuantileSketch(k=256)).add_many([v])
+        return pa.table({
+            "g": pa.array(list(by_group), pa.string()),
+            "sk": pa.array([s.serialize() for s in by_group.values()],
+                           pa.binary()),
+        })
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for g, blob in zip(b.column("g").to_pylist(),
+                           b.column("sk").to_pylist()):
+            sk = QuantileSketch.deserialize(blob)
+            if g in merged:
+                merged[g].merge(sk)
+            else:
+                merged[g] = sk
+    ests = {g: [sk.quantile(q) for q in qs] for g, sk in merged.items()}
+
+    # rank check: per group, n valid values and count(<= est) per target
+    def rank_partial(b: pa.Table, _ests=ests) -> pa.Table:
+        df = pd.DataFrame({
+            "g": b.column("event_type").to_pylist(),
+            "v": b.column("value").to_numpy(zero_copy_only=False)})
+        df = df[~df["v"].isna()]
+        rows_g, rows_n, rows_le = [], [], []
+        for g, grp in df.groupby("g"):
+            v = grp["v"].to_numpy()
+            rows_g.append(g)
+            rows_n.append(len(v))
+            rows_le.append([int((v <= e).sum()) for e in _ests[g]])
+        return pa.table({
+            "g": pa.array(rows_g, pa.string()),
+            "n": pa.array(rows_n, pa.int64()),
+            "le": pa.array(rows_le, pa.list_(pa.int64())),
+        })
+
+    n_of: dict = {}
+    le_of: dict = {}
+    for b in ds.map_batches(rank_partial,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for g, n, le in zip(b.column("g").to_pylist(),
+                            b.column("n").to_pylist(),
+                            b.column("le").to_pylist()):
+            n_of[g] = n_of.get(g, 0) + n
+            le_of[g] = [a + x for a, x in
+                        zip(le_of.get(g, [0] * len(qs)), le)]
+
+    exact = grouped_quantiles(ds, "value", "event_type", qs)
+    rows = []
+    for g, q, v in exact:
+        qi = qs.index(q)
+        rank = le_of[g][qi] / max(n_of[g], 1)
+        rows.append({
+            "event_type": g,
+            "q_e4": int(round(q * 10000)),
+            "val_e2": int(math.floor(v * 100 + 0.5)),
+            "sk_ok": 1 if abs(rank - q) <= 0.02 else 0,
+        })
+    return pd.DataFrame(rows)
 
 
 def q_levenshtein_pairs(sf_dir: str) -> Any:
@@ -3088,6 +3175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "levenshtein_pairs_docs": q_levenshtein_pairs,
+        "grouped_approx_quantiles": q_grouped_approx_quantiles,
         "jaccard_pairs_docs": q_jaccard_pairs,
         "corpus_clean": q_corpus_clean,
         "doc_sample": q_doc_sample,
@@ -3405,6 +3493,16 @@ def oracle_sql() -> dict[str, str]:
         "chatml_records": f"SELECT * FROM {_golden('chatml_records')}",
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
         "knn_pq": f"SELECT * FROM {_golden('knn_pq')}",
+        "grouped_approx_quantiles": """
+            SELECT event_type,
+                   CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,
+                   CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS val_e2,
+                   1 AS sk_ok
+            FROM (SELECT event_type,
+                         unnest([0.5, 0.9]) AS q,
+                         unnest(quantile_disc(value, [0.5, 0.9])) AS v
+                  FROM events GROUP BY event_type)
+        """,
         "levenshtein_pairs_docs": """
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
