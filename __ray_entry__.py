@@ -886,6 +886,18 @@ def q_knn_pq(sf_dir: str) -> Any:
     return knn_pq(ds, q, k=10, m=8, n_codes=256, rerank=4).select(["vec_id"])
 
 
+def q_knn_ivfpq(sf_dir: str) -> Any:
+    """IVF-PQ residual ANN (stages/knn.py:knn_ivfpq): coarse cells prune
+    the scan, residual PQ codes rank within probed cells, exact cosine
+    re-ranks the finalists. Golden oracle = sequential mirror."""
+    from calendar_event_entity_extraction_ray.stages.knn import knn_ivfpq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    return knn_ivfpq(ds, q, k=10, n_cells=16, n_probe=8, m=8,
+                     rerank=4).select(["vec_id"])
+
+
 def q_kg_flagship(sf_dir: str) -> Any:
     """Flagship: synthetic pages (deterministic, sized by sf) -> triples."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -3174,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chatml_records": q_chatml,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
         "levenshtein_pairs_docs": q_levenshtein_pairs,
         "grouped_approx_quantiles": q_grouped_approx_quantiles,
         "jaccard_pairs_docs": q_jaccard_pairs,
@@ -3493,6 +3506,7 @@ def oracle_sql() -> dict[str, str]:
         "chatml_records": f"SELECT * FROM {_golden('chatml_records')}",
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
         "knn_pq": f"SELECT * FROM {_golden('knn_pq')}",
+        "knn_ivfpq": f"SELECT * FROM {_golden('knn_ivfpq')}",
         "grouped_approx_quantiles": """
             SELECT event_type,
                    CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,

@@ -25,7 +25,7 @@ Scale design — lossless length banding:
 
 from __future__ import annotations
 
-from collections import Counter
+
 
 import numpy as np
 import pyarrow as pa
@@ -44,7 +44,6 @@ def levenshtein_pairs(
     """All pairs (id_a < id_b, dist <= max_d); returns a Dataset with
     columns (``{id}_a``, ``{id}_b``, ``dist``)."""
     from calendar_event_entity_extraction_ray.functions.editdist import (
-        char_bag_lower_bound,
         myers_distance,
     )
     from calendar_event_entity_extraction_ray.stages.dedup import (
@@ -80,6 +79,17 @@ def levenshtein_pairs(
 
     a_col, b_col = f"{id_col}_a", f"{id_col}_b"
 
+    def _char_hists(texts: list) -> np.ndarray:
+        """(n, 129) int32 codepoint histograms: bins 0-127 = ASCII, bin
+        128 lumps everything else. Lumping only lets surpluses cancel,
+        so the bag bound below stays an admissible LOWER bound."""
+        out = np.zeros((len(texts), 129), dtype=np.int32)
+        for i, s in enumerate(texts):
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            out[i] = np.bincount(np.minimum(cp, 128).astype(np.int64),
+                                 minlength=129)
+        return out
+
     def pairs_fold(t: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -98,24 +108,32 @@ def levenshtein_pairs(
             lens = grp["len"].to_numpy()
             ids = grp["id"].to_numpy()
             texts = grp["text"].tolist()
-            bags = [Counter(s) for s in texts]
+            hists = _char_hists(texts)
             n = len(grp)
             for i in range(n):
-                j = i + 1
-                while j < n and lens[j] - lens[i] <= max_d:
-                    # canonical band of the pair = longer string's band
-                    if lens[j] // w == gid and ids[i] != ids[j]:
-                        if char_bag_lower_bound(bags[i], bags[j]) <= max_d:
-                            d = myers_distance(texts[i], texts[j],
-                                               max_d=max_d)
-                            if d <= max_d:
-                                lo, hi = ((ids[i], ids[j])
-                                          if ids[i] < ids[j]
-                                          else (ids[j], ids[i]))
-                                out_a.append(lo)
-                                out_b.append(hi)
-                                out_d.append(d)
-                    j += 1
+                hi_ix = int(np.searchsorted(lens, lens[i] + max_d,
+                                            side="right"))
+                if hi_ix <= i + 1:
+                    continue
+                # vectorized admissible prune over the whole window:
+                # dist >= max(sum of positive count surplus either side)
+                diff = hists[i + 1:hi_ix] - hists[i]
+                surplus = np.maximum(
+                    np.where(diff > 0, diff, 0).sum(axis=1),
+                    np.where(diff < 0, -diff, 0).sum(axis=1))
+                # canonical band of the pair = longer string's band
+                canon = (lens[i + 1:hi_ix] // w) == gid
+                for off in np.nonzero((surplus <= max_d) & canon)[0]:
+                    j = i + 1 + int(off)
+                    if ids[i] == ids[j]:
+                        continue
+                    d = myers_distance(texts[i], texts[j], max_d=max_d)
+                    if d <= max_d:
+                        lo, hi = ((ids[i], ids[j]) if ids[i] < ids[j]
+                                  else (ids[j], ids[i]))
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_d.append(d)
         return pa.table({
             a_col: pa.array(np.asarray(out_a, dtype=np.int64)),
             b_col: pa.array(np.asarray(out_b, dtype=np.int64)),

@@ -338,6 +338,59 @@ def golden_knn_pq() -> pa.Table:
     return pa.table({"vec_id": pa.array(ids[cand][order], pa.int64())})
 
 
+def golden_knn_ivfpq() -> pa.Table:
+    """Sequential mirror of q_knn_ivfpq: coarse 16-cell codebook on the
+    first-4096-row sample, residual PQ (m=8, seed 13, normalize=False),
+    8 probed cells, cell-dot + residual-LUT scores, global top-40 by
+    (-score, vec_id), exact cosine top-10 re-rank."""
+    from calendar_event_entity_extraction_ray.stages.knn import (
+        train_ivf_codebook,
+        train_pq_codebook,
+    )
+
+    df = _embeddings()
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    ids = df["vec_id"].to_numpy()
+    q = mat[0]
+    sample = mat[:4096]
+    coarse = train_ivf_codebook(sample, n_cells=16, seed=13)
+    sm = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True),
+                          1e-12, None)
+    residuals = sm - coarse[np.argmax(sm @ coarse.T, axis=1)]
+    cb = train_pq_codebook(residuals, m=8, n_codes=256, seed=13,
+                           normalize=False)
+    m, _, sub_d = cb.shape
+
+    norm_rows = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12, None)
+    cells = np.argmax(norm_rows @ coarse.T, axis=1)
+    res = norm_rows - coarse[cells]
+    half_sq = 0.5 * (cb ** 2).sum(axis=2)
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        sub = res[:, j * sub_d:(j + 1) * sub_d]
+        codes[:, j] = np.argmax(sub @ cb[j].T - half_sq[j], axis=1)
+
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cell_dot = coarse @ qn
+    probes = set(np.argsort(-cell_dot)[:8].tolist())
+    lut = np.stack([cb[j] @ qn[j * sub_d:(j + 1) * sub_d]
+                    for j in range(m)])
+    scores = cell_dot[cells] + lut[np.arange(m)[None, :], codes].sum(axis=1)
+    sel = np.isin(cells, sorted(probes))
+    s_ids = ids[sel]
+    s_scores = scores[sel]
+    cand = np.lexsort((s_ids, -s_scores))[:40]
+
+    exact = mat[np.isin(ids, s_ids[cand])]
+    e_ids = ids[np.isin(ids, s_ids[cand])]
+    norms = np.linalg.norm(exact, axis=1) * np.linalg.norm(q)
+    norms = np.where(norms == 0, 1e-12, norms)
+    cos = (exact @ q) / norms
+    order = np.lexsort((e_ids, -cos))[:10]
+    return pa.table({"vec_id": pa.array(e_ids[order], pa.int64())})
+
+
 def golden_augment_records() -> pa.Table:
     """Sequential mirror of pipelines/augmentation.py:augment_pipeline over
     the seed-7 synthetic records (n_synth=0): normalize -> top-500 pools ->
@@ -654,6 +707,7 @@ GOLDENS = {
     "knn_lsh": golden_knn_lsh,
     "knn_ivf": golden_knn_ivf,
     "knn_pq": golden_knn_pq,
+    "knn_ivfpq": golden_knn_ivfpq,
     "jaccard_pairs_docs": golden_jaccard_pairs_docs,
     "corpus_clean": golden_corpus_clean,
     "augment_records": golden_augment_records,

