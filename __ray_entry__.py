@@ -886,6 +886,35 @@ def q_knn_pq(sf_dir: str) -> Any:
     return knn_pq(ds, q, k=10, m=8, n_codes=256, rerank=4).select(["vec_id"])
 
 
+def q_knn_multi(sf_dir: str) -> Any:
+    """Multi-query exact top-5: a broadcast QUERY MATRIX (vec_ids 0-2)
+    scored against the corpus in one pass — one (n,d)@(d,q) matmul per
+    batch, <= k rows per (query, batch) to the per-group top-k."""
+    import pyarrow.parquet as pq
+
+    from calendar_event_entity_extraction_ray.stages.knn import (
+        knn_bruteforce_multi,
+    )
+
+    # tiny driver-side read for the query rows (broadcast_dict_local
+    # pattern: a Ray plan costs ~0.5s flat for 3 rows)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    sel = t.filter(pc.is_in(t.column("vec_id"),
+                            value_set=pa.array([0, 1, 2], pa.int64())))
+    order = np.argsort(sel.column("vec_id").to_numpy())
+    q_mat = np.asarray(sel.column("embedding").to_pylist(),
+                       dtype=np.float64)[order]
+    qids = sel.column("vec_id").to_numpy()[order]
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_bruteforce_multi(ds, q_mat, k=5, query_ids=qids)
+    return _int64(out.to_pandas()[["query_id", "vec_id", "rnk"]],
+                  ["query_id", "vec_id", "rnk"])
+
+
 def q_knn_ivfpq(sf_dir: str) -> Any:
     """IVF-PQ residual ANN (stages/knn.py:knn_ivfpq): coarse cells prune
     the scan, residual PQ codes rank within probed cells, exact cosine
@@ -3187,6 +3216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
+        "knn_multi": q_knn_multi,
         "levenshtein_pairs_docs": q_levenshtein_pairs,
         "grouped_approx_quantiles": q_grouped_approx_quantiles,
         "jaccard_pairs_docs": q_jaccard_pairs,
@@ -3507,6 +3537,19 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": f"SELECT * FROM {_golden('knn_ivf')}",
         "knn_pq": f"SELECT * FROM {_golden('knn_pq')}",
         "knn_ivfpq": f"SELECT * FROM {_golden('knn_ivfpq')}",
+        "knn_multi": """
+            SELECT query_id, vec_id, rnk FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(
+                                      e.embedding, q.embedding) DESC,
+                                  e.vec_id) AS rnk
+              FROM embeddings e,
+                   (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN (0, 1, 2)) q)
+            WHERE rnk <= 5
+        """,
         "grouped_approx_quantiles": """
             SELECT event_type,
                    CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,

@@ -660,3 +660,58 @@ def knn_ivfpq(
         lambda b: b.filter(pc.is_in(b.column(id_col), value_set=cand_ids)),
         batch_format="pyarrow")
     return knn_bruteforce(cand_ds, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def knn_bruteforce_multi(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: "Optional[np.ndarray]" = None,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k for a MATRIX of queries in one corpus pass —
+    the brief's "broadcast query matrix" baseline: the (q, d) matrix is
+    ray.put ONCE, every batch does a single (n, d) @ (d, q) matmul, and
+    each batch contributes at most k rows PER QUERY to the final
+    per-query top-k (stages/aggregate.py:top_k_per_group), so the
+    exchange moves k*q rows per batch regardless of corpus size.
+
+    Returns a Dataset with (query_id, id_col, cos_sim, rnk), rnk 1..k
+    per query (ties broken by id ascending, matching a ROW_NUMBER
+    ORDER BY cos DESC, id oracle).
+    """
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        top_k_per_group,
+    )
+
+    q_mat = np.asarray(queries, dtype=np.float64)
+    qn = q_mat / np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True),
+                         1e-12, None)
+    qids = (np.asarray(query_ids, dtype=np.int64) if query_ids is not None
+            else np.arange(len(q_mat), dtype=np.int64))
+    q_ref = ray.put((qn, qids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qn_, qids_ = ray.get(q_ref)
+        mat = _batch_matrix(batch, vec_col)
+        norms = np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                        1e-12, None)
+        scores = (mat / norms) @ qn_.T            # (n, q)
+        ids = batch.column(id_col).to_numpy()
+        n = len(ids)
+        kk = min(k, n)
+        # per-query partial top-k in one argpartition along the rows
+        top_ix = np.argpartition(-scores, kk - 1, axis=0)[:kk]   # (kk, q)
+        qcols = np.broadcast_to(np.arange(scores.shape[1]),
+                                top_ix.shape)
+        return pa.table({
+            "query_id": pa.array(qids_[qcols.ravel()], pa.int64()),
+            id_col: pa.array(ids[top_ix.ravel()], pa.int64()),
+            "cos_sim": pa.array(scores[top_ix.ravel(),
+                                       qcols.ravel()], pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return top_k_per_group(partials, "query_id", "cos_sim", k,
+                           tiebreak_col=id_col)

@@ -789,3 +789,30 @@ class TestResampleAudio:
         for _, row in out[out["kind"] != "audio"].iterrows():
             assert bytes(row["payload"]) == bytes(
                 src[src["media_id"] == row["media_id"]].iloc[0]["payload"])
+
+
+class TestKnnMulti:
+    def test_matches_per_query_bruteforce(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.knn import (
+            knn_bruteforce,
+            knn_bruteforce_multi,
+        )
+
+        rng = np.random.RandomState(12)
+        mat = rng.standard_normal((600, 16))
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(600), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        })).repartition(5)
+        Q = rng.standard_normal((4, 16))
+        got = knn_bruteforce_multi(ds, Q, k=7).to_pandas()
+        assert len(got) == 28
+        for qi in range(4):
+            single = knn_bruteforce(ds, Q[qi], k=7).to_pandas()
+            sub = (got[got["query_id"] == qi]
+                   .sort_values("rnk")["vec_id"].tolist())
+            assert sub == single["vec_id"].tolist()
+            assert sorted(got[got["query_id"] == qi]["rnk"]) == list(
+                range(1, 8))
