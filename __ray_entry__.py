@@ -886,6 +886,41 @@ def q_knn_pq(sf_dir: str) -> Any:
     return knn_pq(ds, q, k=10, m=8, n_codes=256, rerank=4).select(["vec_id"])
 
 
+def q_split_lang_kl(sf_dir: str) -> Any:
+    """Distribution-shift diagnostic between hash splits: per-language
+    KL(train || eval) contribution terms. One distributed (split, lang)
+    count on the exchange (15 partial rows per batch), then the
+    bounded driver fold computes p*ln(p/q) per language — the exact
+    double op order is mirrored in the SQL oracle, so floor(x*1e9+0.5)
+    is bit-stable on both sides (the tf*ln(N/df) parity recipe)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.split import (
+        assign_split_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    tagged = ds.map_batches(
+        lambda b: assign_split_batch(b, text_col="text").select(
+            ["split", "lang"]),
+        batch_format="pyarrow")
+    counts = grouped_sums(tagged, key_cols=["split", "lang"],
+                          sum_cols=[], count_alias="n").to_pandas()
+
+    n1 = counts[counts["split"] == "train"].set_index("lang")["n"]
+    n2 = counts[counts["split"] == "eval"].set_index("lang")["n"]
+    t1, t2 = float(n1.sum()), float(n2.sum())
+    rows = []
+    for lang in sorted(set(n1.index) & set(n2.index)):
+        p = float(n1[lang]) / t1
+        q_ = float(n2[lang]) / t2
+        term = p * math.log(p / q_)
+        rows.append({"lang": lang,
+                     "kl_term_e9": int(math.floor(term * 1e9 + 0.5))})
+    return pd.DataFrame(rows)
+
+
 def q_knn_multi(sf_dir: str) -> Any:
     """Multi-query exact top-5: a broadcast QUERY MATRIX (vec_ids 0-2)
     scored against the corpus in one pass — one (n,d)@(d,q) matmul per
@@ -3217,6 +3252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_multi": q_knn_multi,
+        "split_lang_kl": q_split_lang_kl,
         "levenshtein_pairs_docs": q_levenshtein_pairs,
         "grouped_approx_quantiles": q_grouped_approx_quantiles,
         "jaccard_pairs_docs": q_jaccard_pairs,
@@ -3366,6 +3402,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "split_counts": f"""
             SELECT {split_case} AS split, COUNT(*) AS n FROM documents GROUP BY 1
+        """,
+        "split_lang_kl": f"""
+            WITH tagged AS (SELECT lang, {split_case} AS split
+                            FROM documents),
+            c AS (SELECT lang,
+                         COUNT(*) FILTER (split = 'train') AS n1,
+                         COUNT(*) FILTER (split = 'eval') AS n2
+                  FROM tagged GROUP BY lang),
+            t AS (SELECT CAST(SUM(n1) AS DOUBLE) AS t1,
+                         CAST(SUM(n2) AS DOUBLE) AS t2 FROM c)
+            SELECT lang,
+                   CAST(FLOOR((CAST(n1 AS DOUBLE) / t1)
+                        * ln((CAST(n1 AS DOUBLE) / t1)
+                             / (CAST(n2 AS DOUBLE) / t2))
+                        * 1e9 + 0.5) AS BIGINT) AS kl_term_e9
+            FROM c, t WHERE n1 > 0 AND n2 > 0
         """,
         "split_leakage": f"""
             WITH tagged AS (
