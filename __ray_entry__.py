@@ -66,6 +66,14 @@ def _int64(res, cols=None) -> pd.DataFrame:
     can widen ints to float64; DuckDB SUM(BIGINT) widens to HUGEINT — both
     sides are pinned to int64 so value hashes are comparable)."""
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    if len(df) == 0 and cols is not None:
+        # Dataset.to_pandas() drops columns on an all-empty dataset (see
+        # CLAUDE.md); rebuild the expected schema so downstream column
+        # access and the driver's schema compare stay stable (hit live:
+        # supplier_value_share's share threshold filters to 0 rows at
+        # sf0.1 — a legitimately empty result, not an error)
+        df = pd.DataFrame({c: df[c] if c in df.columns
+                           else pd.Series(dtype="int64") for c in cols})
     for c in cols if cols is not None else df.columns:
         if df[c].dtype != object and str(df[c].dtype) != "string":
             df[c] = df[c].astype("int64")

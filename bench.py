@@ -105,7 +105,10 @@ def run_bench() -> dict:
         "customer_order_counts_left", "minhash_dedup_docs",
         "order_global_rank", "decontaminate_docs", "pack_docs",
         "dedup_spans_docs", "training_sequences",
-        "region_nation_revenue", "brand_small_qty"]
+        "region_nation_revenue", "brand_small_qty",
+        # continuation operators
+        "first_order", "supplier_value_share", "cm_user_counts",
+        "knn_pq", "levenshtein_pairs_docs"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()
