@@ -2447,7 +2447,7 @@ def q_user_mode_event(sf_dir: str) -> Any:
     return _int64(out.reset_index(drop=True), ["n"])
 
 
-def q_decontaminate_docs(sf_dir: str) -> Any:
+def q_decontaminate_docs(sf_dir: str, mode: str = "broadcast") -> Any:
     """Benchmark decontamination: train docs sharing any word 4-gram with
     the eval split (GPT-3-style contamination check; real pipelines use
     13-grams — the fixture's short template texts need n=4 for a
@@ -2479,8 +2479,19 @@ def q_decontaminate_docs(sf_dir: str) -> Any:
     with_split = ds.map_batches(assign, batch_format="pyarrow")
     train = with_split.filter(expr="split == 'train'")
     ev = with_split.filter(expr="split == 'eval'")
-    out = contaminated_doc_ids(train, ev, n=4, mode="broadcast")
+    out = contaminated_doc_ids(train, ev, n=4, mode=mode)
     return _int64(out.to_pandas(), ["doc_id"])
+
+
+def q_decontaminate_docs_bloom(sf_dir: str) -> Any:
+    """Same contamination check through the Bloom regime — the
+    100-TB-both-sides path: eval grams fold into a fixed 1 MiB mergeable
+    bitset (never a driver-side string set), train docs prefilter
+    against the broadcast bitset, and only bloom-positive candidates
+    take the exact-string exchange verify. No false negatives by
+    construction, so the result (and the SQL oracle) is identical to
+    decontaminate_docs. stages/decontam.py:eval_gram_bloom."""
+    return q_decontaminate_docs(sf_dir, mode="bloom")
 
 
 def q_pack_docs(sf_dir: str) -> Any:
@@ -3275,6 +3286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_discount_corr": q_qty_discount_corr,
         "user_mode_event": q_user_mode_event,
         "decontaminate_docs": q_decontaminate_docs,
+        "decontaminate_docs_bloom": q_decontaminate_docs_bloom,
         "pack_docs": q_pack_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "repeated_ngram_spans": q_repeated_ngram_spans,
@@ -3683,6 +3695,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "decontaminate_docs": """
+            WITH s AS (
+                SELECT doc_id, text,
+                    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                   AS BIGINT) % 10000 < 7500 THEN 'train'
+                         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                   AS BIGINT) % 10000 < 9000 THEN 'eval'
+                         ELSE 'test' END AS split
+                FROM documents),
+            toks AS (
+                SELECT doc_id, split, string_split(text, ' ') AS t
+                FROM s WHERE text IS NOT NULL),
+            grams AS (
+                SELECT doc_id, split,
+                       array_to_string(list_slice(t, i + 1, i + 4), ' ') AS gram
+                FROM toks, unnest(generate_series(0, len(t) - 4, 1)) AS u(i))
+            SELECT DISTINCT doc_id FROM grams
+            WHERE split = 'train'
+              AND gram IN (SELECT gram FROM grams WHERE split = 'eval')
+        """,
+        # the Bloom regime is exact (no false negatives; positives are
+        # string-verified) — same oracle as the broadcast regime
+        "decontaminate_docs_bloom": """
             WITH s AS (
                 SELECT doc_id, text,
                     CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -80,13 +80,14 @@ class TestRegimesAgree:
         want = _brute(train, ev, 3)
         assert want  # fixture must actually plant contamination
         got = {}
-        for mode in ("broadcast", "exchange"):
+        for mode in ("broadcast", "exchange", "bloom"):
             ds_t = ray.data.from_pandas(train).repartition(3)
             ds_e = ray.data.from_pandas(ev).repartition(2)
             out = contaminated_doc_ids(ds_t, ds_e, n=3, mode=mode)
             got[mode] = sorted(out.to_pandas()["doc_id"].tolist())
         assert got["broadcast"] == want
         assert got["exchange"] == want
+        assert got["bloom"] == want
 
     def test_no_overlap_returns_empty(self, ray_session):
         import ray
@@ -112,6 +113,23 @@ class TestRegimesAgree:
                 ray.data.from_pandas(train), ray.data.from_pandas(empty),
                 n=3, mode=mode)
             assert out.count() == 0
+
+    def test_bloom_bitset_is_fixed_size(self, ray_session, corpus):
+        """The Bloom partial is constant-size regardless of eval volume —
+        the property that makes the regime viable when BOTH sides are
+        corpus-scale."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.decontam import (
+            BLOOM_DEFAULT_BITS,
+            eval_gram_bloom,
+        )
+
+        _, ev = corpus
+        bits = eval_gram_bloom(ray.data.from_pandas(ev).repartition(2), n=3)
+        assert len(bits) * 64 == BLOOM_DEFAULT_BITS
+        assert bits.dtype.name == "uint64"
+        assert int((bits != 0).sum()) > 0  # grams actually landed
 
     def test_auto_picks_broadcast_small(self, ray_session, corpus):
         import ray
