@@ -2970,6 +2970,292 @@ def q_brand_small_qty(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["l_partkey", "rev_e4", "n_small"])
 
 
+def q_priority_exists(sf_dir: str) -> Any:
+    """TPC-H Q4 shape — EXISTS decorrelated into a semi join: orders in
+    a half-year window keep only those with >= 1 returned line, then a
+    tiny grouped count per priority. The returnflag predicate pushes
+    into the lineitem scan (row-group pruning); the semi join ships only
+    the key column through the exchange — right-side payload never
+    moves."""
+    import pyarrow.dataset as pds
+
+    from datetime import datetime
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import semi_join
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 7, 1)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"],
+                   predicate=((pds.field("o_orderdate") >= lo)
+                              & (pds.field("o_orderdate") < hi)))
+    li_r = _read(sf_dir, "lineitem", columns=["l_orderkey"],
+                 predicate=(pds.field("l_returnflag") == "R"))
+    li_r = li_r.map_batches(
+        lambda b: b.rename_columns(["o_orderkey"]), batch_format="pyarrow")
+
+    hits = semi_join(orders, li_r, key="o_orderkey",
+                     left_cols=["o_orderkey", "o_orderpriority"])
+    out = grouped_count(hits, "o_orderpriority", out_col="n_orders")
+    return _int64(out.to_pandas(), ["n_orders"])
+
+
+def q_nation_pair_volume(sf_dir: str) -> Any:
+    """TPC-H Q7 shape — shipping volume between a nation PAIR by year:
+    supplier->nation and customer->nation broadcast once (restricted to
+    the two nations, so the INNER lookup drop IS the pair predicate up
+    to direction), orders |X| lineitem on the exchange hash join, the
+    cross-direction filter (s_nat != c_nat) post-join, ship-year
+    extracted vectorized, 2x|years| final groups stream-reduce."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_lookup,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    pair = ("NATION_1", "NATION_2")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    nat_name = {n["n_nationkey"]: n["n_name"] for n in nation
+                if n["n_name"] in pair}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    c_nat_ref = _ray.put({c: n for c, n in zip(
+        cust.column("c_custkey").to_pylist(),
+        cust.column("c_nationkey").to_pylist()) if n in nat_name})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    s_nat_ref = _ray.put({s: n for s, n in zip(
+        supp.column("s_suppkey").to_pylist(),
+        supp.column("s_nationkey").to_pylist()) if n in nat_name})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_lookup(orders, c_nat_ref, "o_custkey", "c_nat",
+                              out_type=pa.int64())
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = np.floor(b.column("l_extendedprice").to_numpy()
+                       * (1.0 - b.column("l_discount").to_numpy())
+                       * 10_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "l_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+            "rev_e4": pa.array(rev)})
+
+    li = broadcast_lookup(li.map_batches(prep, batch_format="pyarrow"),
+                          s_nat_ref, "l_suppkey", "s_nat",
+                          out_type=pa.int64())
+
+    joined = hash_join(
+        orders.map_batches(lambda b: b.select(["o_orderkey", "c_nat"]),
+                           batch_format="pyarrow"),
+        li.map_batches(
+            lambda b: b.select(["o_orderkey", "s_nat", "l_year", "rev_e4"]),
+            batch_format="pyarrow"),
+        key="o_orderkey",
+        left_cols=["o_orderkey", "c_nat"],
+        right_cols=["o_orderkey", "s_nat", "l_year", "rev_e4"],
+    )
+
+    names_ref = _ray.put(nat_name)
+
+    def direction(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(pc.equal(b.column("s_nat"),
+                                        b.column("c_nat"))))
+        names = ray.get(names_ref)
+        sn = [names[k] for k in b.column("s_nat").to_pylist()]
+        cn = [names[k] for k in b.column("c_nat").to_pylist()]
+        return pa.table({
+            "supp_nation": pa.array(sn, pa.string()),
+            "cust_nation": pa.array(cn, pa.string()),
+            "l_year": b.column("l_year"),
+            "rev_e4": b.column("rev_e4")})
+
+    out = grouped_sums(joined.map_batches(direction, batch_format="pyarrow"),
+                       key_cols=["supp_nation", "cust_nation", "l_year"],
+                       sum_cols=["rev_e4"], count_alias="n",
+                       stream_reduce=True)
+    return _int64(out.to_pandas(), ["l_year", "rev_e4", "n"])
+
+
+def q_returned_revenue(sf_dir: str) -> Any:
+    """TPC-H Q10 shape — top 20 customers by revenue on RETURNED lines
+    in a quarter: both big-side predicates push into the scans, one
+    exchange hash join on orderkey, per-customer grouped sum, bounded
+    driver sort/limit (|customers| rows max, already aggregated), and
+    the kilobyte nation dimension joins driver-side onto 20 rows."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from datetime import datetime
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   predicate=((pds.field("o_orderdate") >= lo)
+                              & (pds.field("o_orderdate") < hi)))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               predicate=(pds.field("l_returnflag") == "R"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = np.floor(b.column("l_extendedprice").to_numpy()
+                       * (1.0 - b.column("l_discount").to_numpy())
+                       * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "rev_e4": pa.array(rev)})
+
+    joined = hash_join(
+        orders, li.map_batches(prep, batch_format="pyarrow"),
+        key="o_orderkey",
+        left_cols=["o_orderkey", "o_custkey"],
+        right_cols=["o_orderkey", "rev_e4"],
+    )
+    per_cust = grouped_sums(joined.map_batches(
+        lambda b: b.select(["o_custkey", "rev_e4"]),
+        batch_format="pyarrow"),
+        key_cols=["o_custkey"], sum_cols=["rev_e4"], count_alias="n")
+
+    top = per_cust.sort(["rev_e4", "o_custkey"],
+                        descending=[True, False]).limit(20).to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    nat = {n["n_nationkey"]: n["n_name"] for n in nation}
+    c_nat = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_nationkey").to_pylist()))
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    top["n_name"] = [nat[c_nat[c]] for c in top["c_custkey"]]
+    return _int64(top[["c_custkey", "n_name", "rev_e4", "n"]],
+                  ["c_custkey", "rev_e4", "n"])
+
+
+def q_disjunctive_revenue(sf_dir: str) -> Any:
+    """TPC-H Q19 shape — revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand/size on part, quantity band on lineitem).
+    The part side compiles into one broadcast partkey -> branch-bitmask
+    dict (a part matching no branch never enters the dict, so the INNER
+    lookup drop prunes the fact rows before any arithmetic); the
+    lineitem side tests its quantity band against the mask bits
+    vectorized. No join materializes rows that fail every branch."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_lookup,
+    )
+
+    # (brand, max_size, qty_lo, qty_hi) per branch, bit i of the mask
+    branches = [("Brand#11", 5, 1.0, 11.0),
+                ("Brand#12", 10, 10.0, 20.0),
+                ("Brand#13", 15, 20.0, 30.0)]
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    mask: dict = {}
+    for pk, br, sz in zip(part.column("p_partkey").to_pylist(),
+                          part.column("p_brand").to_pylist(),
+                          part.column("p_size").to_pylist()):
+        m = 0
+        for i, (b_br, b_sz, _, _) in enumerate(branches):
+            if br == b_br and 1 <= sz <= b_sz:
+                m |= 1 << i
+        if m:
+            mask[pk] = m
+    mask_ref = _ray.put(mask)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    li = broadcast_lookup(li, mask_ref, "l_partkey", "_m",
+                          out_type=pa.int64())
+
+    def hit_rev(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy()
+        m = b.column("_m").to_numpy()
+        hit = np.zeros(len(qty), dtype=bool)
+        for i, (_, _, q_lo, q_hi) in enumerate(branches):
+            hit |= ((m & (1 << i)) != 0) & (qty >= q_lo) & (qty <= q_hi)
+        rev = np.floor(b.column("l_extendedprice").to_numpy()[hit]
+                       * (1.0 - b.column("l_discount").to_numpy()[hit])
+                       * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"rev_e4": pa.array(rev)})
+
+    agg = li.map_batches(hit_rev, batch_format="pyarrow").aggregate(
+        Sum("rev_e4", alias_name="rev_e4"), Count(alias_name="n_lines"))
+    rev = agg["rev_e4"]
+    return pd.DataFrame({"rev_e4": [int(rev) if rev is not None else 0],
+                         "n_lines": [int(agg["n_lines"])]})
+
+
+def q_lonely_late_supplier(sf_dir: str) -> Any:
+    """TPC-H Q21 shape — two-level grouped EXISTS/NOT-EXISTS: suppliers
+    who were the ONLY supplier with a returned line in a multi-supplier
+    order, counted per supplier. Each batch pre-collapses to distinct
+    (order, supplier, any_returned) rows, the order-key exchange fold
+    ORs the flag across batches and applies the n_supp >= 2 /
+    exactly-one-late rule per order with vectorized pandas nunique, and
+    the emitted one-row-per-qualifying-order stream takes a tiny grouped
+    count. No correlated re-scan of lineitem — one pass, one shuffle."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["late"] = (df["l_returnflag"] == "R").astype("int64")
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False,
+                       dropna=False)["late"].max()
+        return add_hash_column(pa.Table.from_pandas(g, preserve_index=False),
+                               ["l_orderkey"], out_col="_oh")
+
+    pairs = li.map_batches(pre, batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False,
+                       dropna=False)["late"].max()
+        per_ord = g.groupby("l_orderkey", dropna=False).agg(
+            n_supp=("l_suppkey", "nunique"), n_late=("late", "sum"))
+        ok = per_ord[(per_ord["n_supp"] >= 2) & (per_ord["n_late"] == 1)]
+        late = g[(g["late"] == 1)
+                 & g["l_orderkey"].isin(ok.index)]["l_suppkey"]
+        return pa.table({"l_suppkey": pa.array(late.to_numpy(), pa.int64())})
+
+    culprits = hash_partition_map(pairs, "_oh", fold)
+    counts = grouped_count(culprits, "l_suppkey", out_col="n_orders")
+    top = counts.sort(["n_orders", "l_suppkey"],
+                      descending=[True, False]).limit(10).to_pandas()
+    return _int64(top, ["l_suppkey", "n_orders"])
+
+
 def q_redact_pii(sf_dir: str) -> Any:
     """PII scrub (stages/redact.py): e-mail / phone / IPv4 replaced with
     typed tokens by RE2 inside the Arrow kernel, per-category counts per
@@ -3304,6 +3590,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_prank": q_user_value_prank,
         "region_nation_revenue": q_region_nation_revenue,
         "brand_small_qty": q_brand_small_qty,
+        "priority_exists": q_priority_exists,
+        "nation_pair_volume": q_nation_pair_volume,
+        "returned_revenue": q_returned_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "lonely_late_supplier": q_lonely_late_supplier,
         "priority_line_counts": q_priority_line_counts,
         "promo_revenue": q_promo_revenue,
         "large_orders": q_large_orders,
@@ -3934,6 +4225,86 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= DATE '1996-01-01'
               AND o.o_orderdate <  DATE '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "priority_exists": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND o_orderpriority IS NOT NULL
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "nation_pair_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice
+                        * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev_e4,
+                   COUNT(*) AS n
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "returned_revenue": """
+            SELECT a.c_custkey, n.n_name, a.rev_e4, a.n
+            FROM (
+                SELECT o_custkey AS c_custkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice
+                            * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT))
+                            AS BIGINT) AS rev_e4,
+                       COUNT(*) AS n
+                FROM lineitem
+                JOIN orders ON o_orderkey = l_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1) a
+            JOIN customer c ON c.c_custkey = a.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY a.rev_e4 DESC, a.c_custkey
+            LIMIT 20
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice
+                        * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS rev_e4,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "lonely_late_supplier": """
+            WITH per_pair AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_returnflag = 'R'
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem GROUP BY 1, 2),
+            per_ord AS (
+                SELECT l_orderkey,
+                       COUNT(*) AS n_supp,
+                       SUM(late) AS n_late,
+                       MIN(CASE WHEN late = 1 THEN l_suppkey END)
+                           AS late_supp
+                FROM per_pair GROUP BY 1)
+            SELECT late_supp AS l_suppkey, COUNT(*) AS n_orders
+            FROM per_ord
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY 1
+            ORDER BY n_orders DESC, l_suppkey
+            LIMIT 10
         """,
         "brand_small_qty": """
             SELECT l_partkey,
