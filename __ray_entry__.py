@@ -2202,6 +2202,32 @@ def q_events_cube(sf_dir: str) -> Any:
                        ["event_type", "day"])
 
 
+def q_events_grouping_sets(sf_dir: str) -> Any:
+    """GROUP BY GROUPING SETS ((event_type, day), (day), ()) — the
+    general form rollup/cube specialize (an explicit, non-prefix,
+    non-powerset list). Same one-distributed-pass strategy: the finest
+    level aggregates once, each requested set re-aggregates the bounded
+    result (stages/aggregate.py:grouping_sets_counts)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouping_sets_counts,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "day": pc.floor_temporal(b.column("ts"), unit="day"),
+        })
+
+    return grouping_sets_counts(
+        ds.map_batches(day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        sets=[("event_type", "day"), ("day",), ()])
+
+
 def q_user_next_value(sf_dir: str) -> Any:
     """SQL LEAD per user ordered by (ts, event_id) — the forward
     counterpart of user_value_lag on the same one-exchange row-window
@@ -3628,6 +3654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": q_idle_rich_customers,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
+        "events_grouping_sets": q_events_grouping_sets,
         "user_next_value": q_user_next_value,
         "user_journey": q_user_journey,
         "pagerank_dups": q_pagerank,
@@ -4628,6 +4655,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(event_type, date_trunc('day', ts))
                         AS BIGINT) AS gid
             FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "events_grouping_sets": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(GROUPING(event_type, date_trunc('day', ts))
+                        AS BIGINT) AS gid
+            FROM events GROUP BY GROUPING SETS
+                ((event_type, date_trunc('day', ts)),
+                 (date_trunc('day', ts)), ())
         """,
         "regex_extract_docs": """
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')

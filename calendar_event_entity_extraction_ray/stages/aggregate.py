@@ -483,6 +483,31 @@ def _grouping_sets(finest: pd.DataFrame, cols: List[str], sets,
     return out
 
 
+def grouping_sets_counts(
+    ds: "ray.data.Dataset",
+    cols: List[str],
+    sets: List[tuple],
+    out_col: str = "n",
+    grouping_col: str = "gid",
+) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS(sets)`` — the general form rollup/cube
+    specialize. ONE distributed aggregate at the union-of-columns finest
+    level (``grouped_sums`` partial pre-agg, NULL groups kept); every
+    requested set re-aggregates the bounded finest RESULT driver-side.
+    Each set is a tuple of column names drawn from ``cols``; ``gid`` is
+    the SQL GROUPING() bitmask (first column = most-significant bit)."""
+    for s in sets:
+        unknown = set(s) - set(cols)
+        if unknown:
+            raise ValueError(f"grouping set {s} references unknown "
+                             f"columns {sorted(unknown)}")
+    finest = grouped_sums(ds, cols, [], count_alias=out_col).to_pandas()
+    finest[out_col] = finest[out_col].astype("int64")
+    return _grouping_sets(
+        finest, cols, [tuple(c for c in cols if c in s) for s in sets],
+        out_col, grouping_col)
+
+
 def cube_counts(
     ds: "ray.data.Dataset",
     cols: List[str],
