@@ -2228,6 +2228,60 @@ def q_events_grouping_sets(sf_dir: str) -> Any:
         sets=[("event_type", "day"), ("day",), ()])
 
 
+def q_mix_sources(sf_dir: str) -> Any:
+    """Temperature-scaled source mixing — the pretraining-mix
+    downsampler (XLM-R/mT5-style alpha-temperature over sources, here
+    alpha=0.5): per-source quota = floor(sqrt(n_source)) docs, selected
+    by a deterministic md5 key so the sample is reproducible and
+    oracle-checkable (per-row md5 is the documented DuckDB-parity
+    exception). One tiny grouped count sizes the quotas driver-side
+    (sources are enum-cardinality), then the skew-safe per-group top-k
+    (per-batch local prune -> one exchange) takes each source's k_max
+    best keys and a broadcast quota dict cuts ranks per source. Scales:
+    no source ships more than k_max rows per batch."""
+    from calendar_event_entity_extraction_ray.functions.textsig import (
+        stable_bucket,
+    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+        top_k_per_group,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = grouped_count(docs, "source", out_col="n_src").to_pandas()
+    quota = {s: int(math.floor(math.sqrt(int(n))))
+             for s, n in zip(counts["source"], counts["n_src"])}
+    if not quota:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "source": pd.Series(dtype=object),
+                             "rnk": pd.Series(dtype="int64")})
+    k_max = max(quota.values())
+
+    def key(b: pa.Table) -> pa.Table:
+        ks = [stable_bucket(str(d), 1 << 32)
+              for d in b.column("doc_id").to_pylist()]
+        return b.append_column("mix_key", pa.array(ks, pa.int64()))
+
+    ranked = top_k_per_group(
+        docs.map_batches(key, batch_format="pyarrow"),
+        group_col="source", order_col="mix_key", k=k_max,
+        tiebreak_col="doc_id", rank_col="rnk")
+
+    import ray as _ray
+    quota_ref = _ray.put(quota)
+
+    def cut(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        q = ray.get(quota_ref)
+        qs = pa.array([q.get(s, 0) for s in b.column("source").to_pylist()],
+                      pa.int64())
+        return b.filter(pc.less_equal(b.column("rnk"), qs))
+
+    out = ranked.map_batches(cut, batch_format="pyarrow").to_pandas()
+    return _int64(out[["doc_id", "source", "rnk"]], ["doc_id", "rnk"])
+
+
 def q_user_next_value(sf_dir: str) -> Any:
     """SQL LEAD per user ordered by (ts, event_id) — the forward
     counterpart of user_value_lag on the same one-exchange row-window
@@ -3655,6 +3709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
         "events_grouping_sets": q_events_grouping_sets,
+        "mix_sources": q_mix_sources,
         "user_next_value": q_user_next_value,
         "user_journey": q_user_journey,
         "pagerank_dups": q_pagerank,
@@ -4655,6 +4710,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(event_type, date_trunc('day', ts))
                         AS BIGINT) AS gid
             FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "mix_sources": """
+            WITH k AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 8)) AS BIGINT) AS mix_key
+                FROM documents WHERE source IS NOT NULL),
+            r AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY mix_key DESC, doc_id) AS rnk,
+                       COUNT(*) OVER (PARTITION BY source) AS n_src
+                FROM k)
+            SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= CAST(FLOOR(SQRT(n_src)) AS BIGINT)
         """,
         "events_grouping_sets": """
             SELECT event_type, date_trunc('day', ts) AS day,
