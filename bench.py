@@ -108,7 +108,10 @@ def run_bench() -> dict:
         "region_nation_revenue", "brand_small_qty",
         # continuation operators
         "first_order", "supplier_value_share", "cm_user_counts",
-        "knn_pq", "levenshtein_pairs_docs"]
+        "knn_pq", "levenshtein_pairs_docs",
+        # final-session operators
+        "priority_exists", "nation_pair_volume",
+        "decontaminate_docs_bloom", "mix_sources"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()

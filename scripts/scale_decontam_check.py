@@ -85,6 +85,7 @@ def main() -> int:
     ap.add_argument("--contam-rate", type=float, default=0.05)
     ap.add_argument("--num-cpus", type=int, default=32)
     ap.add_argument("--skip-broadcast", action="store_true")
+    ap.add_argument("--skip-bloom", action="store_true")
     args = ap.parse_args()
 
     import ray
@@ -133,6 +134,19 @@ def main() -> int:
         result.update(broadcast_wall_sec=round(time.time() - t0, 1),
                       broadcast_flagged=int(n_b))
         ok = ok and n_b == n_contam
+        result["ok"] = bool(ok)
+
+    if not args.skip_bloom:
+        # the corpus-scale-eval-side regime: fixed 1 MiB bitset prefilter
+        # + exact exchange verify of candidates only — must still flag
+        # EXACTLY the planted set (no false negatives by construction)
+        t0 = time.time()
+        n_bl = contaminated_doc_ids(train, ev, n=GRAM_N,
+                                    mode="bloom").count()
+        result.update(bloom_wall_sec=round(time.time() - t0, 1),
+                      bloom_docs_per_sec=round(n_tr / (time.time() - t0), 1),
+                      bloom_flagged=int(n_bl))
+        ok = ok and n_bl == n_contam
         result["ok"] = bool(ok)
 
     t0 = time.time()
