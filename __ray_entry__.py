@@ -3576,6 +3576,352 @@ def q_term_postings(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["df"])
 
 
+def q_custdist(sf_dir: str) -> Any:
+    """TPC-H Q13 shape — count-of-counts: per-customer order counts under
+    a pushed-down filter (the join predicate ``o_orderpriority <>
+    '1-URGENT'`` prunes at the scan), LEFT semantics (orderless customers
+    count 0), then a second aggregate histograms the counts. The first
+    level pushes aggregation into the join's exchange (a hot custkey
+    ships one partial row per batch); the second level's key cardinality
+    is the max orders-per-customer (tens), so it stream-reduces inside
+    the same plan. The same two-level shape is a graph degree histogram
+    or a docs-per-domain distribution at corpus scale."""
+    import pyarrow.dataset as pds
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+        partial_count_batch,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey"],
+        predicate=(pds.field("o_orderpriority") != "1-URGENT"),
+    ).map_batches(
+        lambda b: add_hash_column(
+            partial_count_batch(b, "o_custkey", salt_mod=0)
+            .rename_columns(["c_custkey", "partial"]),
+            ["c_custkey"], out_col="_kh"),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda b: add_hash_column(
+            b.append_column("partial",
+                            pa.nulls(b.num_rows, pa.int64())),
+            ["c_custkey"], out_col="_kh"),
+        batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["_kh"]).to_pandas()
+        counts = (df[df["partial"].notna()]
+                  .groupby("c_custkey")["partial"].sum())
+        left = df.loc[df["partial"].isna(), ["c_custkey"]]
+        left["c_count"] = (left["c_custkey"].map(counts)
+                           .fillna(0).astype("int64"))
+        return pa.Table.from_pandas(left[["c_count"]],
+                                    preserve_index=False)
+
+    per_cust = hash_partition_map(cust.union(orders), "_kh", fold)
+    out = grouped_sums(per_cust, key_cols=["c_count"], sum_cols=[],
+                       count_alias="custdist", stream_reduce=True)
+    return _int64(out.to_pandas(), ["c_count", "custdist"])
+
+
+def q_top_supplier(sf_dir: str) -> Any:
+    """TPC-H Q15 shape — max-with-ties over an aggregate: supplier
+    revenue in a quarter (shipdate predicate pushes into the scan,
+    integer-cents revenue so the max compare is exact), the global MAX
+    computed as per-block partial maxes folded driver-side (kilobytes —
+    never the aggregate itself), then an equality filter keeps EVERY
+    tied winner, named via a broadcast supplier dim. The per-supplier
+    aggregate runs once (exchange outputs are lazy and re-run per
+    consumer — materialized before its two reads)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from datetime import datetime
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_lookup,
+    )
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"],
+               predicate=((pds.field("l_shipdate") >= lo)
+                          & (pds.field("l_shipdate") < hi)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"l_suppkey": b.column("l_suppkey"),
+                         "total_rev_e4": pa.array(rev)})
+
+    rev = grouped_sums(li.map_batches(prep, batch_format="pyarrow"),
+                       key_cols=["l_suppkey"], sum_cols=["total_rev_e4"],
+                       count_alias="_n").materialize()
+
+    partial_max = rev.map_batches(
+        lambda b: pa.table(
+            {"m": pa.array([pc.max(b.column("total_rev_e4")).as_py()],
+                           type=pa.int64())}),
+        batch_format="pyarrow")
+    best = max(r["m"] for r in partial_max.take_all() if r["m"] is not None)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    name_ref = _ray.put(dict(zip(supp.column("s_suppkey").to_pylist(),
+                                 supp.column("s_name").to_pylist())))
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_rev_e4"),
+                                    pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow")
+    named = broadcast_lookup(winners, name_ref, "l_suppkey", "s_name",
+                             out_type=pa.string())
+    df = named.to_pandas().rename(columns={"l_suppkey": "s_suppkey"})
+    return _int64(df[["s_suppkey", "s_name", "total_rev_e4"]],
+                  ["s_suppkey", "total_rev_e4"])
+
+
+def q_profit_by_nation_year(sf_dir: str) -> Any:
+    """TPC-H Q9 shape — multi-join profit rollup by (nation, year): the
+    part predicate (name contains a token) compiles to a broadcast
+    partkey set that prunes lineitem BEFORE the only large-large edge
+    (lineitem |X| orders on orderkey, for the order year); supplier ->
+    nation rides a broadcast dim; the (25 nations x 7 years) final
+    aggregate stream-reduces. Date-part extraction is vectorized
+    (pyarrow.compute.year on the timestamp column)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_lookup,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    red_ref = _ray.put({k: 1 for k, nm in zip(
+        part.column("p_partkey").to_pylist(),
+        part.column("p_name").to_pylist()) if "red" in nm})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nat_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                        nation.column("n_name").to_pylist()))
+    s_nat_ref = _ray.put({s: nat_name[n] for s, n in zip(
+        supp.column("s_suppkey").to_pylist(),
+        supp.column("s_nationkey").to_pylist())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+    li = broadcast_lookup(li, red_ref, "l_partkey", "_p",
+                          out_type=pa.int64())
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        amt = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "amount_e4": pa.array(amt)})
+
+    li = broadcast_lookup(li.map_batches(prep, batch_format="pyarrow"),
+                          s_nat_ref, "l_suppkey", "nation",
+                          out_type=pa.string())
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                              pa.int64())}),
+        batch_format="pyarrow")
+
+    joined = hash_join(
+        li.map_batches(
+            lambda b: b.select(["o_orderkey", "nation", "amount_e4"]),
+            batch_format="pyarrow"),
+        orders,
+        key="o_orderkey",
+        left_cols=["o_orderkey", "nation", "amount_e4"],
+        right_cols=["o_orderkey", "o_year"],
+    )
+    out = grouped_sums(
+        joined.map_batches(
+            lambda b: b.select(["nation", "o_year", "amount_e4"]),
+            batch_format="pyarrow"),
+        key_cols=["nation", "o_year"], sum_cols=["amount_e4"],
+        count_alias="n_lines", stream_reduce=True)
+    return _int64(out.to_pandas(),
+                  ["o_year", "amount_e4", "n_lines"])
+
+
+def q_market_share(sf_dir: str) -> Any:
+    """TPC-H Q8 shape — market share per year: one region's customers'
+    order revenue split into target-nation-supplied vs total. Region ->
+    customer membership and supplier -> nation are broadcast dims;
+    orders (date-windowed at the scan, year precomputed) join lineitem
+    on the exchange; the per-year conditional sums are exact integers
+    and the published share is floor(target/total * 1e9 + 0.5) — the
+    int -> double division chain is bit-identical numpy vs DuckDB."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from datetime import datetime
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_lookup,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    TARGET = "NATION_3"
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    rkeys = {r["r_regionkey"] for r in region if r["r_name"] == "AMERICA"}
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    region_nations = {n["n_nationkey"] for n in nation
+                      if n["n_regionkey"] in rkeys}
+    nat_name = {n["n_nationkey"]: n["n_name"] for n in nation}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    c_ref = _ray.put({c: 1 for c, n in zip(
+        cust.column("c_custkey").to_pylist(),
+        cust.column("c_nationkey").to_pylist()) if n in region_nations})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    s_ref = _ray.put({s: nat_name[n] for s, n in zip(
+        supp.column("s_suppkey").to_pylist(),
+        supp.column("s_nationkey").to_pylist())})
+
+    lo, hi = datetime(1995, 1, 1), datetime(1997, 1, 1)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   predicate=((pds.field("o_orderdate") >= lo)
+                              & (pds.field("o_orderdate") < hi)))
+    orders = broadcast_lookup(orders, c_ref, "o_custkey", "_c",
+                              out_type=pa.int64()).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                              pa.int64())}),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.floor(price * (1.0 - disc) * 10_000 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "rev_e4": pa.array(rev)})
+
+    li = broadcast_lookup(li.map_batches(prep, batch_format="pyarrow"),
+                          s_ref, "l_suppkey", "s_nat",
+                          out_type=pa.string())
+
+    joined = hash_join(
+        orders, li.map_batches(
+            lambda b: b.select(["o_orderkey", "s_nat", "rev_e4"]),
+            batch_format="pyarrow"),
+        key="o_orderkey",
+        left_cols=["o_orderkey", "o_year"],
+        right_cols=["o_orderkey", "s_nat", "rev_e4"],
+    )
+
+    def split_rev(b: pa.Table) -> pa.Table:
+        rev = b.column("rev_e4").to_numpy()
+        is_t = pc.equal(b.column("s_nat"), TARGET).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"o_year": b.column("o_year"),
+                         "target_rev_e4": pa.array(
+                             np.where(is_t, rev, 0).astype(np.int64)),
+                         "total_rev_e4": pa.array(rev)})
+
+    out = grouped_sums(
+        joined.map_batches(split_rev, batch_format="pyarrow"),
+        key_cols=["o_year"], sum_cols=["target_rev_e4", "total_rev_e4"],
+        count_alias="n_lines", stream_reduce=True)
+    df = _int64(out.to_pandas(),
+                ["o_year", "target_rev_e4", "total_rev_e4", "n_lines"])
+    share = np.floor(df["target_rev_e4"].to_numpy().astype(np.float64)
+                     / df["total_rev_e4"].to_numpy().astype(np.float64)
+                     * 1_000_000_000 + 0.5).astype(np.int64)
+    df["share_e9"] = share
+    return df
+
+
+def q_winsorized_chars(sf_dir: str) -> Any:
+    """Per-group winsorization — the training-corpus outlier-clipping
+    op: exact per-language p05/p95 (histogram-refine grouped quantiles,
+    DuckDB quantile_disc rank parity, driver state |groups| x bins
+    ints), clip bounds broadcast once via ray.put, vectorized np.clip
+    inside map_batches, enum-cardinality clipped sums stream-reduced.
+    Two passes over the column, nothing driver-side grows with rows."""
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.quantiles import (
+        grouped_quantiles,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    qres = grouped_quantiles(docs, "n_chars", "lang", [0.05, 0.95])
+    bounds: dict = {}
+    for lang, q, v in qres:
+        lo, hi = bounds.get(lang, (None, None))
+        if q == 0.05:
+            bounds[lang] = (int(v), hi)
+        else:
+            bounds[lang] = (lo, int(v))
+    b_ref = _ray.put(bounds)
+
+    def clip(b: pa.Table) -> pa.Table:
+        bmap = ray.get(b_ref)
+        langs = b.column("lang").to_pylist()
+        vals = b.column("n_chars").to_numpy()
+        lo = np.array([bmap[l][0] for l in langs], dtype=np.int64)
+        hi = np.array([bmap[l][1] for l in langs], dtype=np.int64)
+        clipped = np.clip(vals, lo, hi).astype(np.int64)
+        return pa.table({"lang": b.column("lang"),
+                         "clipped": pa.array(clipped)})
+
+    out = grouped_sums(
+        docs.map_batches(clip, batch_format="pyarrow"),
+        key_cols=["lang"], sum_cols=["clipped"],
+        count_alias="n_docs", stream_reduce=True)
+    return _int64(out.to_pandas().rename(
+        columns={"clipped": "clipped_sum"}), ["clipped_sum", "n_docs"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -3719,6 +4065,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resampled": q_media_resampled,
         "profile_orders": q_profile_orders,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "custdist": q_custdist,
+        "top_supplier": q_top_supplier,
+        "profit_by_nation_year": q_profit_by_nation_year,
+        "market_share": q_market_share,
+        "winsorized_chars": q_winsorized_chars,
     }
 
 
@@ -4734,6 +5085,92 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY GROUPING SETS
                 ((event_type, date_trunc('day', ts)),
                  (date_trunc('day', ts)), ())
+        """,
+        "custdist": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (SELECT c.c_custkey,
+                         CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                  FROM customer c LEFT JOIN orders o
+                    ON o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority <> '1-URGENT'
+                  GROUP BY c.c_custkey) t
+            GROUP BY c_count
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice
+                            * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT))
+                            AS BIGINT) AS total_rev_e4
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+            FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+        """,
+        "profit_by_nation_year": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS amount_e4,
+                   COUNT(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY n.n_name, o_year
+        """,
+        "market_share": """
+            WITH j AS (
+                SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(FLOOR(l.l_extendedprice
+                            * (1.0 - l.l_discount) * 10000 + 0.5)
+                            AS BIGINT) AS rev_e4,
+                       sn.n_name AS s_nat
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = cn.n_regionkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+                WHERE r.r_name = 'AMERICA'
+                  AND o.o_orderdate >= DATE '1995-01-01'
+                  AND o.o_orderdate <  DATE '1997-01-01')
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN s_nat = 'NATION_3'
+                            THEN rev_e4 ELSE 0 END) AS BIGINT)
+                       AS target_rev_e4,
+                   CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+                   COUNT(*) AS n_lines,
+                   CAST(FLOOR(
+                       CAST(SUM(CASE WHEN s_nat = 'NATION_3'
+                                THEN rev_e4 ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(rev_e4) AS DOUBLE)
+                       * 1000000000 + 0.5) AS BIGINT) AS share_e9
+            FROM j GROUP BY o_year
+        """,
+        "winsorized_chars": """
+            WITH q AS (
+                SELECT lang,
+                       CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS lo,
+                       CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS hi
+                FROM documents GROUP BY lang)
+            SELECT d.lang,
+                   CAST(SUM(CASE WHEN d.n_chars < q.lo THEN q.lo
+                                 WHEN d.n_chars > q.hi THEN q.hi
+                                 ELSE d.n_chars END) AS BIGINT)
+                       AS clipped_sum,
+                   COUNT(*) AS n_docs
+            FROM documents d JOIN q ON q.lang = d.lang
+            GROUP BY d.lang
         """,
         "regex_extract_docs": """
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
