@@ -3922,6 +3922,100 @@ def q_winsorized_chars(sf_dir: str) -> Any:
         columns={"clipped": "clipped_sum"}), ["clipped_sum", "n_docs"])
 
 
+def q_funnel_conversion(sf_dir: str) -> Any:
+    """Event-funnel conversion: per user, how many clicks were followed
+    by a purchase within one hour. Composes the pair-explosion-free
+    range join (count form — two searchsorted rank lookups per user
+    group, both event-type predicates pushed into their scans) with a
+    per-user exchange aggregate: conversion = count > 0 per click, then
+    (n_clicks, n_conv) per user. User cardinality is unbounded at web
+    scale, so the final reduce takes the exchange path, not
+    stream_reduce."""
+    import pyarrow.dataset as pds
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import (
+        range_join_count,
+    )
+
+    clicks = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id"],
+                   predicate=(pds.field("event_type") == "click"))
+    purchases = _read(sf_dir, "events", columns=["ts", "user_id"],
+                      predicate=(pds.field("event_type") == "purchase"))
+    per_click = range_join_count(
+        clicks, purchases, on="ts", by="user_id",
+        lo=np.timedelta64(0, "s"), hi=np.timedelta64(3600, "s"),
+        left_cols=["event_id", "user_id"], count_col="cnt")
+
+    def to_conv(b: pa.Table) -> pa.Table:
+        cnt = b.column("cnt").to_numpy()
+        return pa.table({"user_id": b.column("user_id"),
+                         "n_conv": pa.array(
+                             (cnt > 0).astype(np.int64))})
+
+    out = grouped_sums(
+        per_click.map_batches(to_conv, batch_format="pyarrow"),
+        key_cols=["user_id"], sum_cols=["n_conv"],
+        count_alias="n_clicks")
+    return _int64(out.to_pandas(), ["user_id", "n_conv", "n_clicks"])
+
+
+def q_co_attendance(sf_dir: str) -> Any:
+    """KG co-occurrence graph: attendee pairs that share an event,
+    weighted by how many events they co-attend — the entity-graph
+    projection of the flagship triples. Triples exchange on subj (all
+    of one event's hasAttendee rows co-locate), the fold emits pairs by
+    a per-subject self-merge over (subj, obj) multiplicities (pair
+    fan-out bounded by attendees-per-event², single digits), and a
+    second exchange sums pair weights across subject partitions. The
+    oracle is DuckDB's self-join over the SAME frozen golden triples —
+    multiset semantics (duplicate attendee rows multiply) mirrored
+    exactly via cnt_x * cnt_y."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        kg_triples,
+        synth_pages_dataset,
+    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    pages = synth_pages_dataset(_n_pages(sf_dir), seed=42)
+    att = kg_triples(pages).map_batches(
+        lambda b: add_hash_column(
+            b.filter(pc.equal(b.column("pred"), "hasAttendee"))
+            .select(["subj", "obj"]), ["subj"], out_col="_kh"),
+        batch_format="pyarrow")
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["_kh"]).to_pandas()
+        counts = (df.groupby(["subj", "obj"]).size()
+                  .rename("cnt").reset_index())
+        m = counts.merge(counts, on="subj", suffixes=("_x", "_y"))
+        m = m[m["obj_x"] < m["obj_y"]]
+        m["w"] = (m["cnt_x"] * m["cnt_y"]).astype("int64")
+        out = (m.groupby(["obj_x", "obj_y"])["w"].sum().reset_index()
+               .rename(columns={"obj_x": "a1", "obj_y": "a2",
+                                "w": "n_events"}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = hash_partition_map(att, "_kh", pair_fold)
+    out = grouped_sums(pairs, key_cols=["a1", "a2"],
+                       sum_cols=["n_events"], count_alias="_n")
+    df = _int64(out.to_pandas(), ["n_events"])
+    return df[["a1", "a2", "n_events"]]
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4070,6 +4164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profit_by_nation_year": q_profit_by_nation_year,
         "market_share": q_market_share,
         "winsorized_chars": q_winsorized_chars,
+        "funnel_conversion": q_funnel_conversion,
+        "co_attendance": q_co_attendance,
     }
 
 
@@ -5171,6 +5267,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents d JOIN q ON q.lang = d.lang
             GROUP BY d.lang
+        """,
+        "funnel_conversion": """
+            SELECT user_id, COUNT(*) AS n_clicks,
+                   CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_conv
+            FROM (SELECT c.user_id, c.event_id,
+                         COUNT(p.ts) AS cnt
+                  FROM events c LEFT JOIN events p
+                    ON p.user_id = c.user_id
+                   AND p.event_type = 'purchase'
+                   AND p.ts >= c.ts
+                   AND p.ts < c.ts + INTERVAL 1 HOUR
+                  WHERE c.event_type = 'click'
+                  GROUP BY c.user_id, c.event_id) t
+            GROUP BY user_id
+        """,
+        "co_attendance": f"""
+            SELECT a.obj AS a1, b.obj AS a2,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM {_golden('kg_flagship')} a
+            JOIN {_golden('kg_flagship')} b
+              ON b.subj = a.subj
+             AND a.pred = 'hasAttendee' AND b.pred = 'hasAttendee'
+             AND a.obj < b.obj
+            GROUP BY a.obj, b.obj
         """,
         "regex_extract_docs": """
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
