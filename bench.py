@@ -111,7 +111,10 @@ def run_bench() -> dict:
         "knn_pq", "levenshtein_pairs_docs",
         # final-session operators
         "priority_exists", "nation_pair_volume",
-        "decontaminate_docs_bloom", "mix_sources"]
+        "decontaminate_docs_bloom", "mix_sources",
+        # classic-plan + corpus-op completions
+        "custdist", "profit_by_nation_year", "market_share",
+        "winsorized_chars", "funnel_conversion", "co_attendance"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()

@@ -294,4 +294,120 @@ def materialize_graph(
         }
         for part_id, rows in results
     }
-    return M.record_partitions(out_dir, fingerprint, entries)
+    return M.record_partitions(out_dir, fingerprint, entries,
+                               num_partitions=num_partitions)
+
+
+def append_graph(
+    triples: "ray.data.Dataset",
+    out_dir: str,
+    epoch: str,
+    spill_dir: "str | None" = None,
+) -> dict:
+    """S6b — delta ingest: distinct-union new triples into an EXISTING
+    materialized graph without rebuilding it (the daily-crawl shape: the
+    base graph is 10^12 triples, the delta is one crawl's worth).
+
+    New triples route by the SAME hash(subj) % P recorded in the base
+    manifest, so an entity's triples land in the partition that already
+    holds its history; each touched partition's merge task reads its
+    existing Parquet + the epoch's spill files, takes the DISTINCT union
+    over all columns (a graph is a set of triples — same (subj, pred,
+    obj, url, ...) re-extracted from a re-crawled page collapses), sorts
+    on all columns for byte-deterministic output, and rewrites the
+    partition atomically (temp + rename, readers never see partials).
+    Untouched partitions are not rewritten, not even read.
+
+    Idempotent by construction: distinct-union means re-merging the same
+    delta cannot change the result, so crash recovery is simply re-run —
+    the manifest records the epoch only after every merge is durable
+    (``state/manifest.py:record_append``), and an epoch already in
+    ``manifest["epochs"]`` is a no-op. Per-partition lineage rows record
+    (rows_in_delta, rows_out) per epoch."""
+    import shutil as _shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from calendar_event_entity_extraction_ray.state import manifest as M
+    from calendar_event_entity_extraction_ray.stages.dedup import add_hash_column
+
+    m = M.load_manifest(out_dir)
+    if not m.get("partitions"):
+        raise ValueError(f"append_graph: no existing graph at {out_dir}")
+    if epoch in m.get("epochs", []):
+        return m  # epoch fully applied; re-running is a no-op
+    num_partitions = int(
+        m.get("num_partitions")
+        or max(int(k) for k in m["partitions"]) + 1)
+    spill_dir = spill_dir or os.path.join(out_dir, f"_spill_{epoch}")
+
+    def add_part_key(b: pa.Table) -> pa.Table:
+        b = add_hash_column(b, ["subj"], out_col="_h")
+        part = pa.array(
+            (b.column("_h").to_numpy() % num_partitions).astype(np.int32))
+        return b.drop_columns(["_h"]).append_column("part_key", part)
+
+    keyed = triples.map_batches(add_part_key, batch_format="pyarrow")
+    _shutil.rmtree(spill_dir, ignore_errors=True)
+
+    def spill(b: pa.Table) -> pa.Table:
+        import tempfile
+
+        parts, rows, names = [], [], []
+        if b.num_rows:
+            keys = b.column("part_key").to_numpy()
+            for part_id in np.unique(keys):
+                sub = b.filter(pc.equal(b.column("part_key"), int(part_id)))
+                sub = sub.drop_columns(["part_key"])
+                pdir = os.path.join(spill_dir, f"part={int(part_id)}")
+                os.makedirs(pdir, exist_ok=True)
+                fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
+                os.close(fd)
+                pq.write_table(sub, tmp, compression="none")
+                final = tmp[:-4] + ".parquet"
+                os.replace(tmp, final)
+                parts.append(int(part_id))
+                rows.append(sub.num_rows)
+                names.append(os.path.basename(final))
+        return pa.table({"part_id": pa.array(parts, pa.int64()),
+                         "rows": pa.array(rows, pa.int64()),
+                         "file": pa.array(names, pa.string())})
+
+    spilled = keyed.map_batches(spill, batch_format="pyarrow").to_pandas()
+
+    @ray.remote(num_cpus=1)
+    def merge(part_id: int, files: list) -> tuple:
+        pdir = os.path.join(spill_dir, f"part={part_id}")
+        tabs = [pq.read_table(os.path.join(pdir, f)) for f in sorted(files)]
+        existing = os.path.join(out_dir, f"part_key={part_id}",
+                                "data.parquet")
+        if os.path.exists(existing):
+            tabs.append(pq.read_table(existing))
+        t = pa.concat_tables(tabs, promote_options="default")
+        df = t.to_pandas().drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        t = t.sort_by([(c, "ascending") for c in t.schema.names])
+        M.write_partition_file(out_dir, part_id, t)
+        return part_id, t.num_rows
+
+    if spilled.empty or "part_id" not in spilled.columns:
+        results, rows_in = [], {}
+    else:
+        by_part = spilled.groupby("part_id")["file"].apply(list)
+        rows_in = spilled.groupby("part_id")["rows"].sum().to_dict()
+        results = ray.get(
+            [merge.remote(int(p), files) for p, files in by_part.items()])
+    _shutil.rmtree(spill_dir, ignore_errors=True)
+
+    entries = {
+        part_id: {
+            "file": os.path.join(f"part_key={part_id}", "data.parquet"),
+            "rows": rows,
+            "lineage": {"rows_in_delta": int(rows_in.get(part_id, 0)),
+                        "rows_out": rows},
+        }
+        for part_id, rows in results
+    }
+    return M.record_append(out_dir, epoch, entries)

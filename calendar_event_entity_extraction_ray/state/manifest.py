@@ -63,9 +63,13 @@ def write_partition_file(out_dir: str, part_id: int, table: pa.Table) -> str:
 
 def record_partitions(
     out_dir: str, fingerprint: str, entries: Dict[int, Dict],
+    num_partitions: Optional[int] = None,
 ) -> Dict:
     """Driver-side manifest update: merge completed-partition entries
-    (part_id -> {file, rows, lineage...}) under the given fingerprint."""
+    (part_id -> {file, rows, lineage...}) under the given fingerprint.
+    ``num_partitions`` records the hash modulus so later delta appends
+    route rows identically even if some partitions received zero rows
+    (and therefore have no manifest entry to infer it from)."""
     manifest = load_manifest(out_dir)
     if manifest.get("fingerprint") != fingerprint:
         manifest = {"fingerprint": fingerprint, "partitions": {}, "lineage": []}
@@ -79,6 +83,40 @@ def record_partitions(
         lineage = e.get("lineage")
         if lineage:
             manifest["lineage"].append({"part_id": part_id, **lineage})
+    if num_partitions is not None:
+        manifest["num_partitions"] = int(num_partitions)
+    save_manifest(out_dir, manifest)
+    return manifest
+
+
+def record_append(
+    out_dir: str, epoch: str, entries: Dict[int, Dict],
+) -> Dict:
+    """Driver-side manifest update for a delta-append epoch: touched
+    partitions are overwritten (tagged with the epoch), untouched ones
+    keep their existing entries, and the epoch id is recorded in
+    ``manifest["epochs"]``. The base ``fingerprint`` is left unchanged —
+    base-build resume identity is separate from append history. Written
+    ONCE by the driver after every partition merge is durable; a crash
+    before this point leaves the manifest without the epoch, and the
+    re-run's distinct-union merges are idempotent, so no partial-epoch
+    bookkeeping is needed."""
+    manifest = load_manifest(out_dir)
+    now = time.time()
+    for part_id, e in entries.items():
+        manifest["partitions"][str(part_id)] = {
+            "file": e["file"],
+            "rows": e["rows"],
+            "written_at": now,
+            "epoch": epoch,
+        }
+        lineage = e.get("lineage")
+        if lineage:
+            manifest["lineage"].append(
+                {"part_id": part_id, "epoch": epoch, **lineage})
+    epochs = manifest.setdefault("epochs", [])
+    if epoch not in epochs:
+        epochs.append(epoch)
     save_manifest(out_dir, manifest)
     return manifest
 

@@ -39,6 +39,11 @@ def main() -> int:
                     help="extract pool size (default: cpus-1)")
     ap.add_argument("--fingerprint", default="",
                     help="resume fingerprint (default: derived from input)")
+    ap.add_argument("--append", action="store_true",
+                    help="delta-ingest into an EXISTING graph at --out: "
+                         "distinct-union the new pages' triples into the "
+                         "base partitions (idempotent per epoch; epoch id "
+                         "= the fingerprint)")
     ap.add_argument("--spill-root", default="",
                     help="shared exchange-spill directory (multi-node: "
                          "point at storage every node mounts; default: "
@@ -62,6 +67,7 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from calendar_event_entity_extraction_ray.pipelines.kg import (
+        append_graph,
         kg_triples,
         materialize_graph,
         synth_pages_dataset,
@@ -116,10 +122,15 @@ def main() -> int:
         triples = kg_triples(pages, extract_concurrency=conc)
         fingerprint = args.fingerprint or f"input-{args.input}"
 
-    # ~9 triples/page: target ~500k rows per output partition
-    n_parts = args.partitions or max(16, (n_docs * 9) // 500_000)
-    manifest = materialize_graph(triples, args.out, fingerprint=fingerprint,
-                                 num_partitions=n_parts)
+    if args.append:
+        # delta ingest: partition count comes from the base manifest
+        manifest = append_graph(triples, args.out, epoch=fingerprint)
+    else:
+        # ~9 triples/page: target ~500k rows per output partition
+        n_parts = args.partitions or max(16, (n_docs * 9) // 500_000)
+        manifest = materialize_graph(triples, args.out,
+                                     fingerprint=fingerprint,
+                                     num_partitions=n_parts)
     wall = time.time() - t0
     n_triples = sum(e["rows"] for e in manifest["partitions"].values())
 
