@@ -4016,6 +4016,146 @@ def q_co_attendance(sf_dir: str) -> Any:
     return df[["a1", "a2", "n_events"]]
 
 
+def q_triangle_count(sf_dir: str) -> Any:
+    """Graph triangle count over the co-attendance entity graph — the
+    classic edge-iterator plan: ordered edges (a < b) self-join on the
+    middle vertex (one exchange hash join -> wedges a < b < c, each
+    candidate triangle enumerated exactly once), then a composite-key
+    semi join closes wedges against the edge set ((a, c) membership;
+    length-prefixed key — raw separator joins are injectable). Hub
+    vertices make wedge fan-out O(d²); the standard degree-ordering
+    mitigation slots into the same plan by replacing the lexicographic
+    order with a degree rank. Oracle = DuckDB's 3-way self-join over
+    the SAME frozen golden triples."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        kg_triples,
+        synth_pages_dataset,
+    )
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import (
+        hash_join,
+        semi_join,
+    )
+
+    pages = synth_pages_dataset(_n_pages(sf_dir), seed=42)
+    att = kg_triples(pages).map_batches(
+        lambda b: add_hash_column(
+            b.filter(pc.equal(b.column("pred"), "hasAttendee"))
+            .select(["subj", "obj"]), ["subj"], out_col="_kh"),
+        batch_format="pyarrow")
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["_kh"]).to_pandas()
+        u = df.drop_duplicates()
+        m = u.merge(u, on="subj", suffixes=("_x", "_y"))
+        m = m[m["obj_x"] < m["obj_y"]]
+        out = (m[["obj_x", "obj_y"]].drop_duplicates()
+               .rename(columns={"obj_x": "a1", "obj_y": "a2"}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    raw_pairs = hash_partition_map(att, "_kh", pair_fold)
+    # distinct edges across subject partitions (same pair may arise from
+    # events in different partitions)
+    edges = grouped_sums(raw_pairs, key_cols=["a1", "a2"], sum_cols=[],
+                         count_alias="_n").map_batches(
+        lambda b: b.select(["a1", "a2"]),
+        batch_format="pyarrow").materialize()
+
+    wedges = hash_join(
+        edges.map_batches(lambda b: b.rename_columns(["a", "b"]),
+                          batch_format="pyarrow"),
+        edges.map_batches(lambda b: b.rename_columns(["b", "c"]),
+                          batch_format="pyarrow"),
+        key="b", left_cols=["a", "b"], right_cols=["b", "c"])
+
+    def _ckey(x: pd.Series, y: pd.Series) -> pd.Series:
+        return (x.str.len().astype(str) + ":" + x + "|"
+                + y.str.len().astype(str) + ":" + y)
+
+    def wedge_key(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["_ac"] = _ckey(df["a"], df["c"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def edge_key(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["_ac"] = _ckey(df["a1"], df["a2"])
+        return pa.Table.from_pandas(df[["_ac"]], preserve_index=False)
+
+    closed = semi_join(
+        wedges.map_batches(wedge_key, batch_format="pyarrow"),
+        edges.map_batches(edge_key, batch_format="pyarrow"),
+        key="_ac", left_cols=["a", "b", "c"])
+    return pd.DataFrame({"n_triangles": pd.Series([closed.count()],
+                                                  dtype="int64")})
+
+
+def q_cohort_retention(sf_dir: str) -> Any:
+    """Cohort retention — the classic product-analytics matrix: users
+    cohorted by first-activity week (Monday-truncated, exact integer
+    day arithmetic mirroring DuckDB date_trunc('week')), distinct
+    (user, week) activity, one user-keyed exchange join, then counts
+    per (cohort, week_offset). Both user-level aggregates run on the
+    exchange (user cardinality is unbounded); week truncation is
+    vectorized int64 day math, never per-row datetime objects."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_week(b: pa.Table) -> pa.Table:
+        # days since epoch; 1970-01-01 is a Thursday -> Monday-start
+        # weekday index = (d + 3) % 7
+        d = b.column("ts").to_numpy().astype("datetime64[D]").view("int64")
+        wk = d - (d + 3) % 7
+        return pa.table({"user_id": b.column("user_id"),
+                         "wk_day": pa.array(wk)})
+
+    weeks = ev.map_batches(to_week, batch_format="pyarrow").materialize()
+
+    first = grouped_sums(weeks, key_cols=["user_id"], sum_cols=[],
+                         min_cols=["wk_day"], count_alias="_n")
+    first = first.map_batches(
+        lambda b: pa.table({"user_id": b.column("user_id"),
+                            "cohort_day": b.column("min_wk_day")}),
+        batch_format="pyarrow")
+    active = grouped_sums(weeks, key_cols=["user_id", "wk_day"],
+                          sum_cols=[], count_alias="_n").map_batches(
+        lambda b: b.select(["user_id", "wk_day"]),
+        batch_format="pyarrow")
+
+    joined = hash_join(active, first, key="user_id",
+                       left_cols=["user_id", "wk_day"],
+                       right_cols=["user_id", "cohort_day"])
+
+    def offs(b: pa.Table) -> pa.Table:
+        wk = b.column("wk_day").to_numpy()
+        co = b.column("cohort_day").to_numpy()
+        return pa.table({
+            "cohort": pa.array(co.astype("datetime64[D]")
+                               .astype("datetime64[us]")),
+            "week_offset": pa.array((wk - co) // 7),
+        })
+
+    out = grouped_sums(
+        joined.map_batches(offs, batch_format="pyarrow"),
+        key_cols=["cohort", "week_offset"], sum_cols=[],
+        count_alias="n_users")
+    return _int64(out.to_pandas(), ["week_offset", "n_users"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4166,6 +4306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_chars": q_winsorized_chars,
         "funnel_conversion": q_funnel_conversion,
         "co_attendance": q_co_attendance,
+        "triangle_count": q_triangle_count,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -5292,6 +5434,33 @@ def oracle_sql() -> dict[str, str]:
              AND a.pred = 'hasAttendee' AND b.pred = 'hasAttendee'
              AND a.obj < b.obj
             GROUP BY a.obj, b.obj
+        """,
+        "triangle_count": f"""
+            WITH e AS (
+                SELECT DISTINCT a.obj AS a1, b.obj AS a2
+                FROM {_golden('kg_flagship')} a
+                JOIN {_golden('kg_flagship')} b
+                  ON b.subj = a.subj
+                 AND a.pred = 'hasAttendee' AND b.pred = 'hasAttendee'
+                 AND a.obj < b.obj)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a1 = e1.a2
+            JOIN e e3 ON e3.a1 = e1.a1 AND e3.a2 = e2.a2
+        """,
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+                FROM events GROUP BY user_id),
+            act AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events)
+            SELECT f.cohort,
+                   CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT)
+                       AS week_offset,
+                   COUNT(*) AS n_users
+            FROM f JOIN act a ON a.user_id = f.user_id
+            GROUP BY f.cohort, week_offset
         """,
         "regex_extract_docs": """
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
