@@ -303,6 +303,7 @@ def append_graph(
     out_dir: str,
     epoch: str,
     spill_dir: "str | None" = None,
+    mode: str = "merge",
 ) -> dict:
     """S6b — delta ingest: distinct-union new triples into an EXISTING
     materialized graph without rebuilding it (the daily-crawl shape: the
@@ -310,20 +311,35 @@ def append_graph(
 
     New triples route by the SAME hash(subj) % P recorded in the base
     manifest, so an entity's triples land in the partition that already
-    holds its history; each touched partition's merge task reads its
-    existing Parquet + the epoch's spill files, takes the DISTINCT union
-    over all columns (a graph is a set of triples — same (subj, pred,
-    obj, url, ...) re-extracted from a re-crawled page collapses), sorts
-    on all columns for byte-deterministic output, and rewrites the
-    partition atomically (temp + rename, readers never see partials).
-    Untouched partitions are not rewritten, not even read.
+    holds its history. Two modes:
 
-    Idempotent by construction: distinct-union means re-merging the same
-    delta cannot change the result, so crash recovery is simply re-run —
-    the manifest records the epoch only after every merge is durable
-    (``state/manifest.py:record_append``), and an epoch already in
-    ``manifest["epochs"]`` is a no-op. Per-partition lineage rows record
-    (rows_in_delta, rows_out) per epoch."""
+    ``mode="merge"`` (eager compaction): each touched partition's merge
+    task reads its existing Parquet + the epoch's spill files, takes the
+    DISTINCT union over all columns (a graph is a set of triples — the
+    same (subj, pred, obj, url, ...) re-extracted from a re-crawled page
+    collapses), sorts on all columns for byte-deterministic output, and
+    rewrites the partition atomically. Untouched partitions are not
+    rewritten, not even read. BUT: a uniformly-hashed delta touches
+    every partition, so merge-mode cost is proportional to the BASE —
+    right for large deltas or scheduled maintenance, wrong for a daily
+    crawl against a 10^12-triple base.
+
+    ``mode="delta"`` (LSM-style, the O(delta) path): each touched
+    partition gets a NEW side file ``part_key=K/delta-{epoch}.parquet``
+    (distinct within the delta, sorted, atomic) — the base
+    ``data.parquet`` is never read, never rewritten. Readers
+    (``state/manifest.py:read_output``) distinct-union base + deltas on
+    read; ``compact_graph`` folds accumulated deltas back into the base
+    when their count/size warrants it, exactly the LSM write/read/
+    compact trade.
+
+    Both modes are idempotent by construction: distinct-union means
+    re-applying the same delta cannot change the result, so crash
+    recovery is simply re-run — the manifest records the epoch only
+    after every write is durable (``state/manifest.py:record_append``),
+    and an epoch already in ``manifest["epochs"]`` is a no-op.
+    Per-partition lineage rows record (rows_in_delta, rows_out) per
+    epoch."""
     import shutil as _shutil
 
     import numpy as np
@@ -333,6 +349,8 @@ def append_graph(
     from calendar_event_entity_extraction_ray.state import manifest as M
     from calendar_event_entity_extraction_ray.stages.dedup import add_hash_column
 
+    if mode not in ("merge", "delta"):
+        raise ValueError(f"append_graph: unknown mode {mode!r}")
     m = M.load_manifest(out_dir)
     if not m.get("partitions"):
         raise ValueError(f"append_graph: no existing graph at {out_dir}")
@@ -377,6 +395,11 @@ def append_graph(
 
     spilled = keyed.map_batches(spill, batch_format="pyarrow").to_pandas()
 
+    def _distinct_sorted(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        return t.sort_by([(c, "ascending") for c in t.schema.names])
+
     @ray.remote(num_cpus=1)
     def merge(part_id: int, files: list) -> tuple:
         pdir = os.path.join(spill_dir, f"part={part_id}")
@@ -385,21 +408,50 @@ def append_graph(
                                 "data.parquet")
         if os.path.exists(existing):
             tabs.append(pq.read_table(existing))
-        t = pa.concat_tables(tabs, promote_options="default")
-        df = t.to_pandas().drop_duplicates()
-        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
-        t = t.sort_by([(c, "ascending") for c in t.schema.names])
+        t = _distinct_sorted(pa.concat_tables(tabs,
+                                              promote_options="default"))
         M.write_partition_file(out_dir, part_id, t)
         return part_id, t.num_rows
 
+    @ray.remote(num_cpus=1)
+    def write_delta(part_id: int, files: list) -> tuple:
+        # O(delta): the base data.parquet is never opened
+        import tempfile
+
+        pdir = os.path.join(spill_dir, f"part={part_id}")
+        t = _distinct_sorted(pa.concat_tables(
+            [pq.read_table(os.path.join(pdir, f)) for f in sorted(files)],
+            promote_options="default"))
+        part_dir = os.path.join(out_dir, f"part_key={part_id}")
+        os.makedirs(part_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(part_dir, f"delta-{epoch}.parquet"))
+        return part_id, t.num_rows
+
+    task = merge if mode == "merge" else write_delta
     if spilled.empty or "part_id" not in spilled.columns:
         results, rows_in = [], {}
     else:
         by_part = spilled.groupby("part_id")["file"].apply(list)
         rows_in = spilled.groupby("part_id")["rows"].sum().to_dict()
         results = ray.get(
-            [merge.remote(int(p), files) for p, files in by_part.items()])
+            [task.remote(int(p), files) for p, files in by_part.items()])
     _shutil.rmtree(spill_dir, ignore_errors=True)
+
+    if mode == "delta":
+        entries = {
+            part_id: {
+                "file": os.path.join(f"part_key={part_id}",
+                                     f"delta-{epoch}.parquet"),
+                "rows": rows,
+                "lineage": {"rows_in_delta": int(rows_in.get(part_id, 0)),
+                            "rows_out": rows},
+            }
+            for part_id, rows in results
+        }
+        return M.record_delta(out_dir, epoch, entries)
 
     entries = {
         part_id: {
@@ -411,3 +463,58 @@ def append_graph(
         for part_id, rows in results
     }
     return M.record_append(out_dir, epoch, entries)
+
+
+def compact_graph(out_dir: str) -> dict:
+    """LSM maintenance: fold each partition's accumulated delta files
+    into its base Parquet (distinct-union over all columns, sorted on
+    all columns, atomic rewrite), then clear the manifest's delta lists
+    and record the folded epochs per partition.
+
+    Crash-safe ordering: (1) merged bases are written atomically; (2)
+    the manifest drops the delta entries; (3) delta side files are
+    removed. A crash between 1 and 2 leaves deltas listed AND already
+    contained in the base — the read path's distinct-union makes that
+    invisible, and re-running compaction converges. A crash between 2
+    and 3 leaves unreferenced files that the final sweep of any later
+    compaction removes."""
+    import pyarrow.parquet as pq
+
+    from calendar_event_entity_extraction_ray.state import manifest as M
+
+    m = M.load_manifest(out_dir)
+    todo = {pid: e for pid, e in m["partitions"].items()
+            if e.get("deltas")}
+
+    @ray.remote(num_cpus=1)
+    def compact(part_id: str, entry: dict) -> tuple:
+        paths = []
+        base = os.path.join(out_dir, entry["file"])
+        if os.path.exists(base):
+            paths.append(base)
+        paths += [os.path.join(out_dir, d["file"])
+                  for d in entry["deltas"]]
+        t = pa.concat_tables([pq.read_table(p) for p in paths],
+                             promote_options="default")
+        df = t.to_pandas().drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        t = t.sort_by([(c, "ascending") for c in t.schema.names])
+        M.write_partition_file(out_dir, int(part_id), t)
+        return part_id, t.num_rows
+
+    if todo:
+        results = ray.get(
+            [compact.remote(pid, e) for pid, e in todo.items()])
+        m = M.record_compaction(out_dir, dict(results))
+    # manifest no longer references the side files — sweep them (also
+    # catches strays from a crash between manifest save and sweep)
+    for pid in m["partitions"]:
+        pdir = os.path.join(out_dir, f"part_key={pid}")
+        listed = {os.path.basename(d["file"])
+                  for d in m["partitions"][pid].get("deltas", [])}
+        if os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                if (f.startswith("delta-") and f.endswith(".parquet")
+                        and f not in listed):
+                    os.remove(os.path.join(pdir, f))
+    return m

@@ -121,13 +121,82 @@ def record_append(
     return manifest
 
 
+def record_delta(
+    out_dir: str, epoch: str, entries: Dict[int, Dict],
+) -> Dict:
+    """Manifest update for an LSM-style delta epoch: each touched
+    partition's entry gains a ``deltas`` list item (epoch, file, rows);
+    the base entry (file, rows, written_at) is untouched — the base
+    Parquet was never read or rewritten. A partition receiving delta
+    rows for the first time (no base entry because the base build wrote
+    it zero rows) gets a zero-row placeholder entry so readers and
+    compaction can find its deltas."""
+    manifest = load_manifest(out_dir)
+    now = time.time()
+    for part_id, e in entries.items():
+        p = manifest["partitions"].setdefault(str(part_id), {
+            "file": os.path.join(f"part_key={part_id}", "data.parquet"),
+            "rows": 0,
+            "written_at": now,
+        })
+        p.setdefault("deltas", []).append({
+            "epoch": epoch, "file": e["file"], "rows": e["rows"],
+            "written_at": now,
+        })
+        lineage = e.get("lineage")
+        if lineage:
+            manifest["lineage"].append(
+                {"part_id": part_id, "epoch": epoch, "mode": "delta",
+                 **lineage})
+    epochs = manifest.setdefault("epochs", [])
+    if epoch not in epochs:
+        epochs.append(epoch)
+    save_manifest(out_dir, manifest)
+    return manifest
+
+
+def record_compaction(out_dir: str, rows_by_part: Dict) -> Dict:
+    """Manifest update after delta compaction: per partition, set the
+    new base row count, clear the delta list, and remember the folded
+    epochs in ``compacted_epochs`` (so epoch-level idempotence keeps
+    working after the side files are gone)."""
+    manifest = load_manifest(out_dir)
+    now = time.time()
+    for part_id, rows in rows_by_part.items():
+        e = manifest["partitions"][str(part_id)]
+        folded = [d["epoch"] for d in e.get("deltas", [])]
+        e["rows"] = int(rows)
+        e["written_at"] = now
+        e.pop("deltas", None)
+        e["compacted_epochs"] = sorted(
+            set(e.get("compacted_epochs", []) + folded))
+        manifest["lineage"].append(
+            {"part_id": int(part_id), "compacted": folded,
+             "rows_out": int(rows)})
+    save_manifest(out_dir, manifest)
+    return manifest
+
+
 def read_output(out_dir: str) -> pa.Table:
+    """Concatenate every partition's base Parquet plus any LSM delta
+    side files. When deltas are present the result is distinct-unioned
+    (set-of-triples semantics — a base row re-ingested by a delta epoch
+    must not double); a base-only graph is returned as written."""
     m = load_manifest(out_dir)
     tables: List[pa.Table] = []
+    any_delta = False
     for part_id in sorted(m["partitions"], key=int):
         entry = m["partitions"][part_id]
-        t = pq.read_table(os.path.join(out_dir, entry["file"]))
-        tables.append(t)
+        base = os.path.join(out_dir, entry["file"])
+        if os.path.exists(base):
+            tables.append(pq.read_table(base))
+        for d in entry.get("deltas", []):
+            any_delta = True
+            tables.append(pq.read_table(os.path.join(out_dir, d["file"])))
     if not tables:
         return pa.table({})
-    return pa.concat_tables(tables)
+    t = pa.concat_tables(tables, promote_options="default")
+    if any_delta:
+        df = t.to_pandas().drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+    return t

@@ -44,6 +44,15 @@ def main() -> int:
                          "distinct-union the new pages' triples into the "
                          "base partitions (idempotent per epoch; epoch id "
                          "= the fingerprint)")
+    ap.add_argument("--append-mode", choices=["merge", "delta"],
+                    default="merge",
+                    help="merge = eager compaction (rewrites touched "
+                         "partitions; cost ~ base). delta = LSM side "
+                         "files, base never read (cost ~ delta); fold "
+                         "later with --compact")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold accumulated delta side files into the "
+                         "base partitions at --out, then exit")
     ap.add_argument("--spill-root", default="",
                     help="shared exchange-spill directory (multi-node: "
                          "point at storage every node mounts; default: "
@@ -68,11 +77,23 @@ def main() -> int:
 
     from calendar_event_entity_extraction_ray.pipelines.kg import (
         append_graph,
+        compact_graph,
         kg_triples,
         materialize_graph,
         synth_pages_dataset,
     )
     from calendar_event_entity_extraction_ray.state.metrics import write_metrics
+
+    if args.compact:
+        t0 = time.time()
+        manifest = compact_graph(args.out)
+        out = {"compacted_partitions": len(manifest["partitions"]),
+               "n_triples": sum(e["rows"]
+                                for e in manifest["partitions"].values()),
+               "wall_sec": round(time.time() - t0, 2)}
+        print(out)
+        ray.shutdown()
+        return 0
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     conc = args.concurrency or max(2, ncpu - 1)
@@ -124,7 +145,8 @@ def main() -> int:
 
     if args.append:
         # delta ingest: partition count comes from the base manifest
-        manifest = append_graph(triples, args.out, epoch=fingerprint)
+        manifest = append_graph(triples, args.out, epoch=fingerprint,
+                                mode=args.append_mode)
     else:
         # ~9 triples/page: target ~500k rows per output partition
         n_parts = args.partitions or max(16, (n_docs * 9) // 500_000)
@@ -132,7 +154,11 @@ def main() -> int:
                                      fingerprint=fingerprint,
                                      num_partitions=n_parts)
     wall = time.time() - t0
+    # base rows + uncompacted delta rows (an upper bound until --compact
+    # distinct-unions overlapping re-crawls into the base)
     n_triples = sum(e["rows"] for e in manifest["partitions"].values())
+    n_triples += sum(d["rows"] for e in manifest["partitions"].values()
+                     for d in e.get("deltas", []))
 
     metrics = {
         "n_docs": n_docs,

@@ -170,3 +170,92 @@ class TestAppendGraph:
         with pytest.raises(ValueError, match="no existing graph"):
             append_graph(kg_triples(_pages_slice(0, 10)),
                          str(tmp_path / "missing"), epoch="e")
+
+
+class TestDeltaModeAndCompaction:
+    """LSM-style append (mode='delta'): O(delta) writes — the base
+    Parquet is never read or rewritten; readers distinct-union base +
+    side files; compact_graph folds them back."""
+
+    @pytest.fixture(scope="class")
+    def delta_graph(self, ray_session, tmp_path_factory):
+        from calendar_event_entity_extraction_ray.pipelines.kg import (
+            append_graph,
+            kg_triples,
+            materialize_graph,
+        )
+
+        root = tmp_path_factory.mktemp("lsm")
+        out = str(root / "graph")
+        materialize_graph(kg_triples(_pages_slice(0, 120)), out,
+                          fingerprint="base", num_partitions=4)
+        base_mtimes = {
+            pid: os.path.getmtime(os.path.join(out, e["file"]))
+            for pid, e in _manifest(out)["partitions"].items()}
+        append_graph(kg_triples(_pages_slice(120, 200)), out,
+                     epoch="d1", mode="delta")
+        return out, root, base_mtimes
+
+    def test_base_files_untouched(self, delta_graph):
+        """THE O(delta) claim: a delta epoch never opens the base."""
+        out, _, base_mtimes = delta_graph
+        m = _manifest(out)
+        for pid, e in m["partitions"].items():
+            assert os.path.getmtime(
+                os.path.join(out, e["file"])) == base_mtimes[pid]
+            assert e["deltas"], f"partition {pid} got no delta"
+            for d in e["deltas"]:
+                assert d["epoch"] == "d1"
+                assert os.path.exists(os.path.join(out, d["file"]))
+
+    def test_read_path_equals_rebuild(self, delta_graph, ray_session,
+                                      tmp_path_factory):
+        from calendar_event_entity_extraction_ray.pipelines.kg import (
+            kg_triples,
+            materialize_graph,
+        )
+        from calendar_event_entity_extraction_ray.state.manifest import (
+            read_output,
+        )
+
+        out, root, _ = delta_graph
+        rebuilt = str(root / "rebuilt")
+        materialize_graph(
+            kg_triples(_pages_slice(0, 120).union(_pages_slice(120, 200))),
+            rebuilt, fingerprint="full", num_partitions=4)
+        pd.testing.assert_frame_equal(_distinct(read_output(out)),
+                                      _distinct(read_output(rebuilt)))
+
+    def test_compaction_folds_and_preserves(self, delta_graph):
+        from calendar_event_entity_extraction_ray.pipelines.kg import (
+            compact_graph,
+        )
+        from calendar_event_entity_extraction_ray.state.manifest import (
+            read_output,
+        )
+
+        out, _, _ = delta_graph
+        before = _distinct(read_output(out))
+        m = compact_graph(out)
+        after = _distinct(read_output(out))
+        pd.testing.assert_frame_equal(before, after)
+        for pid, e in m["partitions"].items():
+            assert "deltas" not in e
+            assert e["compacted_epochs"] == ["d1"]
+            pdir = os.path.join(out, f"part_key={pid}")
+            assert not [f for f in os.listdir(pdir)
+                        if f.startswith("delta-")]
+        # epoch idempotence survives compaction (side files gone)
+        assert "d1" in m["epochs"]
+        # compacting again is a no-op
+        m2 = compact_graph(out)
+        assert json.dumps(m, sort_keys=True) == json.dumps(
+            m2, sort_keys=True)
+
+
+def _manifest(out_dir: str) -> dict:
+    from calendar_event_entity_extraction_ray.state.manifest import (
+        load_manifest,
+    )
+
+    return load_manifest(out_dir)
