@@ -4156,6 +4156,89 @@ def q_cohort_retention(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["week_offset", "n_users"])
 
 
+def q_compression_ratio(sf_dir: str) -> Any:
+    """Gopher/CCNet-style repetitiveness signal: per-doc zlib compression
+    ratio — templated/boilerplate text compresses far below natural
+    prose, so a low ratio is a cheap junk filter at corpus scale. Pure
+    per-batch map (embarrassingly parallel, no shuffle); zlib runs in C
+    per document (compression is inherently per-sequence — this is the
+    justified exception to the no-per-row-loop rule, like the md5 parity
+    paths). Exact integer basis points (clen·1e4 // blen) so the golden
+    compare is bit-stable. Oracle = single-process recompute
+    (scripts/make_goldens.py:golden_compression_ratio)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        import zlib
+
+        ids, cbytes, ratios = [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            raw = (text or "").encode("utf-8")
+            clen = len(zlib.compress(raw, 6))
+            ids.append(doc_id)
+            cbytes.append(clen)
+            ratios.append(clen * 10_000 // len(raw) if raw else 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "c_bytes": pa.array(cbytes, pa.int64()),
+                         "ratio_e4": pa.array(ratios, pa.int64())})
+
+    return docs.map_batches(ratio, batch_format="pyarrow")
+
+
+def q_grouped_regression(sf_dir: str) -> Any:
+    """Grouped least-squares line fit (SQL REGR_SLOPE / REGR_INTERCEPT
+    family) with NO float accumulation: per-batch integer partials
+    (Σx, Σy, Σxy, Σx², n) reduce on the exchange, and the published
+    values are the exact integer numerators/denominator
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²ᵗᵒᵗ)
+        intercept = (Σy·Σx² − Σx·Σxy) / (same denominator)
+
+    — the division is left to the reader, so the oracle compare is
+    bit-exact (DuckDB's own regr_slope accumulates doubles and is NOT
+    order-stable; the moments are). Final products run in Python
+    arbitrary-precision then assert int64 range — at 10^9 rows/group ×
+    |x|,|y| ≤ 10³ the products stay < 2⁶³; wider domains need the
+    HUGEINT-style split documented at stages/aggregate.py variance."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = np.floor(b.column("l_quantity").to_numpy() + 0.5).astype(
+            np.int64)
+        y = np.floor(b.column("l_discount").to_numpy() * 100 + 0.5).astype(
+            np.int64)
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "sx": pa.array(x), "sy": pa.array(y),
+                         "sxy": pa.array(x * y), "sxx": pa.array(x * x)})
+
+    out = grouped_sums(li.map_batches(prep, batch_format="pyarrow"),
+                       key_cols=["l_returnflag"],
+                       sum_cols=["sx", "sy", "sxy", "sxx"],
+                       count_alias="n", stream_reduce=True)
+    df = _int64(out.to_pandas(), ["sx", "sy", "sxy", "sxx", "n"])
+    slope_num, slope_den, icept_num = [], [], []
+    for _, r in df.iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        vals = (n * sxy - sx * sy, n * sxx - sx * sx,
+                sy * sxx - sx * sxy)
+        assert all(abs(v) < 2 ** 63 for v in vals), "widen to HUGEINT split"
+        slope_num.append(vals[0])
+        slope_den.append(vals[1])
+        icept_num.append(vals[2])
+    res = df[["l_returnflag", "n"]].copy()
+    res["slope_num"] = pd.Series(slope_num, dtype="int64")
+    res["slope_den"] = pd.Series(slope_den, dtype="int64")
+    res["icept_num"] = pd.Series(icept_num, dtype="int64")
+    return res
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4308,6 +4391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_attendance": q_co_attendance,
         "triangle_count": q_triangle_count,
         "cohort_retention": q_cohort_retention,
+        "compression_ratio_docs": q_compression_ratio,
+        "grouped_regression": q_grouped_regression,
     }
 
 
@@ -5434,6 +5519,25 @@ def oracle_sql() -> dict[str, str]:
              AND a.pred = 'hasAttendee' AND b.pred = 'hasAttendee'
              AND a.obj < b.obj
             GROUP BY a.obj, b.obj
+        """,
+        "compression_ratio_docs": f"""
+            SELECT doc_id, c_bytes, ratio_e4
+            FROM {_golden('compression_ratio_docs')}
+        """,
+        "grouped_regression": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)
+                        AS BIGINT) AS slope_num,
+                   CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                        AS BIGINT) AS slope_den,
+                   CAST(SUM(y) * SUM(x * x) - SUM(x) * SUM(x * y)
+                        AS BIGINT) AS icept_num
+            FROM (SELECT l_returnflag,
+                         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+                         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+                             AS y
+                  FROM lineitem)
+            GROUP BY l_returnflag
         """,
         "triangle_count": f"""
             WITH e AS (

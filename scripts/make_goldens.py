@@ -695,8 +695,31 @@ def golden_training_sequences() -> pa.Table:
     })
 
 
+def golden_compression_ratio() -> pa.Table:
+    """Single-process mirror of q_compression_ratio: per-doc zlib(level 6)
+    compression ratio in exact integer basis points (clen*1e4 // blen).
+    Deterministic for the container's zlib; the distributed run and this
+    golden share it, and test_golden_oracles re-derives on every run."""
+    import zlib
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids, cbytes, ratios = [], [], []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        raw = (text or "").encode("utf-8")
+        clen = len(zlib.compress(raw, 6))
+        ids.append(doc_id)
+        cbytes.append(clen)
+        ratios.append(clen * 10_000 // len(raw) if raw else 0)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "c_bytes": pa.array(cbytes, pa.int64()),
+                     "ratio_e4": pa.array(ratios, pa.int64())})
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
+    "compression_ratio_docs": golden_compression_ratio,
     "training_sequences": golden_training_sequences,
     "model_scored_docs": golden_model_scored_docs,
     "simhash_docs": golden_simhash_docs,
