@@ -487,3 +487,119 @@ def semi_join(
     exchange."""
     return _exists_join(left, right, key, left_cols, True, num_buckets,
                         bloom_bits=bloom_bits)
+
+
+def detect_hot_keys(
+    ds: "ray.data.Dataset",
+    key: str,
+    total_rows: int,
+    hot_share: float = 0.01,
+    probe_k: int = 32,
+) -> dict:
+    """Approximate hot-key detection: each batch contributes its top
+    ``probe_k`` key counts (one vectorized ``value_counts`` — counters
+    move, never rows), the driver sums them, and keys whose summed count
+    exceeds ``hot_share`` of ``total_rows`` are hot. Per-batch top-k can
+    only UNDERCOUNT a key (it may miss batches where the key fell below
+    rank k), so a detected-hot key is genuinely hot; a hot key just
+    above threshold may be missed — harmless, hot/cold routing is a
+    performance decision, never a correctness one. Returns
+    {key_value: estimated_count}."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+
+    def probe(b: pa.Table) -> pa.Table:
+        vc = b.select([key]).to_pandas()[key].value_counts().head(probe_k)
+        return pa.Table.from_pandas(
+            pd.DataFrame({key: vc.index, "_c": vc.values.astype("int64")}),
+            preserve_index=False)
+
+    partials = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return {}
+    sums = partials.groupby(key, dropna=True)["_c"].sum()
+    cut = hot_share * max(1, total_rows)
+    return {k: int(c) for k, c in sums.items() if c > cut}
+
+
+def skewed_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    hot_share: float = 0.01,
+    max_hot_right_rows: int = 2_000_000,
+    num_buckets: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Skew-aware INNER hash join — the fragment-replicate escape hatch
+    for the one thing a hash exchange cannot fix: a single join key
+    holding a large fraction of the rows (the exchange co-locates ALL of
+    a key's rows in ONE partition, so one fold task inherits the hot
+    key's entire volume while every other task finishes and idles).
+
+    Plan: one probe pass over the (materialized) left side detects hot
+    keys (``detect_hot_keys`` — per-batch top-k counters, driver fold);
+    the RIGHT side's hot-key rows — dimension-sized by assumption, the
+    ``max_hot_right_rows`` guard makes the assumption explicit — are
+    collected once and broadcast via ``ray.put``; left hot rows then
+    join map-side (one vectorized merge per batch, parallel across ALL
+    blocks instead of serialized in one fold task); cold keys take the
+    normal exchange ``hash_join``. Output = cold ∪ hot, identical rows
+    to a plain inner ``hash_join`` (routing is performance-only; pinned
+    by tests/test_joins.py against pandas.merge).
+
+    When both sides are huge ON THE SAME hot key the join output is
+    |L_k|·|R_k| pairs — no partitioning strategy fixes a quadratic
+    result; that case needs the upstream pre-aggregation the aggregate
+    operators here already do."""
+    import ray as _ray
+
+    import pyarrow.compute as pc
+
+    left = left.materialize()  # probed once, routed once
+    total = left.count()
+    hot = detect_hot_keys(left, key, total, hot_share=hot_share)
+    if not hot:
+        return hash_join(left, right, key, left_cols, right_cols,
+                         num_buckets=num_buckets)
+
+    right = right.materialize()
+    hot_vals = pa.array(sorted(hot))
+    l_only = [c for c in left_cols if c != key]
+    r_only = [c for c in right_cols if c != key]
+    out_cols = [key] + l_only + r_only
+
+    right_hot_tbl = pa.concat_tables(
+        [b for b in right.map_batches(
+            lambda b: b.select(right_cols).filter(
+                pc.is_in(b.column(key), value_set=hot_vals)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    if right_hot_tbl.num_rows > max_hot_right_rows:
+        raise ValueError(
+            f"skewed_hash_join: {right_hot_tbl.num_rows} right rows on "
+            f"hot keys exceed max_hot_right_rows={max_hot_right_rows}; "
+            "the hot fragment must stay broadcastable — pre-aggregate "
+            "the right side or raise the cap deliberately")
+    rh_ref = _ray.put(right_hot_tbl.to_pandas())
+
+    def hot_join(b: pa.Table) -> pa.Table:
+        rh = _ray.get(rh_ref)  # once per task; worker-cached
+        lb = b.select(left_cols).filter(
+            pc.is_in(b.column(key), value_set=hot_vals)).to_pandas()
+        out = lb.merge(rh, on=key, how="inner")[out_cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    hot_out = left.map_batches(hot_join, batch_format="pyarrow")
+
+    def drop_hot(cols):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.select(cols).filter(
+                pc.invert(pc.is_in(b.column(key), value_set=hot_vals)))
+        return fn
+
+    cold_out = hash_join(
+        left.map_batches(drop_hot(left_cols), batch_format="pyarrow"),
+        right.map_batches(drop_hot(right_cols), batch_format="pyarrow"),
+        key, left_cols, right_cols, num_buckets=num_buckets)
+    return cold_out.union(hot_out)

@@ -175,3 +175,86 @@ class TestAsofJoin:
         ).to_pandas().set_index("eid")
         assert out_tol.loc[100, "ts_right"] == pd.Timestamp("2024-01-01 09:30")
         assert pd.isna(out_tol.loc[102, "ts_right"])
+
+
+class TestSkewedHashJoin:
+    """Fragment-replicate routing for hot join keys: result is pinned
+    identical to pandas.merge whatever the hot/cold split decides."""
+
+    @staticmethod
+    def _zipf_frames(n_left=60_000, hot_frac=0.5, n_keys=500, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        n_hot = int(n_left * hot_frac)
+        keys = np.concatenate([
+            np.full(n_hot, 7, dtype=np.int64),
+            rng.integers(1, n_keys + 1, size=n_left - n_hot)])
+        left = pd.DataFrame({"k": keys, "lv": np.arange(n_left)})
+        right = pd.DataFrame({
+            "k": np.repeat(np.arange(1, n_keys + 1), 2).astype("int64"),
+            "rv": np.arange(2 * n_keys)})
+        return left, right
+
+    def test_matches_pandas_with_planted_hot_key(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            detect_hot_keys,
+            skewed_hash_join,
+        )
+
+        left, right = self._zipf_frames()
+        lds = ray.data.from_pandas(left).repartition(8)
+        hot = detect_hot_keys(lds.materialize(), "k", len(left),
+                              hot_share=0.05)
+        assert 7 in hot and len(hot) == 1  # the planted key, only it
+
+        out = skewed_hash_join(
+            lds, ray.data.from_pandas(right).repartition(4),
+            key="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+            hot_share=0.05).to_pandas()
+        expect = left.merge(right, on="k")
+        cols = ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            out[cols].sort_values(cols).reset_index(drop=True),
+            expect[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False)
+
+    def test_no_hot_keys_falls_back_to_plain_join(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            skewed_hash_join,
+        )
+
+        left = pd.DataFrame({"k": list(range(1, 101)) * 3,
+                             "lv": list(range(300))})
+        right = pd.DataFrame({"k": list(range(1, 151)),
+                              "rv": list(range(150))})
+        out = skewed_hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            key="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+            hot_share=0.2).to_pandas()
+        expect = left.merge(right, on="k")
+        cols = ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            out[cols].sort_values(cols).reset_index(drop=True),
+            expect[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False)
+
+    def test_oversized_hot_fragment_refuses(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            skewed_hash_join,
+        )
+
+        left, right = self._zipf_frames(n_left=20_000)
+        with pytest.raises(ValueError, match="max_hot_right_rows"):
+            skewed_hash_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                key="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
+                hot_share=0.05, max_hot_right_rows=1)
