@@ -4239,6 +4239,34 @@ def q_grouped_regression(sf_dir: str) -> Any:
     return res
 
 
+def q_doc_len_hist(sf_dir: str) -> Any:
+    """Equi-width length histogram over the corpus (the analyze_dataset
+    length profile, src/prepare_assignment_data.py:64-102, as a binned
+    distribution): bin_lo = floor(n_chars/200)*200, count per bin. The
+    exchange moves |bins| x |batches| partial rows — corpus-size
+    independent."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        numeric_histogram,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    return _int64(numeric_histogram(ds, "n_chars", width=200).to_pandas(),
+                  ["bin_lo", "n"])
+
+
+def q_lang_len_hist(sf_dir: str) -> Any:
+    """Grouped equi-width histogram: length distribution PER LANGUAGE
+    (the per-split length profile a mixing/quality pass reads before
+    choosing truncation budgets). Same one-pass partial-count shape."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        numeric_histogram,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = numeric_histogram(ds, "n_chars", width=500, by=["lang"])
+    return _int64(out.to_pandas(), ["bin_lo", "n"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4393,6 +4421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "compression_ratio_docs": q_compression_ratio,
         "grouped_regression": q_grouped_regression,
+        "doc_len_hist": q_doc_len_hist,
+        "lang_len_hist": q_lang_len_hist,
     }
 
 
@@ -5538,6 +5568,19 @@ def oracle_sql() -> dict[str, str]:
                              AS y
                   FROM lineitem)
             GROUP BY l_returnflag
+        """,
+        "doc_len_hist": """
+            SELECT CAST(FLOOR(n_chars / 200.0) AS BIGINT) * 200 AS bin_lo,
+                   COUNT(*) AS n
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY 1
+        """,
+        "lang_len_hist": """
+            SELECT lang,
+                   CAST(FLOOR(n_chars / 500.0) AS BIGINT) * 500 AS bin_lo,
+                   COUNT(*) AS n
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY lang, 2
         """,
         "triangle_count": f"""
             WITH e AS (

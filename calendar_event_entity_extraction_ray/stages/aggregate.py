@@ -170,6 +170,22 @@ def partial_count_batch2(batch: pa.Table, key_cols: List[str]) -> pa.Table:
     return pa.Table.from_pandas(counts, preserve_index=False)
 
 
+def _restore_key_types(
+    out: pa.Table, in_schema: pa.Schema, key_cols: List[str]
+) -> pa.Table:
+    """Undo pandas dtype erasure on key columns: a block whose key values
+    are ALL NULL round-trips through pandas as an all-NaN float column and
+    comes back float64/null instead of the input's type, so the exchange's
+    cross-block concat fails to unify schemas (string vs double). The
+    offending values are all null, so the cast back is lossless."""
+    for c in key_cols:
+        want = in_schema.field(c).type
+        idx = out.schema.get_field_index(c)
+        if out.schema.field(idx).type != want:
+            out = out.set_column(idx, c, out.column(c).cast(want))
+    return out
+
+
 def grouped_sums(
     ds: "ray.data.Dataset",
     key_cols: List[str],
@@ -209,7 +225,8 @@ def grouped_sums(
             agg[f"{c}__min"] = g[c].min()
         for c in max_cols:
             agg[f"{c}__max"] = g[c].max()
-        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+        out = pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+        return _restore_key_types(out, batch.schema, key_cols)
 
     from calendar_event_entity_extraction_ray.stages.dedup import (
         add_hash_column,
@@ -235,13 +252,52 @@ def grouped_sums(
             out[f"min_{c}"] = g[f"{c}__min"].min()
         for c in max_cols:
             out[f"max_{c}"] = g[f"{c}__max"].max()
-        return pa.Table.from_pandas(out.reset_index(),
-                                    preserve_index=False)
+        res = pa.Table.from_pandas(out.reset_index(),
+                                   preserve_index=False)
+        # same dtype-erasure hazard as partial(): an all-NULL-key fold
+        # partition must not flip the key column's type in the output
+        return _restore_key_types(res, t.schema, key_cols)
 
     if stream_reduce:
         return partials.repartition(1).map_batches(
             fold, batch_format="pyarrow", batch_size=None)
     return hash_partition_map(partials, "_gh", fold)
+
+
+def numeric_histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    width: int,
+    by: Optional[List[str]] = None,
+    out_col: str = "n",
+) -> "ray.data.Dataset":
+    """Equi-width histogram: counts per ``bin_lo = floor(col/width)*width``,
+    optionally per ``by`` group (the ``analyze_dataset`` length-histogram
+    shape from src/prepare_assignment_data.py:64-102, generalized to numeric
+    binning). Rows with NULL ``col`` are dropped (the SQL oracle carries
+    ``WHERE col IS NOT NULL``); NULL ``by`` groups are kept (plain GROUP BY).
+
+    One pass: the vectorized bin map feeds grouped_sums' per-batch partial
+    count, so the exchange moves |bins| x |batches| rows regardless of input
+    size — the length histogram of 10^12 docs ships kilobytes. Bin ids use
+    ``np.floor_divide`` (true floor, exact on int64), matching SQL
+    ``floor(col / width)`` for |col| < 2^53.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    by = list(by or [])
+    keep = by + [col]
+
+    def binmap(b: pa.Table) -> pa.Table:
+        b = b.select(keep).filter(pc.is_valid(b.column(col)))
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        lo = (np.floor_divide(v, width) * width).astype("int64")
+        return (b.drop_columns([col])
+                .append_column("bin_lo", pa.array(lo, pa.int64())))
+
+    binned = ds.map_batches(binmap, batch_format="pyarrow")
+    return grouped_sums(binned, by + ["bin_lo"], [], count_alias=out_col)
 
 
 def entity_degree(triples_ds: "ray.data.Dataset", preds: Optional[List[str]] = None,

@@ -619,3 +619,37 @@ class TestExtremeRowPerGroup:
         m = {("" if pd.isna(r["k"]) else r["k"]): int(r["o"])
              for _, r in got.iterrows()}
         assert m == {"a": 5, "": 9, "b": 3}
+
+
+class TestNumericHistogram:
+    def test_floor_bins_negatives_and_nulls(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            numeric_histogram,
+        )
+
+        # -250 -> bin -300 (FLOOR, not truncation); NULL values dropped
+        df = pd.DataFrame({"v": [-250, -1, 0, 99, 100, 250, None]})
+        ds = ray.data.from_pandas(df).repartition(3)
+        got = numeric_histogram(ds, "v", width=100).to_pandas()
+        m = {int(r["bin_lo"]): int(r["n"]) for _, r in got.iterrows()}
+        assert m == {-300: 1, -100: 1, 0: 2, 100: 1, 200: 1}
+
+    def test_grouped_keeps_null_group(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            numeric_histogram,
+        )
+
+        df = pd.DataFrame({
+            "g": ["a", "a", None, "b", None],
+            "v": [5, 15, 7, None, 23],
+        })
+        ds = ray.data.from_pandas(df).repartition(2)
+        got = numeric_histogram(ds, "v", width=10, by=["g"]).to_pandas()
+        rows = {("" if pd.isna(r["g"]) else r["g"], int(r["bin_lo"])):
+                int(r["n"]) for _, r in got.iterrows()}
+        # NULL v dropped (b vanishes), NULL g kept as its own group
+        assert rows == {("a", 0): 1, ("a", 10): 1, ("", 0): 1, ("", 20): 1}
