@@ -4267,6 +4267,19 @@ def q_lang_len_hist(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["bin_lo", "n"])
 
 
+def q_doc_repetition(sf_dir: str) -> Any:
+    """Gopher-style intra-document repetition audit: per doc, the most
+    frequent word bigram's count, total bigrams, distinct bigrams — the
+    exact-integer basis for the 'top-2-gram fraction' and 'duplicate
+    2-gram fraction' quality filters. Per-batch map, nothing shuffles."""
+    from calendar_event_entity_extraction_ray.stages.text_analysis import (
+        repetition_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4423,6 +4436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_regression": q_grouped_regression,
         "doc_len_hist": q_doc_len_hist,
         "lang_len_hist": q_lang_len_hist,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -5581,6 +5595,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents WHERE n_chars IS NOT NULL
             GROUP BY lang, 2
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), bg AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+                FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 2
+            ), c AS (
+                SELECT doc_id, bigram, COUNT(*) AS n
+                FROM bg GROUP BY doc_id, bigram
+            )
+            SELECT doc_id, MAX(n) AS top_bigram_n,
+                   CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                   COUNT(*) AS n_distinct_bigrams
+            FROM c GROUP BY doc_id
         """,
         "triangle_count": f"""
             WITH e AS (

@@ -61,6 +61,38 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     return out
 
 
+def repetition_batch(batch: pd.DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> pd.DataFrame:
+    """Gopher-style INTRA-document repetition signals per doc: the count of
+    the most frequent word bigram, total bigrams, and distinct bigrams —
+    exact integers (the fractions top/total and 1 - distinct/total are left
+    to the reader, like grouped_regression's moments, so the oracle compare
+    is bit-exact). Tokens are ``text.split(' ')`` with empties kept ==
+    DuckDB ``string_split(text, ' ')``; docs with < 2 tokens emit no row
+    (the SQL's ``len(ws) >= 2`` guard). Pure per-batch map — corpus-scale
+    safe, nothing shuffles."""
+    from collections import Counter
+
+    ids, tops, tots, dists = [], [], [], []
+    for i, txt in zip(batch[id_col], batch[text_col]):
+        if not isinstance(txt, str):
+            continue
+        ws = txt.split(" ")
+        if len(ws) < 2:
+            continue
+        c = Counter(zip(ws, ws[1:]))
+        ids.append(i)
+        tops.append(max(c.values()))
+        tots.append(len(ws) - 1)
+        dists.append(len(c))
+    return pd.DataFrame({
+        id_col: pd.Series(ids, dtype="int64"),
+        "top_bigram_n": pd.Series(tops, dtype="int64"),
+        "n_bigrams": pd.Series(tots, dtype="int64"),
+        "n_distinct_bigrams": pd.Series(dists, dtype="int64"),
+    })
+
+
 def term_document_frequency(
     ds: "ray.data.Dataset", text_col: str = "text", top_n: int = 50
 ) -> "ray.data.Dataset":

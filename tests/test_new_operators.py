@@ -653,3 +653,23 @@ class TestNumericHistogram:
                 int(r["n"]) for _, r in got.iterrows()}
         # NULL v dropped (b vanishes), NULL g kept as its own group
         assert rows == {("a", 0): 1, ("a", 10): 1, ("", 0): 1, ("", 20): 1}
+
+
+class TestRepetitionSignals:
+    def test_edges_and_counts(self):
+        from calendar_event_entity_extraction_ray.stages.text_analysis import (
+            repetition_batch,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b a b a",      # bigrams: ab,ba,ab,ba -> top 2 of 4, 2 distinct
+                     "solo",            # < 2 tokens: no row
+                     None,              # null text: no row
+                     "x x x x"],        # xx,xx,xx -> top 3 of 3, 1 distinct
+        })
+        out = repetition_batch(df)
+        rows = {int(r["doc_id"]): (int(r["top_bigram_n"]), int(r["n_bigrams"]),
+                                   int(r["n_distinct_bigrams"]))
+                for _, r in out.iterrows()}
+        assert rows == {1: (2, 4, 2), 4: (3, 3, 1)}
