@@ -4280,6 +4280,36 @@ def q_doc_repetition(sf_dir: str) -> Any:
     return ds.map_batches(repetition_batch, batch_format="pandas")
 
 
+def q_segment_nation_orders(sf_dir: str) -> Any:
+    """Order counts per (market segment, customer nation) through the
+    auto_join front door: customer is counted first (parquet-footer count,
+    no scan) and routes to the map-side broadcast_join — orders never
+    shuffle; the 125-group aggregate stream-reduces. At web scale customer
+    outgrows broadcast_max_rows and the SAME call routes to the exchange
+    hash join — identical rows either way (TestAutoJoin pins it)."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import auto_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_nationkey"])
+    joined = auto_join(orders, cust, key="c_custkey",
+                       left_cols=["c_custkey"],
+                       right_cols=["c_custkey", "c_mktsegment",
+                                   "c_nationkey"])
+    out = grouped_sums(
+        joined.map_batches(
+            lambda b: b.select(["c_mktsegment", "c_nationkey"]),
+            batch_format="pyarrow"),
+        key_cols=["c_mktsegment", "c_nationkey"], sum_cols=[],
+        count_alias="n", stream_reduce=True)
+    return _int64(out.to_pandas(), ["c_nationkey", "n"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4437,6 +4467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_hist": q_doc_len_hist,
         "lang_len_hist": q_lang_len_hist,
         "doc_repetition": q_doc_repetition,
+        "segment_nation_orders": q_segment_nation_orders,
     }
 
 
@@ -5595,6 +5626,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents WHERE n_chars IS NOT NULL
             GROUP BY lang, 2
+        """,
+        "segment_nation_orders": """
+            SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, c_nationkey
         """,
         "doc_repetition": """
             WITH toks AS (

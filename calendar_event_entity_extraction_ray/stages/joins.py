@@ -521,6 +521,100 @@ def detect_hot_keys(
     return {k: int(c) for k, c in sums.items() if c > cut}
 
 
+def broadcast_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key,
+    left_cols: List[str],
+    right_cols: List[str],
+    how: str = "inner",
+    max_broadcast_rows: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Map-side join against a dimension-sized right table: the right side
+    is collected once, ``ray.put`` once, and every left batch does ONE
+    vectorized pandas merge against it — NO shuffle, the left side never
+    leaves its blocks. The generalization of ``broadcast_lookup`` to
+    multi-column right payloads and composite keys; output layout and NULL
+    semantics match ``hash_join`` exactly (right NULL keys dropped; left
+    NULL keys dropped for inner, kept-unmatched for left), so the two are
+    interchangeable — ``auto_join`` picks between them by right-side size.
+
+    ``max_broadcast_rows`` makes the dimension-sized assumption explicit
+    (like skewed_hash_join's ``max_hot_right_rows``): exceeding it raises
+    rather than silently materializing a fact table on the driver."""
+    import ray as _ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: broadcast_join supports inner/left")
+    keys = [key] if isinstance(key, str) else list(key)
+    l_only = [c for c in left_cols if c not in keys]
+    r_only = [c for c in right_cols if c not in keys]
+    out_cols = keys + l_only + r_only
+    l_cols = list(dict.fromkeys(keys + list(left_cols)))
+    r_cols = list(dict.fromkeys(keys + list(right_cols)))
+
+    n_r = right.count()
+    if n_r > max_broadcast_rows:
+        raise ValueError(
+            f"broadcast_join right side has {n_r} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; use hash_join "
+            "(exchange) for large-large joins")
+    rdf = right.select_columns(r_cols).to_pandas()
+    # SQL equality never matches NULL: right NULL-key rows prove nothing
+    # and must not NaN==NaN-match a kept left NULL row in pandas merge
+    rdf = rdf[~rdf[keys].isna().any(axis=1)].reset_index(drop=True)
+    r_ref = _ray.put(rdf)
+
+    def bjoin(b: pa.Table) -> pa.Table:
+        rd = _ray.get(r_ref)
+        lg = b.select(l_cols).to_pandas()
+        if how == "inner":
+            lg = lg[~lg[keys].isna().any(axis=1)]
+        for k in keys:
+            # a left batch whose key column carries a null arrives float64
+            # while the right side is int64 — pandas merge refuses mixed
+            # dtypes; float64 equality is exact for |v| < 2^53 (the same
+            # canonicalization hash64_columns documents)
+            if lg[k].dtype != rd[k].dtype:
+                rd = rd.assign(**{k: rd[k].astype(lg[k].dtype)})
+        out = lg.merge(rd, on=keys, how=how)[out_cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return left.map_batches(bjoin, batch_format="pyarrow")
+
+
+def auto_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key,
+    left_cols: List[str],
+    right_cols: List[str],
+    how: str = "inner",
+    broadcast_max_rows: int = 2_000_000,
+    hot_share: float = 0.0,
+) -> "ray.data.Dataset":
+    """Size-routed join front door — the one call a pipeline author makes;
+    the routing decisions the brief's scale notes prescribe happen here:
+
+    - right side fits ``broadcast_max_rows`` (counted first — a parquet
+      count is O(footers), no scan) -> ``broadcast_join``: map-side, the
+      big side never shuffles;
+    - else, ``hot_share`` > 0 and inner -> ``skewed_hash_join``: probe for
+      hot keys, fragment-replicate them, exchange the cold rest;
+    - else -> plain exchange ``hash_join``.
+
+    All routes emit identical rows (pinned by TestAutoJoin); the choice is
+    performance-only, so a mis-sized threshold can never corrupt results."""
+    n_r = right.count()
+    if n_r <= broadcast_max_rows and how in ("inner", "left"):
+        return broadcast_join(left, right, key, left_cols, right_cols,
+                              how=how, max_broadcast_rows=broadcast_max_rows)
+    if hot_share > 0 and how == "inner" and isinstance(key, str):
+        return skewed_hash_join(left, right, key, left_cols, right_cols,
+                                hot_share=hot_share)
+    return hash_join(left, right, key, left_cols, right_cols, how=how)
+
+
 def skewed_hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

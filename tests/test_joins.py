@@ -258,3 +258,73 @@ class TestSkewedHashJoin:
                 ray.data.from_pandas(right),
                 key="k", left_cols=["k", "lv"], right_cols=["k", "rv"],
                 hot_share=0.05, max_hot_right_rows=1)
+
+
+class TestAutoJoin:
+    def _fixture(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        left = pd.DataFrame({
+            "k": rng.randint(0, 50, 400).astype("float64"),
+            "lv": np.arange(400),
+        })
+        left.loc[::13, "k"] = None  # nullable int key -> float64 batches
+        right = pd.DataFrame({
+            "k": np.arange(0, 60, dtype="int64"),
+            "rv": np.arange(0, 60) * 10,
+            "rw": [f"s{i}" for i in range(60)],
+        })
+        right.loc[5, "k"] = None
+        return left, right
+
+    def _truth(self, left, right, how):
+        l2 = left if how == "left" else left[left["k"].notna()]
+        r2 = right[right["k"].notna()]
+        return (l2.merge(r2, on="k", how=how)
+                .sort_values(["lv"]).reset_index(drop=True))
+
+    def _run(self, how, force_exchange, ray_mod):
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            auto_join,
+        )
+
+        left, right = self._fixture()
+        l = ray_mod.data.from_pandas(left).repartition(4)
+        r = ray_mod.data.from_pandas(right).repartition(2)
+        got = auto_join(
+            l, r, key="k", left_cols=["k", "lv"],
+            right_cols=["k", "rv", "rw"], how=how,
+            broadcast_max_rows=(0 if force_exchange else 1000),
+        ).to_pandas().sort_values(["lv"]).reset_index(drop=True)
+        want = self._truth(left, right, how)
+        assert len(got) == len(want)
+        for c in ["k", "lv", "rv"]:
+            pd.testing.assert_series_equal(
+                got[c].astype("float64"), want[c].astype("float64"),
+                check_names=False)
+        assert got["rw"].fillna("").tolist() == want["rw"].fillna("").tolist()
+
+    def test_broadcast_route_inner_and_left(self, ray_session):
+        import ray
+        self._run("inner", False, ray)
+        self._run("left", False, ray)
+
+    def test_exchange_route_matches_broadcast(self, ray_session):
+        import ray
+        self._run("inner", True, ray)
+        self._run("left", True, ray)
+
+    def test_broadcast_size_guard(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            broadcast_join,
+        )
+
+        left, right = self._fixture()
+        with pytest.raises(ValueError, match="max_broadcast_rows"):
+            broadcast_join(ray.data.from_pandas(left),
+                           ray.data.from_pandas(right), key="k",
+                           left_cols=["k", "lv"], right_cols=["k", "rv"],
+                           max_broadcast_rows=10)
