@@ -4310,6 +4310,25 @@ def q_segment_nation_orders(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["c_nationkey", "n"])
 
 
+def q_lm_scored_docs(sf_dir: str) -> Any:
+    """CCNet-style bigram-LM quality score: train exact gram counts on the
+    lang=='en' subset (one fused exchange), broadcast the tables once,
+    score EVERY doc in one map pass — exact integers (lm_logp_e6,
+    n_bigrams); golden-parquet oracle recomputes single-process through
+    the same kernels."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.lmfilter import (
+        lm_score,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    train = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en"))
+        .select(["text"]), batch_format="pyarrow")
+    return lm_score(train, docs)
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4468,6 +4487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_hist": q_lang_len_hist,
         "doc_repetition": q_doc_repetition,
         "segment_nation_orders": q_segment_nation_orders,
+        "lm_scored_docs": q_lm_scored_docs,
     }
 
 
@@ -4697,6 +4717,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_flagship": f"SELECT subj, pred, obj, url FROM {_golden('kg_flagship')}",
         "model_scored_docs":
             f"SELECT doc_id, score_e6 FROM {_golden('model_scored_docs')}",
+        "lm_scored_docs":
+            f"SELECT doc_id, lm_logp_e6, n_bigrams"
+            f" FROM {_golden('lm_scored_docs')}",
         "kg_entity_degree": f"""
             SELECT obj, COUNT(*) AS degree FROM {_golden('kg_flagship')}
             WHERE pred IN ('hasAttendee', 'hasLocation') GROUP BY obj

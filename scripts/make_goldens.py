@@ -717,8 +717,39 @@ def golden_compression_ratio() -> pa.Table:
                      "ratio_e4": pa.array(ratios, pa.int64())})
 
 
+def golden_lm_scored_docs() -> pa.Table:
+    """Single-process mirror of q_lm_scored_docs: exact gram counts over
+    the lang=='en' subset via the SAME pure kernels the distributed op
+    uses (stages/lmfilter.py), then per-doc scoring in doc_id file order.
+    Integer counts commute, the per-doc float64 sum runs in document
+    order on both sides — bit-identical by construction."""
+    from calendar_event_entity_extraction_ray.stages.lmfilter import (
+        doc_logprob_e6,
+        gram_counts,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    uni, bi = gram_counts(x for x, lg in zip(texts, langs) if lg == "en")
+    vocab = len(uni)
+    ids, lps, nbs = [], [], []
+    for i, txt in zip(t.column("doc_id").to_pylist(), texts):
+        r = doc_logprob_e6(txt, uni, bi, vocab)
+        if r is None:
+            continue
+        ids.append(i)
+        lps.append(r[0])
+        nbs.append(r[1])
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "lm_logp_e6": pa.array(lps, pa.int64()),
+                     "n_bigrams": pa.array(nbs, pa.int64())})
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
+    "lm_scored_docs": golden_lm_scored_docs,
     "compression_ratio_docs": golden_compression_ratio,
     "training_sequences": golden_training_sequences,
     "model_scored_docs": golden_model_scored_docs,
