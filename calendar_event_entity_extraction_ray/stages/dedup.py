@@ -93,8 +93,10 @@ def hash64_columns(batch: pa.Table, cols: List[str]) -> "np.ndarray":
             # co-locate on the exchange. Cast to float64 up front so equal
             # values always hash equal (ints >2^53 may collide after the
             # cast, which is fine: this is a shuffle key with exact
-            # re-checks, never an identity).
-            data[c] = col.cast(pa.float64()).to_pandas()
+            # re-checks, never an identity). safe=False because the cast
+            # being lossy is the accepted design — a checked cast raises
+            # on any int key above 2^53 (hash-valued or snowflake ids).
+            data[c] = col.cast(pa.float64(), safe=False).to_pandas()
         else:
             data[c] = col.to_pandas()
     h = pd.util.hash_pandas_object(

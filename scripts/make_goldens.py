@@ -724,8 +724,9 @@ def golden_lm_scored_docs() -> pa.Table:
     Integer counts commute, the per-doc float64 sum runs in document
     order on both sides — bit-identical by construction."""
     from calendar_event_entity_extraction_ray.stages.lmfilter import (
-        doc_logprob_e6,
+        build_lm_table,
         gram_counts,
+        score_texts,
     )
 
     t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
@@ -733,15 +734,8 @@ def golden_lm_scored_docs() -> pa.Table:
     texts = t.column("text").to_pylist()
     langs = t.column("lang").to_pylist()
     uni, bi = gram_counts(x for x, lg in zip(texts, langs) if lg == "en")
-    vocab = len(uni)
-    ids, lps, nbs = [], [], []
-    for i, txt in zip(t.column("doc_id").to_pylist(), texts):
-        r = doc_logprob_e6(txt, uni, bi, vocab)
-        if r is None:
-            continue
-        ids.append(i)
-        lps.append(r[0])
-        nbs.append(r[1])
+    table = build_lm_table(uni, bi)
+    ids, lps, nbs = score_texts(t.column("doc_id").to_pylist(), texts, table)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "lm_logp_e6": pa.array(lps, pa.int64()),
                      "n_bigrams": pa.array(nbs, pa.int64())})
