@@ -673,3 +673,26 @@ class TestRepetitionSignals:
                                    int(r["n_distinct_bigrams"]))
                 for _, r in out.iterrows()}
         assert rows == {1: (2, 4, 2), 4: (3, 3, 1)}
+
+
+class TestFullRangeIntKeys:
+    def test_grouped_count_hash_valued_keys_large_path(self, ray_session):
+        """Keys above 2^53 (hash-valued / snowflake ids) must survive the
+        exchange's float64 routing cast (lossy routing is fine — the fold
+        groups by the TRUE key; a checked cast used to raise outright)."""
+        import numpy as np
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            grouped_count,
+        )
+
+        n_keys, reps = 1_000, 120  # 120k rows -> large exchange path
+        keys = (np.arange(n_keys, dtype=np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15)).view(np.int64)
+        df = pd.DataFrame({"k": np.tile(keys, reps)})
+        ds = ray.data.from_pandas(df).repartition(8)
+        got = grouped_count(ds, "k", out_col="n").to_pandas()
+        assert len(got) == n_keys
+        assert (got["n"] == reps).all()
+        assert set(got["k"]) == set(keys.tolist())
