@@ -114,7 +114,10 @@ def run_bench() -> dict:
         "decontaminate_docs_bloom", "mix_sources",
         # classic-plan + corpus-op completions
         "custdist", "profit_by_nation_year", "market_share",
-        "winsorized_chars", "funnel_conversion", "co_attendance"]
+        "winsorized_chars", "funnel_conversion", "co_attendance",
+        # late-session operators
+        "doc_len_hist", "doc_repetition", "segment_nation_orders",
+        "lm_scored_docs"]
     for name in query_names:
         fn = E.queries()[name]
         t0 = time.time()
