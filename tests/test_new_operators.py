@@ -696,3 +696,52 @@ class TestFullRangeIntKeys:
         assert len(got) == n_keys
         assert (got["n"] == reps).all()
         assert set(got["k"]) == set(keys.tolist())
+
+
+class TestLmFilter:
+    def test_distributed_matches_single_process_large_path(self, ray_session):
+        """120k docs -> gram partials exceed the exchange small-path cap;
+        distributed training + scoring must stay bit-identical to the
+        single-process mirror (same kernels, same collision folds)."""
+        import numpy as np
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.lmfilter import (
+            build_lm_table,
+            gram_counts,
+            lm_score,
+            score_texts,
+        )
+
+        vocab = np.array([f"w{i}" for i in range(500)])
+        rng = np.random.RandomState(11)
+        texts = [" ".join(vocab[rng.randint(0, 500, 12)])
+                 for _ in range(120_000)]
+        df = pd.DataFrame({"doc_id": np.arange(120_000, dtype=np.int64),
+                           "text": texts})
+        ds = ray.data.from_pandas(df).repartition(8)
+        train = ray.data.from_pandas(df.iloc[:20_000]).repartition(4)
+
+        got = (lm_score(train, ds).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        uni, bi = gram_counts(df["text"].iloc[:20_000])
+        ids, e6, nb = score_texts(df["doc_id"].tolist(),
+                                  df["text"].tolist(),
+                                  build_lm_table(uni, bi))
+        assert np.array_equal(got["doc_id"].to_numpy(), ids)
+        assert np.array_equal(got["lm_logp_e6"].to_numpy(), e6)
+        assert np.array_equal(got["n_bigrams"].to_numpy(), nb)
+
+    def test_short_and_null_docs_emit_no_row(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.lmfilter import (
+            lm_score,
+        )
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3],
+                           "text": ["a b a", "solo", None]})
+        ds = ray.data.from_pandas(df)
+        out = lm_score(ds, ds).to_pandas()
+        assert out["doc_id"].tolist() == [1]
+        assert out["n_bigrams"].tolist() == [2]
