@@ -50,8 +50,14 @@ def training_sequences(
     capacity: int = 256,
     bucket_size: int = 32,
     decontam_mode: str = "auto",
+    lm_quantile: float = 0.0,
 ) -> "ray.data.Dataset":
-    """(bucket, bin, n_docs, n_tok, seq_text) — packed train sequences."""
+    """(bucket, bin, n_docs, n_tok, seq_text) — packed train sequences.
+
+    ``lm_quantile`` > 0 inserts the CCNet-style bigram-LM tail cut after
+    corpus_clean (stages/lmfilter.py:lm_filter_low_quality): drop that
+    fraction of lowest-scoring docs before decontamination. Default off —
+    the golden sequence counts are pinned without it."""
     from calendar_event_entity_extraction_ray.pipelines.corpus import (
         corpus_clean,
     )
@@ -78,6 +84,13 @@ def training_sequences(
     ev = with_split.filter(expr="split == 'eval'").drop_columns(["split"])
 
     clean = corpus_clean(train, text_col=text_col, id_col=id_col)
+    if lm_quantile and lm_quantile > 0:
+        from calendar_event_entity_extraction_ray.stages.lmfilter import (
+            lm_filter_low_quality,
+        )
+
+        clean = lm_filter_low_quality(clean, lm_quantile,
+                                      text_col=text_col, id_col=id_col)
     # eval sides are small by construction; contaminated ids join back via
     # the exchange anti_join, so nothing here grows with the corpus
     contaminated = contaminated_doc_ids(

@@ -184,6 +184,46 @@ def train_bigram_lm(
     return LmTable(uh, un, bh, bn, len(uh))
 
 
+def lm_filter_low_quality(
+    docs: "ray.data.Dataset",
+    q: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """CCNet-style tail cut: self-train the bigram LM on ``docs``, score
+    every doc, drop the lowest ``q`` fraction by per-bigram average
+    log-prob (lm_logp_e6 / n_bigrams — boilerplate and natural text score
+    high; gibberish, wrong-language and mojibake score low). The cut is
+    the EXACT distributed quantile (stages/quantiles.py histogram-refine
+    — no global sort), survivors rejoin the text via the exchange semi
+    join, so nothing driver-side grows with the corpus. Docs with < 2
+    tokens have no score and are dropped (unscorable)."""
+    from calendar_event_entity_extraction_ray.stages.joins import semi_join
+    from calendar_event_entity_extraction_ray.stages.quantiles import (
+        exact_quantiles,
+    )
+
+    def ratio(b: pa.Table) -> pa.Table:
+        e6 = b.column("lm_logp_e6").to_numpy()
+        nb = b.column("n_bigrams").to_numpy()
+        return b.append_column(
+            "lp_per_bg", pa.array(e6 / nb, pa.float64()))
+
+    scored = lm_score(docs, docs, text_col, id_col).map_batches(
+        ratio, batch_format="pyarrow").materialize()  # quantile + filter
+    thr = exact_quantiles(scored, "lp_per_bg", [q])[0][1]
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(
+            b.column("lp_per_bg"), pa.scalar(thr))).select([id_col])
+
+    keep = scored.map_batches(keep_batch, batch_format="pyarrow")
+    return semi_join(docs, keep, key=id_col,
+                     left_cols=[c for c in docs.schema().names])
+
+
 def lm_score(
     train: "ray.data.Dataset",
     docs: "ray.data.Dataset",

@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--capacity", type=int, default=256)
     ap.add_argument("--bucket-size", type=int, default=32)
     ap.add_argument("--n-gram", type=int, default=4)
+    ap.add_argument("--lm-quantile", type=float, default=0.0,
+                    help="drop this fraction of lowest bigram-LM-scoring "
+                         "docs after cleaning (0 = off)")
     ap.add_argument("--fingerprint", default="")
     args = ap.parse_args()
 
@@ -55,7 +58,8 @@ def main() -> int:
     docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
     seqs = training_sequences(docs, n_gram=args.n_gram,
                               capacity=args.capacity,
-                              bucket_size=args.bucket_size)
+                              bucket_size=args.bucket_size,
+                              lm_quantile=args.lm_quantile)
 
     def add_seq_id(b: pa.Table) -> pa.Table:
         # deterministic total order for the partition writer's sort
@@ -68,7 +72,9 @@ def main() -> int:
     seqs = seqs.map_batches(add_seq_id, batch_format="pyarrow")
     fingerprint = args.fingerprint or (
         f"traindata-{args.input}-{args.capacity}-{args.bucket_size}-"
-        f"{args.n_gram}")
+        f"{args.n_gram}"
+        # appended only when set so pre-existing manifests keep resuming
+        + (f"-lmq{args.lm_quantile}" if args.lm_quantile else ""))
     manifest = write_corpus(seqs, args.out, fingerprint=fingerprint,
                             id_col="seq_id",
                             num_partitions=args.partitions)

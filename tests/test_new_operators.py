@@ -745,3 +745,37 @@ class TestLmFilter:
         out = lm_score(ds, ds).to_pandas()
         assert out["doc_id"].tolist() == [1]
         assert out["n_bigrams"].tolist() == [2]
+
+    def test_lm_tail_cut_drops_lowest_scorers(self, ray_session):
+        import numpy as np
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.lmfilter import (
+            build_lm_table,
+            gram_counts,
+            lm_filter_low_quality,
+            score_texts,
+        )
+
+        # natural-ish docs repeat bigrams; gibberish docs never do
+        rng = np.random.RandomState(5)
+        common = ["the cat sat on the mat " * 3 + f"tail{i}"
+                  for i in range(160)]
+        gibberish = [" ".join(f"g{rng.randint(1e9)}" for _ in range(12))
+                     for _ in range(40)]
+        df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                           "text": common + gibberish})
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = lm_filter_low_quality(ds, 0.2).to_pandas()
+        kept = set(out["doc_id"])
+        # exactly the quantile cut survives, and survivors are the
+        # top scorers per the single-process mirror
+        uni, bi = gram_counts(df["text"])
+        ids, e6, nb = score_texts(df["doc_id"].tolist(),
+                                  df["text"].tolist(),
+                                  build_lm_table(uni, bi))
+        ratio = e6 / nb
+        order = np.argsort(ratio, kind="stable")
+        worst = set(ids[order][: len(ids) - len(kept)].tolist())
+        assert kept == set(ids.tolist()) - worst
+        assert all(int(i) >= 160 for i in worst)  # gibberish dropped
