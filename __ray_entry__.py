@@ -3050,6 +3050,159 @@ def q_brand_small_qty(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["l_partkey", "rev_e4", "n_small"])
 
 
+def q_parts_supplier_cnt(sf_dir: str) -> Any:
+    """TPC-H Q16 shape — COUNT(DISTINCT supplier) per part attribute
+    group with a NOT IN exclusion list: part is a broadcast dim (index
+    dict + np.take over attribute arrays — one vectorized lookup adds
+    all three columns), the excluded-supplier set is a broadcast np.isin
+    filter (at full supplier cardinality this routes through
+    stages/joins.py:anti_join unchanged), then DISTINCT
+    (brand, type, size, suppkey) and the per-group count run as two
+    grouped_sums — each batch collapses to its distinct rows before the
+    exchange, so a hot (attrs, supplier) pair ships one row per batch."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    sizes = {1, 5, 9, 13, 17, 21, 25, 29}
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    keep = [(pk, b, t, s) for pk, b, t, s in zip(
+        part.column("p_partkey").to_pylist(),
+        part.column("p_brand").to_pylist(),
+        part.column("p_type").to_pylist(),
+        part.column("p_size").to_pylist())
+        if b != "Brand#13" and s in sizes]
+    dim_ref = _ray.put({
+        "idx": {pk: i for i, (pk, _, _, _) in enumerate(keep)},
+        "brand": np.array([b for _, b, _, _ in keep], dtype=object),
+        "type": np.array([t for _, _, t, _ in keep], dtype=object),
+        "size": np.array([s for _, _, _, s in keep], dtype=np.int64),
+    })
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad_ref = _ray.put(np.array(
+        [k for k, bal in zip(sup.column("s_suppkey").to_pylist(),
+                             sup.column("s_acctbal").to_pylist())
+         if bal < 0], dtype=np.int64))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        dim = _ray.get(dim_ref)          # once per task; worker-cached
+        bad = _ray.get(bad_ref)
+        sk = b.column("l_suppkey").to_numpy()
+        b = b.filter(pa.array(~np.isin(sk, bad)))
+        idx = b.column("l_partkey").to_pandas().map(dim["idx"])
+        b = b.filter(pa.array(idx.notna().to_numpy()))
+        ii = idx.dropna().to_numpy().astype(np.int64)
+        return pa.table({
+            "p_brand": pa.array(np.take(dim["brand"], ii), pa.string()),
+            "p_type": pa.array(np.take(dim["type"], ii), pa.string()),
+            "p_size": pa.array(np.take(dim["size"], ii), pa.int64()),
+            "l_suppkey": b.column("l_suppkey"),
+        })
+
+    tagged = li.map_batches(attach, batch_format="pyarrow")
+    distinct = grouped_sums(
+        tagged, key_cols=["p_brand", "p_type", "p_size", "l_suppkey"],
+        sum_cols=[], count_alias="_n").drop_columns(["_n"])
+    out = grouped_sums(distinct, key_cols=["p_brand", "p_type", "p_size"],
+                       sum_cols=[], count_alias="supplier_cnt")
+    return _int64(out.to_pandas(),
+                  ["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+
+def q_dominant_part_supplier(sf_dir: str) -> Any:
+    """TPC-H Q20 shape — nested aggregates at two granularities plus a
+    semi join back to the dimension: one year's lines for a part-name
+    family (broadcast partkey set) aggregate to per-(part, supplier)
+    quantities, those partials re-aggregate to per-part totals, a hash
+    join ships each total back onto its suppliers, and the dominance
+    predicate 2*q > total (exact in int64 — integer quantities) keeps
+    suppliers that shipped more than half of a part's volume. The
+    supplier name attaches via a broadcast dict; DISTINCT collapses a
+    supplier dominating several parts to one output row."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_dict_local, broadcast_lookup,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    fam_ref = _ray.put({pk: 1 for pk, nm in zip(
+        part.column("p_partkey").to_pylist(),
+        part.column("p_name").to_pylist()) if nm.startswith("small")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"],
+               predicate=(
+                   (pds.field("l_shipdate")
+                    >= pd.Timestamp("1996-01-01"))
+                   & (pds.field("l_shipdate")
+                      < pd.Timestamp("1997-01-01"))))
+    li = broadcast_lookup(li, fam_ref, "l_partkey", "_f",
+                          out_type=pa.int64())
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy()
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "qty_i": pa.array(np.floor(qty + 0.5).astype(np.int64)),
+        })
+
+    per_ps = grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["l_partkey", "l_suppkey"], sum_cols=["qty_i"],
+        count_alias="_n").drop_columns(["_n"]).materialize()
+
+    per_p = grouped_sums(
+        per_ps.map_batches(
+            lambda b: b.select(["l_partkey", "qty_i"]).rename_columns(
+                ["l_partkey", "tq"]),
+            batch_format="pyarrow"),
+        key_cols=["l_partkey"], sum_cols=["tq"], count_alias="_n")
+
+    joined = hash_join(
+        per_ps, per_p, key="l_partkey",
+        left_cols=["l_partkey", "l_suppkey", "qty_i"],
+        right_cols=["l_partkey", "tq"])
+
+    import pyarrow.compute as pc
+
+    dominant = joined.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b.column("qty_i"), pa.scalar(2, pa.int64())),
+            b.column("tq"))).select(["l_suppkey"]),
+        batch_format="pyarrow")
+
+    name_ref = broadcast_dict_local(f"{sf_dir}/supplier.parquet",
+                                    "s_suppkey", "s_name")
+    named = broadcast_lookup(dominant, name_ref, "l_suppkey", "s_name",
+                             out_type=pa.string())
+    out = grouped_sums(
+        named.map_batches(
+            lambda b: b.rename_columns(["s_suppkey", "s_name"]),
+            batch_format="pyarrow"),
+        key_cols=["s_suppkey", "s_name"], sum_cols=[],
+        count_alias="_n").drop_columns(["_n"])
+    return _int64(out.to_pandas(), ["s_suppkey", "s_name"])
+
+
 def q_priority_exists(sf_dir: str) -> Any:
     """TPC-H Q4 shape — EXISTS decorrelated into a semi join: orders in
     a half-year window keep only those with >= 1 returned line, then a
@@ -4423,6 +4576,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_prank": q_user_value_prank,
         "region_nation_revenue": q_region_nation_revenue,
         "brand_small_qty": q_brand_small_qty,
+        "parts_supplier_cnt": q_parts_supplier_cnt,
+        "dominant_part_supplier": q_dominant_part_supplier,
         "priority_exists": q_priority_exists,
         "nation_pair_volume": q_nation_pair_volume,
         "returned_revenue": q_returned_revenue,
@@ -5172,6 +5327,39 @@ def oracle_sql() -> dict[str, str]:
                   SELECT AVG(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = l.l_partkey)
             GROUP BY l.l_partkey
+        """,
+        "parts_supplier_cnt": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "dominant_part_supplier": """
+            WITH per_ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                            AS BIGINT) AS q
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1997-01-01'
+                GROUP BY l_partkey, l_suppkey
+            ), per_p AS (
+                SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS tq
+                FROM per_ps GROUP BY l_partkey
+            )
+            SELECT DISTINCT s.s_suppkey, s.s_name
+            FROM per_ps ps
+            JOIN per_p p USING (l_partkey)
+            JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+            WHERE 2 * ps.q > p.tq
         """,
         "priority_line_counts": """
             SELECT l.l_linestatus,
