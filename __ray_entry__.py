@@ -4482,6 +4482,44 @@ def q_lm_scored_docs(sf_dir: str) -> Any:
     return lm_score(train, docs)
 
 
+def _dsir_inputs(sf_dir: str):
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en"))
+        .select(["text"]), batch_format="pyarrow")
+    return target, docs
+
+
+def q_dsir_scored_docs(sf_dir: str) -> Any:
+    """DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
+    bucket multinomials fit on the lang=='en' target vs the full raw
+    corpus (stream-reduced bincount partials — each pass ships
+    |buckets| x |batches| rows), then every doc's log importance ratio
+    as an exact int64 sum over a broadcast scaled-int table. Golden
+    oracle recomputes single-process through the same kernels
+    (stages/dsir.py)."""
+    from calendar_event_entity_extraction_ray.stages.dsir import dsir_score
+
+    target, docs = _dsir_inputs(sf_dir)
+    return dsir_score(target, docs)
+
+
+def q_dsir_selected_docs(sf_dir: str) -> Any:
+    """DSIR selection: Gumbel-top-k importance resample (deterministic
+    md5-driven Gumbel noise, the A-ES sampler convention) — the
+    without-replacement sample of 100 raw docs with probability
+    proportional to their importance weight, as a per-block partial
+    top-k + one kilobyte fold."""
+    from calendar_event_entity_extraction_ray.stages.dsir import dsir_select
+
+    target, docs = _dsir_inputs(sf_dir)
+    out = dsir_select(target, docs, k=100)
+    return _int64(out.to_pandas(),
+                  ["doc_id", "dsir_logratio_e6", "n_grams"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4643,6 +4681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "segment_nation_orders": q_segment_nation_orders,
         "lm_scored_docs": q_lm_scored_docs,
+        "dsir_scored_docs": q_dsir_scored_docs,
+        "dsir_selected_docs": q_dsir_selected_docs,
     }
 
 
@@ -4875,6 +4915,12 @@ def oracle_sql() -> dict[str, str]:
         "lm_scored_docs":
             f"SELECT doc_id, lm_logp_e6, n_bigrams"
             f" FROM {_golden('lm_scored_docs')}",
+        "dsir_scored_docs":
+            f"SELECT doc_id, dsir_logratio_e6, n_grams"
+            f" FROM {_golden('dsir_scored_docs')}",
+        "dsir_selected_docs":
+            f"SELECT doc_id, dsir_logratio_e6, n_grams"
+            f" FROM {_golden('dsir_selected_docs')}",
         "kg_entity_degree": f"""
             SELECT obj, COUNT(*) AS degree FROM {_golden('kg_flagship')}
             WHERE pred IN ('hasAttendee', 'hasLocation') GROUP BY obj

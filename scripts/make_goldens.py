@@ -741,9 +741,54 @@ def golden_lm_scored_docs() -> pa.Table:
                      "n_bigrams": pa.array(nbs, pa.int64())})
 
 
+def _dsir_mirror():
+    """Shared single-process mirror of the DSIR queries: exact bucket
+    counts and scores via the SAME pure kernels the distributed op uses
+    (stages/dsir.py) — integer partials commute, lam/gumbel float chains
+    are the shared functions, so both sides are bit-identical by
+    construction."""
+    from calendar_event_entity_extraction_ray.stages.dsir import (
+        bucket_count_partial,
+        dsir_doc_scores,
+        lam_e6_table,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    p = bucket_count_partial(
+        (x for x, lg in zip(texts, langs) if lg == "en"), 4096)
+    q = bucket_count_partial(texts, 4096)
+    lam = lam_e6_table(p, q)
+    kept, sc, ng = dsir_doc_scores(ids, texts, lam)
+    return kept, sc, ng
+
+
+def golden_dsir_scored_docs() -> pa.Table:
+    kept, sc, ng = _dsir_mirror()
+    return pa.table({"doc_id": pa.array(kept, pa.int64()),
+                     "dsir_logratio_e6": pa.array(sc, pa.int64()),
+                     "n_grams": pa.array(ng, pa.int64())})
+
+
+def golden_dsir_selected_docs() -> pa.Table:
+    from calendar_event_entity_extraction_ray.stages.dsir import gumbel_keys
+
+    kept, sc, ng = _dsir_mirror()
+    df = pd.DataFrame({"doc_id": kept, "dsir_logratio_e6": sc,
+                       "n_grams": ng, "_k": gumbel_keys(kept, sc)})
+    df = (df.sort_values(["_k", "doc_id"], ascending=[False, True])
+          .head(100).drop(columns=["_k"]))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
     "lm_scored_docs": golden_lm_scored_docs,
+    "dsir_scored_docs": golden_dsir_scored_docs,
+    "dsir_selected_docs": golden_dsir_selected_docs,
     "compression_ratio_docs": golden_compression_ratio,
     "training_sequences": golden_training_sequences,
     "model_scored_docs": golden_model_scored_docs,
