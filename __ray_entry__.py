@@ -4492,6 +4492,22 @@ def _dsir_inputs(sf_dir: str):
     return target, docs
 
 
+def q_semdedup_embeddings(sf_dir: str) -> Any:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal with the
+    quadratic pair search bounded by deterministic k-means clusters —
+    one centroid fit, one assignment pass, one cluster-keyed exchange
+    whose folds drop every row with an earlier same-cluster neighbor at
+    cosine >= 0.3 (stages/semdedup.py). Golden oracle recomputes
+    single-process through the same kernels."""
+    from calendar_event_entity_extraction_ray.stages.semdedup import (
+        semdedup_drop,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semdedup_drop(ds, k=8, tau=0.3)
+    return _int64(out.to_pandas(), ["vec_id", "cluster"])
+
+
 def q_dsir_scored_docs(sf_dir: str) -> Any:
     """DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
     bucket multinomials fit on the lang=='en' target vs the full raw
@@ -4682,6 +4698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_nation_orders": q_segment_nation_orders,
         "lm_scored_docs": q_lm_scored_docs,
         "dsir_scored_docs": q_dsir_scored_docs,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "dsir_selected_docs": q_dsir_selected_docs,
     }
 
@@ -4921,6 +4938,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selected_docs":
             f"SELECT doc_id, dsir_logratio_e6, n_grams"
             f" FROM {_golden('dsir_selected_docs')}",
+        "semdedup_embeddings":
+            f"SELECT vec_id, cluster"
+            f" FROM {_golden('semdedup_embeddings')}",
         "kg_entity_degree": f"""
             SELECT obj, COUNT(*) AS degree FROM {_golden('kg_flagship')}
             WHERE pred IN ('hasAttendee', 'hasLocation') GROUP BY obj

@@ -109,27 +109,30 @@ def _init_centroids(ds: "ray.data.Dataset", vec_col: str, id_col: str,
     return np.asarray([v for _, v in rows[:k]], dtype=np.float64)
 
 
-def kmeans(
+def assign_clusters(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Distance argmin against broadcast centroids; ties take the lowest
+    cluster index on both the distributed and golden paths."""
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; row term constant in
+    # argmin, dropped
+    d = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
+    return d.argmin(axis=1)
+
+
+def fit_centroids(
     ds: "ray.data.Dataset",
     vec_col: str,
     id_col: str,
     k: int = 8,
     iters: int = 5,
-) -> "ray.data.Dataset":
-    """Lloyd's k-means, fully deterministic: init = vectors of the k
-    smallest ids; ``iters`` fixed passes of broadcast-assign +
-    partial-sum update (empty clusters keep their previous centroid);
-    final pass emits (id, cluster). Ties in the distance argmin take the
-    lowest cluster index on both the distributed and golden paths."""
-    ds = ds.select_columns([id_col, vec_col]).materialize()
+) -> np.ndarray:
+    """Lloyd's k-means centroid fit, fully deterministic: init = vectors
+    of the k smallest ids; ``iters`` fixed passes of broadcast-assign +
+    partial-sum update (empty clusters keep their previous centroid).
+    ``ds`` should already be projected to (id, vec) and materialized
+    (it is scanned iters+1 times)."""
     centroids = _init_centroids(ds, vec_col, id_col, k)
     k = len(centroids)
-
-    def assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; row term constant in
-        # argmin, dropped
-        d = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
-        return d.argmin(axis=1)
+    assign = assign_clusters
 
     for _ in range(iters):
         cents_ref = ray.put(centroids)
@@ -160,6 +163,21 @@ def kmeans(
         nonzero = counts > 0
         centroids = centroids.copy()
         centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids
+
+
+def kmeans(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> "ray.data.Dataset":
+    """Deterministic Lloyd's k-means labels: ``fit_centroids`` + one
+    final broadcast-assign pass emitting (id, cluster)."""
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    centroids = fit_centroids(ds, vec_col, id_col, k, iters)
+    assign = assign_clusters
 
     final_ref = ray.put(centroids)
 

@@ -784,11 +784,28 @@ def golden_dsir_selected_docs() -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def golden_semdedup_embeddings() -> pa.Table:
+    """Single-process mirror of q_semdedup_embeddings: sequential kmeans
+    labels + the same cluster_drop_ids kernel (stages/semdedup.py)."""
+    from calendar_event_entity_extraction_ray.stages.semdedup import (
+        semdedup_single_process,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    dd, ll = semdedup_single_process(ids, vecs, k=8, tau=0.3)
+    return pa.table({"vec_id": pa.array(dd, pa.int64()),
+                     "cluster": pa.array(ll, pa.int64())})
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
     "lm_scored_docs": golden_lm_scored_docs,
     "dsir_scored_docs": golden_dsir_scored_docs,
     "dsir_selected_docs": golden_dsir_selected_docs,
+    "semdedup_embeddings": golden_semdedup_embeddings,
     "compression_ratio_docs": golden_compression_ratio,
     "training_sequences": golden_training_sequences,
     "model_scored_docs": golden_model_scored_docs,
