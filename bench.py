@@ -117,7 +117,8 @@ def run_bench() -> dict:
         "winsorized_chars", "funnel_conversion", "co_attendance",
         # late-session operators
         "doc_len_hist", "doc_repetition", "segment_nation_orders",
-        "lm_scored_docs"]
+        "lm_scored_docs", "dsir_selected_docs", "semdedup_embeddings",
+        "parts_supplier_cnt", "dominant_part_supplier"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

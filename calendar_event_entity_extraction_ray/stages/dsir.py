@@ -52,23 +52,58 @@ from calendar_event_entity_extraction_ray.stages.lmfilter import (
 # -- pure kernels (shared with the single-process golden mirror) -----------
 
 
-def _doc_buckets(text: str, num_buckets: int) -> np.ndarray:
-    """Bucket id of every gram OCCURRENCE of one doc (multiplicity kept —
-    DSIR features are counts, not presence)."""
-    ws = text.split(" ")
-    grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
-    return (hash_strs(grams) % np.uint64(num_buckets)).astype(np.int64)
+def _flat_buckets(texts: Iterable[str], num_buckets: int):
+    """One flattened bucket-id pass over a batch of docs (the
+    stages/lmfilter.py scoring shape — cheap list extends per doc, ONE
+    siphash pass per batch). Bigram buckets come from a golden-ratio
+    multiply-add MIX of the two adjacent RAW unigram hashes instead of
+    hashing constructed "a b" strings — string build + second hash pass
+    measured 4x the whole kernel; the mix is equally uniform for a
+    bucket assignment and bigrams never materialize. Doc-boundary pairs
+    are masked out vectorized. Returns (kept_positions, uni_buckets,
+    bi_buckets, uni_lens, bi_lens) — gram OCCURRENCES in doc order,
+    multiplicity kept (DSIR features are counts, not presence)."""
+    kept: List[int] = []
+    uni: List[str] = []
+    ulens_l: List[int] = []
+    for j, txt in enumerate(texts):
+        if not isinstance(txt, str):
+            continue
+        ws = txt.split(" ")
+        uni.extend(ws)
+        ulens_l.append(len(ws))
+        kept.append(j)
+    ulens = np.asarray(ulens_l, np.int64)
+    nb = np.uint64(num_buckets)
+    hraw = hash_strs(uni) if uni else np.zeros(0, np.uint64)
+    hu = (hraw % nb).astype(np.int64)
+    if len(hraw) > 1:
+        with np.errstate(over="ignore"):  # uint64 wrap IS the mix
+            mixed = (hraw[:-1] * np.uint64(0x9E3779B97F4A7C15)
+                     + hraw[1:])
+        pair_ok = np.ones(len(hraw) - 1, dtype=bool)
+        ends = np.cumsum(ulens) - 1  # flat index of each doc's last token
+        pair_ok[ends[:-1]] = False   # pairs straddling a doc boundary
+        hb = (mixed[pair_ok] % nb).astype(np.int64)
+    else:
+        hb = np.zeros(0, np.int64)
+    return kept, hu, hb, ulens, ulens - 1
+
+
+def _segment_sums(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Exact int64 per-segment sums (cumsum difference — safe for
+    zero-length segments, unlike np.add.reduceat)."""
+    ends = np.cumsum(lens)
+    csum = np.concatenate([[0], np.cumsum(vals, dtype=np.int64)])
+    return csum[ends] - csum[ends - lens]
 
 
 def bucket_count_partial(texts: Iterable[str],
                          num_buckets: int) -> np.ndarray:
     """Length-``num_buckets`` int64 count vector over a batch of docs."""
-    out = np.zeros(num_buckets, dtype=np.int64)
-    for txt in texts:
-        if isinstance(txt, str):
-            out += np.bincount(_doc_buckets(txt, num_buckets),
-                               minlength=num_buckets)
-    return out
+    _, hu, hb, _, _ = _flat_buckets(texts, num_buckets)
+    return np.bincount(np.concatenate([hu, hb]),
+                       minlength=num_buckets).astype(np.int64)
 
 
 def lam_e6_table(p: np.ndarray, q: np.ndarray,
@@ -84,22 +119,19 @@ def lam_e6_table(p: np.ndarray, q: np.ndarray,
 def dsir_doc_scores(ids, texts, lam_e6: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(kept_ids, score_e6, n_grams) for one batch: per doc the int64 sum
-    of lam_e6 over its gram occurrences. Every str doc is scorable (the
-    empty string still has one unigram)."""
-    kept: List = []
-    scores: List[int] = []
-    lens: List[int] = []
+    of lam_e6 over its gram occurrences — fully vectorized (one hash
+    pass, two np.take gathers, two segment sums; integer addition
+    commutes so the flattened order cannot change a result). Every str
+    doc is scorable (the empty string still has one unigram)."""
     nb = len(lam_e6)
-    for i, txt in zip(ids, texts):
-        if not isinstance(txt, str):
-            continue
-        bk = _doc_buckets(txt, nb)
-        kept.append(i)
-        scores.append(int(lam_e6[bk].sum()))
-        lens.append(len(bk))
-    return (np.asarray(kept, dtype=np.int64),
-            np.asarray(scores, dtype=np.int64),
-            np.asarray(lens, dtype=np.int64))
+    kept, hu, hb, ulens, blens = _flat_buckets(texts, nb)
+    if not kept:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    scores = (_segment_sums(np.take(lam_e6, hu), ulens)
+              + _segment_sums(np.take(lam_e6, hb), blens))
+    ids_a = np.asarray([ids[j] for j in kept], dtype=np.int64)
+    return ids_a, scores, ulens + blens
 
 
 def gumbel_keys(ids: np.ndarray, score_e6: np.ndarray) -> np.ndarray:
