@@ -140,7 +140,8 @@ def semdedup_drop(
                          vec_col: b.column(vec_col),
                          "cluster": pa.array(a)})
 
-    tagged = proj.map_batches(tag, batch_format="pyarrow")
+    tagged = proj.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
 
     def fold(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
