@@ -4536,6 +4536,49 @@ def q_dsir_selected_docs(sf_dir: str) -> Any:
                   ["doc_id", "dsir_logratio_e6", "n_grams"])
 
 
+def _bpe_model(sf_dir: str):
+    """Shared trainer for the BPE queries: exact distributed word
+    histogram -> top-K cap -> driver merge loop (stages/bpetrain.py).
+    Fixed (n_merges, top_k) so both queries and both goldens agree."""
+    from calendar_event_entity_extraction_ray.stages.bpetrain import (
+        train_bpe,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs, train_bpe(docs, n_merges=200, top_k=20_000)
+
+
+def q_bpe_merges(sf_dir: str) -> Any:
+    """BPE tokenizer TRAINING (Sennrich 2016 / the HF-trainer shape):
+    the corpus-sized work is one exact word-type histogram on the
+    exchange; the merge loop runs over the bounded capped histogram
+    driver-side — vocabulary-sized, never corpus-sized. Golden oracle
+    recomputes single-process through the same kernels
+    (functions/bpe.py)."""
+    import pandas as pd
+
+    _, model = _bpe_model(sf_dir)
+    return pd.DataFrame({
+        "rank": pd.array(range(len(model.merges)), dtype="int64"),
+        "lhs": [a for a, _ in model.merges],
+        "rhs": [b for _, b in model.merges],
+    })
+
+
+def q_bpe_tokenized_docs(sf_dir: str) -> Any:
+    """Trained-BPE encode of every doc: one broadcast of the merge-rank
+    dict, per-batch word-type cache (encode_word runs once per distinct
+    word per batch, not per token), exact int64 outputs (token count +
+    siphash fingerprint of the token stream)."""
+    from calendar_event_entity_extraction_ray.stages.bpetrain import (
+        bpe_tokenize,
+    )
+
+    docs, model = _bpe_model(sf_dir)
+    out = bpe_tokenize(docs, model)
+    return _int64(out.to_pandas(), ["doc_id", "n_tokens", "tokens_fp"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -4700,6 +4743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scored_docs": q_dsir_scored_docs,
         "semdedup_embeddings": q_semdedup_embeddings,
         "dsir_selected_docs": q_dsir_selected_docs,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokenized_docs": q_bpe_tokenized_docs,
     }
 
 
@@ -4941,6 +4986,11 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_embeddings":
             f"SELECT vec_id, cluster"
             f" FROM {_golden('semdedup_embeddings')}",
+        "bpe_merges":
+            f"SELECT rank, lhs, rhs FROM {_golden('bpe_merges')}",
+        "bpe_tokenized_docs":
+            f"SELECT doc_id, n_tokens, tokens_fp"
+            f" FROM {_golden('bpe_tokenized_docs')}",
         "kg_entity_degree": f"""
             SELECT obj, COUNT(*) AS degree FROM {_golden('kg_flagship')}
             WHERE pred IN ('hasAttendee', 'hasLocation') GROUP BY obj

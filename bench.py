@@ -118,7 +118,8 @@ def run_bench() -> dict:
         # late-session operators
         "doc_len_hist", "doc_repetition", "segment_nation_orders",
         "lm_scored_docs", "dsir_selected_docs", "semdedup_embeddings",
-        "parts_supplier_cnt", "dominant_part_supplier"]
+        "parts_supplier_cnt", "dominant_part_supplier",
+        "bpe_tokenized_docs"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

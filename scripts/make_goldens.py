@@ -800,8 +800,65 @@ def golden_semdedup_embeddings() -> pa.Table:
                      "cluster": pa.array(ll, pa.int64())})
 
 
+def _bpe_mirror():
+    """Single-process mirror of the BPE trainer: Counter histogram over
+    every text, then the SAME cap/merge kernels (functions/bpe.py) the
+    distributed trainer calls — exact counts + the shared (count DESC,
+    word ASC) cap rule make both sides' capped histograms, hence merges,
+    identical by construction. (n_merges, top_k) pinned to
+    __ray_entry__._bpe_model's values."""
+    from calendar_event_entity_extraction_ray.functions.bpe import (
+        cap_word_counts,
+        learn_bpe,
+        word_counts,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    capped = cap_word_counts(word_counts(texts), 20_000)
+    merges = learn_bpe(capped, 200)
+    return t, merges
+
+
+def golden_bpe_merges() -> pa.Table:
+    _, merges = _bpe_mirror()
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "lhs": pa.array([a for a, _ in merges], pa.string()),
+        "rhs": pa.array([b for _, b in merges], pa.string()),
+    })
+
+
+def golden_bpe_tokenized_docs() -> pa.Table:
+    """Mirror of q_bpe_tokenized_docs: encode every doc through the same
+    encode_text kernel + siphash fingerprint in doc file order."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.functions.bpe import (
+        encode_text,
+    )
+    from calendar_event_entity_extraction_ray.stages.lmfilter import (
+        hash_strs,
+    )
+
+    t, merges = _bpe_mirror()
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache: dict = {}
+    toks = [encode_text(x, ranks, cache)
+            for x in t.column("text").to_pylist()]
+    fp = hash_strs([" ".join(x) for x in toks]).view(np.int64)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_tokens": pa.array([len(x) for x in toks], pa.int64()),
+        "tokens_fp": pa.array(fp, pa.int64()),
+    })
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
+    "bpe_merges": golden_bpe_merges,
+    "bpe_tokenized_docs": golden_bpe_tokenized_docs,
     "lm_scored_docs": golden_lm_scored_docs,
     "dsir_scored_docs": golden_dsir_scored_docs,
     "dsir_selected_docs": golden_dsir_selected_docs,
