@@ -1300,6 +1300,39 @@ def q_order_global_rank(sf_dir: str) -> Any:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_shuffle_docs(sf_dir: str) -> Any:
+    """Deterministic epoch shuffle (training-data reordering): every doc
+    gets a seeded pseudo-random global position — md5('s42:'||doc_id)
+    hex-prefix key (the repo's DuckDB-parity hash; a production epoch
+    shuffle would use the siphash family, same plan) ranked by the
+    range-partitioned sort (stages/sort.py), so the permutation is
+    reproducible at ANY partitioning and resumable — unlike
+    ``random_shuffle()``, which is neither. Output partition k holds
+    positions (offset_k, offset_{k+1}]: exactly the layout a sharded
+    training loader wants."""
+    import hashlib as _h
+
+    from calendar_event_entity_extraction_ray.stages.sort import (
+        global_row_number,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        ks = [int(_h.md5(f"s42:{i}".encode()).hexdigest()[:8], 16)
+              for i in ids]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "skey": pa.array(ks, pa.int64())})
+
+    out = global_row_number(docs.map_batches(key, batch_format="pyarrow"),
+                            "skey", tiebreak_cols=["doc_id"],
+                            out_col="shuffle_pos")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "shuffle_pos"]),
+        batch_format="pyarrow")
+
+
 def q_top_docs_per_source(sf_dir: str) -> Any:
     """Per-group top-k (best-N-docs-per-source shape): local per-batch
     top-k prunes the exchange to <= k rows per group per batch."""
@@ -4650,6 +4683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": q_price_quantiles,
         "order_price_p_cont": q_order_price_p_cont,
         "order_global_rank": q_order_global_rank,
+        "shuffle_docs": q_shuffle_docs,
         "distinct_user_types": q_distinct_user_types,
         "chunk_docs": q_chunk_docs,
         "qty_discount_corr": q_qty_discount_corr,
@@ -5559,6 +5593,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice,
                                            o_orderkey) AS BIGINT) AS rank
             FROM orders
+        """,
+        "shuffle_docs": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY CAST(('0x' || substr(
+                           md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT),
+                                doc_id) AS BIGINT) AS shuffle_pos
+            FROM documents
         """,
         "order_price_p_cont": """
             SELECT CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,

