@@ -1300,6 +1300,22 @@ def q_order_global_rank(sf_dir: str) -> Any:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_resample_user_hourly(sf_dir: str) -> Any:
+    """Per-user hourly resample WITH gap fill (stages/windows.py:
+    resample_fill): dense bucket grid per user from first to last event,
+    silent gaps as explicit zero rows — per-batch (user, bucket)
+    partials, ONE user-keyed exchange whose fold reduces and
+    grid-fills in the same vectorized pass."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        resample_fill,
+    )
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = resample_fill(ev, bucket_s=3600)
+    return _int64(out.to_pandas(),
+                  ["user_id", "bucket_ts", "n_events", "sum_cents"])
+
+
 def q_shuffle_docs(sf_dir: str) -> Any:
     """Deterministic epoch shuffle (training-data reordering): every doc
     gets a seeded pseudo-random global position — md5('s42:'||doc_id)
@@ -4684,6 +4700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_p_cont": q_order_price_p_cont,
         "order_global_rank": q_order_global_rank,
         "shuffle_docs": q_shuffle_docs,
+        "resample_user_hourly": q_resample_user_hourly,
         "distinct_user_types": q_distinct_user_types,
         "chunk_docs": q_chunk_docs,
         "qty_discount_corr": q_qty_discount_corr,
@@ -5593,6 +5610,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice,
                                            o_orderkey) AS BIGINT) AS rank
             FROM orders
+        """,
+        "resample_user_hourly": """
+            WITH b AS (
+                SELECT user_id,
+                       CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                       COUNT(*) AS n,
+                       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sv
+                FROM events GROUP BY 1, 2),
+            s AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+                  FROM b GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(lo, hi)) AS bucket
+                     FROM s)
+            SELECT g.user_id, g.bucket * 3600 AS bucket_ts,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(b.sv, 0) AS BIGINT) AS sum_cents
+            FROM grid g LEFT JOIN b
+              ON g.user_id = b.user_id AND g.bucket = b.bucket
         """,
         "shuffle_docs": """
             SELECT doc_id,

@@ -218,3 +218,91 @@ def partitioned_row_window(
         lambda b: add_hash_column(b, [by], out_col="_kh"),
         batch_format="pyarrow")
     return hash_partition_map(hashed, "_kh", fold)
+
+
+def resample_fill(
+    ds: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+) -> "ray.data.Dataset":
+    """Per-key time-bucket downsample WITH gap fill (the telemetry /
+    feature-pipeline resample: every key gets a dense bucket grid from
+    its first to its last event; silent gaps become explicit zero rows —
+    the shape a training loader or anomaly detector consumes).
+
+    Plan: per-batch (key, bucket) partial sums collapse raw events
+    before the shuffle (a hot key ships one row per bucket per batch),
+    then ONE exchange keyed on the KEY ALONE — co-locating all of a
+    key's buckets lets the fold both reduce the partials and generate
+    the missing grid rows in the same pass. The fill is vectorized: one
+    np.repeat/np.arange ramp builds every key's dense grid at once, one
+    C-speed merge attaches the observed sums.
+
+    Grid size is bounded by time-span/bucket_s per key (NOT by event
+    count) — at an unbounded span, pick the bucket so span/bucket_s
+    stays sane; the operator never materializes anything driver-side.
+    Values publish as exact cents (floor(v*100+0.5)); empty buckets are
+    (n_events=0, sum_cents=0) == the SQL COALESCE pair."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    us = 1_000_000 * bucket_s
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            # normalize the unit BEFORE the int cast: timestamp[ns]
+            # would otherwise yield ns where the divisor is us
+            col = col.cast(pa.timestamp("us"))
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            user_col: b.column(user_col).to_numpy(zero_copy_only=False),
+            "bucket": ts // us,
+            "cents": np.floor(v * 100 + 0.5).astype(np.int64),
+        })
+        g = df.groupby([user_col, "bucket"], dropna=False)
+        out = pd.DataFrame({"n": g.size(),
+                            "sv": g["cents"].sum()}).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["_uh"]).to_pandas()
+        g = df.groupby([user_col, "bucket"], dropna=False, sort=True)
+        agg = pd.DataFrame({"n": g["n"].sum(),
+                            "sv": g["sv"].sum()}).reset_index()
+        # dense grid: one ramp for every key in the partition
+        spans = agg.groupby(user_col, sort=True)["bucket"].agg(
+            ["min", "max"])
+        sizes = (spans["max"] - spans["min"] + 1).to_numpy(np.int64)
+        lo = spans["min"].to_numpy(np.int64)
+        users = spans.index.to_numpy()
+        total = int(sizes.sum())
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        ramp = (np.arange(total, dtype=np.int64)
+                - np.repeat(starts, sizes) + np.repeat(lo, sizes))
+        grid = pd.DataFrame({user_col: np.repeat(users, sizes),
+                             "bucket": ramp})
+        out = grid.merge(agg, on=[user_col, "bucket"], how="left")
+        return pa.table({
+            user_col: pa.array(out[user_col]),
+            "bucket_ts": pa.array(
+                out["bucket"].to_numpy(np.int64) * bucket_s, pa.int64()),
+            "n_events": pa.array(
+                out["n"].fillna(0).to_numpy(np.int64), pa.int64()),
+            "sum_cents": pa.array(
+                out["sv"].fillna(0).to_numpy(np.int64), pa.int64()),
+        })
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_column(partial(b), [user_col], out_col="_uh"),
+        batch_format="pyarrow")
+    return hash_partition_map(hashed, "_uh", fold)

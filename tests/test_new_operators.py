@@ -779,3 +779,79 @@ class TestLmFilter:
         worst = set(ids[order][: len(ids) - len(kept)].tolist())
         assert kept == set(ids.tolist()) - worst
         assert all(int(i) >= 160 for i in worst)  # gibberish dropped
+
+
+class TestResampleFill:
+    def _mirror(self, df, bucket_s=3600):
+        import numpy as np
+        import pandas as pd
+
+        d = df.copy()
+        # pandas datetime64[ns] -> us, then bucket
+        d["bucket"] = (d["ts"].astype("int64") // 1_000) \
+            // (bucket_s * 1_000_000)
+        d["cents"] = np.floor(d["value"] * 100 + 0.5).astype(np.int64)
+        agg = (d.groupby(["user_id", "bucket"])
+               .agg(n=("cents", "size"), sv=("cents", "sum"))
+               .reset_index())
+        rows = []
+        for u, g in agg.groupby("user_id"):
+            for b in range(int(g["bucket"].min()),
+                           int(g["bucket"].max()) + 1):
+                hit = g[g["bucket"] == b]
+                rows.append((u, b * bucket_s,
+                             int(hit["n"].iloc[0]) if len(hit) else 0,
+                             int(hit["sv"].iloc[0]) if len(hit) else 0))
+        return pd.DataFrame(rows, columns=["user_id", "bucket_ts",
+                                           "n_events", "sum_cents"])
+
+    def test_gap_fill_matches_mirror_any_partitioning(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            resample_fill,
+        )
+
+        rng = np.random.RandomState(9)
+        n = 2_000
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 50 * 3600, n), unit="s"),
+            "value": rng.uniform(-50, 50, n).round(2),
+        })
+        want = (self._mirror(df)
+                .sort_values(["user_id", "bucket_ts"])
+                .reset_index(drop=True))
+        for nblocks in (1, 7):
+            ds = ray.data.from_pandas(df).repartition(nblocks)
+            got = (resample_fill(ds).to_pandas()
+                   .sort_values(["user_id", "bucket_ts"])
+                   .reset_index(drop=True)
+                   .astype({"user_id": "int64"}))
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_single_event_user_gets_one_row(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            resample_fill,
+        )
+
+        df = pd.DataFrame({
+            "user_id": pd.array([1, 2, 2], dtype="int64"),
+            "ts": pd.to_datetime([10, 100, 3600 * 5 + 3], unit="s"),
+            "value": [1.0, 2.0, 3.0],
+        })
+        out = (resample_fill(ray.data.from_pandas(df)).to_pandas()
+               .sort_values(["user_id", "bucket_ts"])
+               .reset_index(drop=True))
+        # user 1: one bucket; user 2: buckets 0..5 with 4 zero gaps
+        assert len(out[out["user_id"] == 1]) == 1
+        u2 = out[out["user_id"] == 2]
+        assert len(u2) == 6
+        assert u2["n_events"].tolist() == [1, 0, 0, 0, 0, 1]
+        assert u2["sum_cents"].tolist() == [200, 0, 0, 0, 0, 300]
