@@ -183,7 +183,12 @@ def hash_partition_map(
     if touched_df.empty:
         # preserve the output schema on empty input
         shutil.rmtree(spill_dir, ignore_errors=True)
-        empty_in = ds.schema().base_schema.empty_table()
+        sch = ds.schema()
+        if sch is None:
+            # zero-block input: no schema to synthesize the fold's empty
+            # table from — the empty input IS the (empty) result
+            return ds
+        empty_in = sch.base_schema.empty_table()
         return ray.data.from_arrow(fold_fn(empty_in))
 
     @ray.remote(num_cpus=1)

@@ -1,0 +1,292 @@
+"""Persistent content-fingerprint store: INCREMENTAL crawl dedup.
+
+The corpus-side twin of the graph's delta ingest (pipelines/kg.py
+append_graph): a daily-crawl pipeline must drop documents already seen
+in PRIOR epochs without ever re-reading prior text. The store holds one
+128-bit content fingerprint per surviving doc — two independent
+64-bit siphashes (different fixed keys): h1 is the shuffle/search key,
+h2 the verifier, so membership is identity-grade (the house 128-bit
+identity rule) while everything routes/searches on plain int64.
+
+Layout (data files by workers, manifest by the driver — the
+shared-manifest rule):
+
+    store_dir/epoch=<e>/fp-<uuid>.parquet   (h1 int64, h2 int64)
+    store_dir/_FPMANIFEST.json              {"epochs": {e: {files, rows}}}
+
+Writes are attempt-commit (the exchange-spill pattern): tasks RETURN the
+file names they wrote, the driver records them; readers open only listed
+files, so task retries can never corrupt the store. Re-running a
+recorded epoch recomputes the same survivors (the filter always excludes
+the CURRENT epoch) and skips the append — idempotent, crash recovery is
+"just re-run".
+
+Membership test regimes (decontamination's two-regime pattern):
+  - broadcast: the store loads driver-side ONCE into h1-sorted numpy
+    arrays (plasma zero-copy via ray.put — never a dict), every batch
+    does two searchsorted + a verify. Right while the store fits the
+    driver (~16 B/doc).
+  - exchange: store files and new docs route on h1 through the generic
+    exchange; each fold runs the same member_mask kernel on its
+    co-located slice. Nothing driver-side grows with the store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+_MANIFEST = "_FPMANIFEST.json"
+_KEY2 = "fpstore-h2-salt0"  # exactly 16 bytes: independent siphash key
+
+
+def content_hashes(texts) -> Tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) int64 pairs per text — two fixed-key siphash streams
+    (pd.util.hash_pandas_object with distinct hash_key), process-stable.
+    None / non-string normalizes to '' (one shared fingerprint)."""
+    s = pd.Series([t if isinstance(t, str) else "" for t in texts],
+                  dtype=object)
+    h1 = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    h2 = pd.util.hash_pandas_object(s, index=False,
+                                    hash_key=_KEY2).to_numpy()
+    return h1.view(np.int64), h2.view(np.int64)
+
+
+def member_mask(h1: np.ndarray, h2: np.ndarray, sh1: np.ndarray,
+                sh2: np.ndarray) -> np.ndarray:
+    """True where (h1, h2) exists in the store slice (sh1 SORTED with sh2
+    aligned). Vectorized: two searchsorted + single-hit verify; the rare
+    multi-hit h1 buckets (true 64-bit collisions) fall back to a tiny
+    exact scan."""
+    out = np.zeros(len(h1), dtype=bool)
+    if len(sh1) == 0:
+        return out
+    lo = np.searchsorted(sh1, h1, side="left")
+    hi = np.searchsorted(sh1, h1, side="right")
+    width = hi - lo
+    one = width == 1
+    out[one] = sh2[np.minimum(lo[one], len(sh2) - 1)] == h2[one]
+    for i in np.nonzero(width > 1)[0]:
+        out[i] = bool(np.any(sh2[lo[i]:hi[i]] == h2[i]))
+    return out
+
+
+def _load_manifest(store_dir: str) -> dict:
+    p = os.path.join(store_dir, _MANIFEST)
+    if not os.path.exists(p):
+        return {"epochs": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_manifest(store_dir: str, m: dict) -> None:
+    p = os.path.join(store_dir, _MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def store_epochs(store_dir: str) -> List[str]:
+    return sorted(_load_manifest(store_dir)["epochs"])
+
+
+def _listed_files(store_dir: str, exclude_epoch: Optional[str]) -> List[str]:
+    m = _load_manifest(store_dir)
+    out: List[str] = []
+    for e, ent in sorted(m["epochs"].items()):
+        if e == exclude_epoch:
+            continue
+        out.extend(os.path.join(store_dir, f"epoch={e}", f)
+                   for f in ent["files"])
+    return out
+
+
+def store_rows(store_dir: str, exclude_epoch: Optional[str] = None) -> int:
+    m = _load_manifest(store_dir)
+    return sum(int(ent["rows"]) for e, ent in m["epochs"].items()
+               if e != exclude_epoch)
+
+
+def _load_store_arrays(store_dir: str, exclude_epoch: Optional[str]
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    files = _listed_files(store_dir, exclude_epoch)
+    if not files:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy()
+    t = pa.concat_tables(pq.read_table(f, columns=["h1", "h2"])
+                         for f in files)
+    h1 = t.column("h1").to_numpy(zero_copy_only=False)
+    h2 = t.column("h2").to_numpy(zero_copy_only=False)
+    o = np.argsort(h1, kind="stable")
+    return np.ascontiguousarray(h1[o]), np.ascontiguousarray(h2[o])
+
+
+def with_fingerprints(ds: "ray.data.Dataset",
+                      text_col: str) -> "ray.data.Dataset":
+    """Attach _h1/_h2 fingerprint columns (hash once, reuse for both the
+    membership filter and the epoch append)."""
+    def f(b: pa.Table) -> pa.Table:
+        h1, h2 = content_hashes(b.column(text_col).to_pylist())
+        return b.append_column("_h1", pa.array(h1, pa.int64())) \
+                .append_column("_h2", pa.array(h2, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def filter_against_store(
+    fp_docs: "ray.data.Dataset",
+    store_dir: str,
+    exclude_epoch: Optional[str] = None,
+    mode: str = "auto",
+    broadcast_max_rows: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Drop rows whose (_h1, _h2) fingerprint exists in the store
+    (prior epochs only). ``mode``: 'broadcast' | 'exchange' | 'auto'
+    (manifest row count <= broadcast_max_rows -> broadcast). Both
+    regimes run the same member_mask kernel — identical results."""
+    n_store = store_rows(store_dir, exclude_epoch)
+    if n_store == 0:
+        return fp_docs
+    if mode == "auto":
+        mode = ("broadcast" if n_store <= broadcast_max_rows
+                else "exchange")
+
+    if mode == "broadcast":
+        sh1, sh2 = _load_store_arrays(store_dir, exclude_epoch)
+        ref = ray.put((sh1, sh2))
+
+        def drop(b: pa.Table) -> pa.Table:
+            s1, s2 = ray.get(ref)  # zero-copy numpy views
+            m = member_mask(
+                b.column("_h1").to_numpy(zero_copy_only=False),
+                b.column("_h2").to_numpy(zero_copy_only=False), s1, s2)
+            return b.filter(pa.array(~m))
+
+        return fp_docs.map_batches(drop, batch_format="pyarrow")
+
+    # exchange regime: both sides route on h1; folds verify (h1, h2)
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    files = _listed_files(store_dir, exclude_epoch)
+    sch = fp_docs.schema()
+    types = dict(zip(sch.names, sch.types))  # arrow types (Ray Schema)
+    payload = [c for c in sch.names if c not in ("_h1", "_h2")]
+
+    def tag_new(b: pa.Table) -> pa.Table:
+        return b.append_column("_side", pa.array(["n"] * b.num_rows)) \
+                .append_column("_fr", b.column("_h1"))
+
+    def tag_store(b: pa.Table) -> pa.Table:
+        # per-batch distinct collapse: duplicate store fingerprints prove
+        # nothing extra and need not ship twice
+        df = b.select(["h1", "h2"]).to_pandas().drop_duplicates()
+        t = pa.table({"_h1": pa.array(df["h1"].to_numpy(), pa.int64()),
+                      "_h2": pa.array(df["h2"].to_numpy(), pa.int64())})
+        for c in payload:
+            t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
+        return t.append_column("_side", pa.array(["s"] * t.num_rows)) \
+                .append_column("_fr", t.column("_h1"))
+
+    store_ds = ray.data.read_parquet(files).map_batches(
+        tag_store, batch_format="pyarrow")
+    new_ds = fp_docs.map_batches(tag_new, batch_format="pyarrow")
+    cols = payload + ["_h1", "_h2", "_side", "_fr"]
+    both = new_ds.map_batches(lambda b: b.select(cols),
+                              batch_format="pyarrow").union(
+        store_ds.map_batches(lambda b: b.select(cols),
+                             batch_format="pyarrow"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        new = t.filter(pa.array(side == "n"))
+        st = t.filter(pa.array(side == "s"))
+        new = new.drop_columns(["_side", "_fr"])
+        if st.num_rows == 0 or new.num_rows == 0:
+            return new
+        s1 = st.column("_h1").to_numpy(zero_copy_only=False)
+        s2 = st.column("_h2").to_numpy(zero_copy_only=False)
+        o = np.argsort(s1, kind="stable")
+        m = member_mask(new.column("_h1").to_numpy(zero_copy_only=False),
+                        new.column("_h2").to_numpy(zero_copy_only=False),
+                        np.ascontiguousarray(s1[o]),
+                        np.ascontiguousarray(s2[o]))
+        return new.filter(pa.array(~m))
+
+    return hash_partition_map(both, "_fr", fold)
+
+
+def append_epoch(
+    fp_survivors: "ray.data.Dataset",
+    store_dir: str,
+    epoch: str,
+) -> dict:
+    """Write this epoch's fingerprints (attempt-commit: tasks return the
+    file names, the driver records the manifest). No-op if the epoch is
+    already recorded. Returns the manifest entry."""
+    m = _load_manifest(store_dir)
+    if epoch in m["epochs"]:
+        return m["epochs"][epoch]
+    ed = os.path.join(store_dir, f"epoch={epoch}")
+    os.makedirs(ed, exist_ok=True)
+
+    def w(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        name = f"fp-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table({"h1": b.column("_h1"), "h2": b.column("_h2")}),
+            os.path.join(ed, name))
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "rows": pa.array([b.num_rows], pa.int64())})
+
+    res = fp_survivors.map_batches(w, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
+    if "file" not in res.columns:  # all-empty ds drops columns (CLAUDE.md)
+        ent = {"files": [], "rows": 0}
+    else:
+        ent = {"files": sorted(res["file"].tolist()),
+               "rows": int(res["rows"].sum())}
+    m = _load_manifest(store_dir)  # re-read: driver is the only writer
+    m["epochs"][epoch] = ent
+    _save_manifest(store_dir, m)
+    return ent
+
+
+def dedup_incremental(
+    new_docs: "ray.data.Dataset",
+    store_dir: str,
+    epoch: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "auto",
+) -> "ray.data.Dataset":
+    """The incremental-crawl exact dedup: first-wins WITHIN the epoch
+    (stages/dedup.py exact_dedup on the text key), then drop everything
+    already fingerprinted by a PRIOR epoch, then record this epoch's
+    surviving fingerprints. Equivalent to re-cleaning the union corpus
+    with epochs concatenated in order — pinned by tests — at O(epoch)
+    cost instead of O(corpus)."""
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        exact_dedup,
+    )
+
+    within = exact_dedup(new_docs, [text_col], id_col)
+    fp = with_fingerprints(within, text_col)
+    survivors = filter_against_store(fp, store_dir, exclude_epoch=epoch,
+                                     mode=mode).materialize()
+    append_epoch(survivors, store_dir, epoch)
+    return survivors.drop_columns(["_h1", "_h2"])

@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--redact", action="store_true",
                     help="scrub PII (email/phone/IPv4 -> typed tokens) "
                          "after cleaning; text column is replaced")
+    ap.add_argument("--epoch", default="",
+                    help="incremental-crawl mode: drop docs already "
+                         "fingerprinted by PRIOR epochs (<out>/_FPSTORE), "
+                         "record this epoch's survivors, write under "
+                         "<out>/epoch=<e>/ — idempotent per epoch")
     args = ap.parse_args()
 
     import ray
@@ -70,12 +75,34 @@ def main() -> int:
 
         cleaned = redact_pii(cleaned).map_batches(
             _swap_text, batch_format="pyarrow")
+    out_dir = args.out
+    if args.epoch:
+        import os
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            append_epoch,
+            filter_against_store,
+            with_fingerprints,
+        )
+
+        store = os.path.join(args.out, "_FPSTORE")
+        fp = with_fingerprints(cleaned, "text")
+        surv = filter_against_store(
+            fp, store, exclude_epoch=args.epoch).materialize()
+        append_epoch(surv, store, args.epoch)
+        cleaned = surv.drop_columns(["_h1", "_h2"])
+        out_dir = os.path.join(args.out, f"epoch={args.epoch}")
     fingerprint = args.fingerprint or (
         f"clean-{args.input}-{args.min_chars}-{args.lang}-"
         f"{args.minhash_threshold}"
-        + ("-redact" if args.redact else ""))
-    manifest = write_corpus(cleaned, args.out, fingerprint=fingerprint,
-                            num_partitions=args.partitions)
+        + ("-redact" if args.redact else "")
+        + (f"-epoch{args.epoch}" if args.epoch else ""))
+    if args.epoch and cleaned.count() == 0:
+        # a fully-duplicate epoch: nothing to write, epoch recorded above
+        manifest = {"partitions": {}}
+    else:
+        manifest = write_corpus(cleaned, out_dir, fingerprint=fingerprint,
+                                num_partitions=args.partitions)
     wall = time.time() - t0
     n_out = sum(e["rows"] for e in manifest["partitions"].values())
     metrics = {

@@ -1,0 +1,161 @@
+"""Incremental crawl dedup against the persistent fingerprint store
+(stages/fpstore.py): epoch flow == union-clean mirror, idempotent
+re-runs, regime equality, manifest-only reads."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(ids, texts):
+    return pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="int64"),
+        "text": pd.array(texts, dtype=object),
+    })
+
+
+def _corpus(seed, n, dup_from=None, dup_frac=0.4):
+    """n docs; dup_frac of them copy texts from ``dup_from`` (cross-epoch
+    duplicates), the rest are fresh."""
+    rng = np.random.RandomState(seed)
+    texts = []
+    for i in range(n):
+        if dup_from is not None and rng.rand() < dup_frac:
+            texts.append(dup_from[rng.randint(len(dup_from))])
+        else:
+            texts.append(" ".join(
+                f"w{seed}x{rng.randint(10_000)}" for _ in range(12)))
+    return texts
+
+
+class TestMemberMask:
+    def test_exact_membership_with_collisions(self):
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            member_mask,
+        )
+
+        # store: h1 collision bucket {5: [10, 11]}, singleton {7: [20]}
+        sh1 = np.array([5, 5, 7], dtype=np.int64)
+        sh2 = np.array([10, 11, 20], dtype=np.int64)
+        h1 = np.array([5, 5, 7, 7, 9], dtype=np.int64)
+        h2 = np.array([11, 12, 20, 21, 20], dtype=np.int64)
+        got = member_mask(h1, h2, sh1, sh2)
+        assert got.tolist() == [True, False, True, False, False]
+
+    def test_empty_store(self):
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            member_mask,
+        )
+
+        z = np.zeros(0, dtype=np.int64)
+        assert member_mask(np.array([1], dtype=np.int64),
+                           np.array([2], dtype=np.int64),
+                           z, z).tolist() == [False]
+
+
+class TestIncrementalDedup:
+    def _union_mirror(self, frames):
+        """Re-clean the concatenated corpus: first-wins by (epoch order,
+        doc_id) == drop_duplicates on text after stable sort."""
+        allf = pd.concat(frames, ignore_index=True)
+        return allf[~allf["text"].fillna("").duplicated()]
+
+    def test_two_epochs_match_union_clean(self, ray_session, tmp_path):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            dedup_incremental,
+            store_epochs,
+            store_rows,
+        )
+
+        store = str(tmp_path / "fpstore")
+        t1 = _corpus(1, 300)
+        e1 = _docs(range(300), t1)
+        e2 = _docs(range(1000, 1300), _corpus(2, 300, dup_from=t1))
+
+        s1 = dedup_incremental(
+            ray.data.from_pandas(e1).repartition(4), store, "day1"
+        ).to_pandas()
+        s2 = dedup_incremental(
+            ray.data.from_pandas(e2).repartition(4), store, "day2"
+        ).to_pandas()
+
+        got = set(pd.concat([s1, s2])["doc_id"])
+        want = set(self._union_mirror([e1, e2])["doc_id"])
+        assert got == want
+        assert store_epochs(store) == ["day1", "day2"]
+        assert store_rows(store) == len(want)
+        # day2 really dropped cross-epoch dups
+        assert len(s2) < len(e2)
+
+    def test_rerun_same_epoch_is_noop(self, ray_session, tmp_path):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            dedup_incremental,
+        )
+
+        store = str(tmp_path / "fpstore")
+        e1 = _docs(range(200), _corpus(3, 200))
+        a = dedup_incremental(ray.data.from_pandas(e1), store, "d1"
+                              ).to_pandas()
+        man_path = os.path.join(store, "_FPMANIFEST.json")
+        before = json.load(open(man_path))
+        b = dedup_incremental(ray.data.from_pandas(e1), store, "d1"
+                              ).to_pandas()
+        after = json.load(open(man_path))
+        assert before == after  # no rewrite, no new files
+        assert set(a["doc_id"]) == set(b["doc_id"])
+
+    def test_regimes_identical(self, ray_session, tmp_path):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            dedup_incremental,
+            filter_against_store,
+            with_fingerprints,
+        )
+
+        store = str(tmp_path / "fpstore")
+        t1 = _corpus(4, 400)
+        dedup_incremental(
+            ray.data.from_pandas(_docs(range(400), t1)), store, "d1")
+        e2 = _docs(range(5000, 5400), _corpus(5, 400, dup_from=t1))
+        fp = with_fingerprints(
+            ray.data.from_pandas(e2).repartition(3), "text")
+        br = filter_against_store(fp, store, mode="broadcast"
+                                  ).to_pandas()
+        ex = filter_against_store(fp, store, mode="exchange").to_pandas()
+        assert set(br["doc_id"]) == set(ex["doc_id"])
+        assert len(br) < len(e2)
+
+    def test_unlisted_files_are_invisible(self, ray_session, tmp_path):
+        """Attempt-commit contract: a stray (retried/orphan) parquet in
+        an epoch dir must not affect membership."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            content_hashes,
+            dedup_incremental,
+        )
+
+        store = str(tmp_path / "fpstore")
+        dedup_incremental(
+            ray.data.from_pandas(_docs(range(50), _corpus(6, 50))),
+            store, "d1")
+        # plant an orphan fingerprint for a doc of epoch 2
+        victim = "the planted orphan text"
+        h1, h2 = content_hashes([victim])
+        pq.write_table(
+            pa.table({"h1": pa.array(h1), "h2": pa.array(h2)}),
+            os.path.join(store, "epoch=d1", "fp-orphan.parquet"))
+        e2 = _docs([99], [victim])
+        out = dedup_incremental(ray.data.from_pandas(e2), store, "d2"
+                                ).to_pandas()
+        assert out["doc_id"].tolist() == [99]  # orphan ignored
