@@ -8,11 +8,15 @@ in PRIOR epochs without ever re-reading prior text. The store holds one
 h2 the verifier, so membership is identity-grade (the house 128-bit
 identity rule) while everything routes/searches on plain int64.
 
-Layout (data files by workers, manifest by the driver — the
-shared-manifest rule):
+The store is PRESHARDED by h1: every epoch's fingerprints are written
+through the same ``h1 % P`` exchange the filter uses, one directory per
+partition —
 
-    store_dir/epoch=<e>/fp-<uuid>.parquet   (h1 int64, h2 int64)
-    store_dir/_FPMANIFEST.json              {"epochs": {e: {files, rows}}}
+    store_dir/epoch=<e>/part=<k>/fp-<uuid>.parquet   (h1, h2 int64)
+    store_dir/_FPMANIFEST.json   {"num_partitions": P,
+                                  "epochs": {e: {"rows": N,
+                                                 "parts": {k: {files,
+                                                               rows}}}}}
 
 Writes are attempt-commit (the exchange-spill pattern): tasks RETURN the
 file names they wrote, the driver records them; readers open only listed
@@ -26,9 +30,13 @@ Membership test regimes (decontamination's two-regime pattern):
     arrays (plasma zero-copy via ray.put — never a dict), every batch
     does two searchsorted + a verify. Right while the store fits the
     driver (~16 B/doc).
-  - exchange: store files and new docs route on h1 through the generic
-    exchange; each fold runs the same member_mask kernel on its
-    co-located slice. Nothing driver-side grows with the store.
+  - exchange (storage-partitioned semi-join): ONLY the new epoch
+    exchanges on ``h1 % P``; each fold derives its partition id from its
+    rows and reads that partition's store files straight from (shared)
+    storage — store fingerprints NEVER shuffle, untouched partitions
+    are never even read, so epoch cost is O(delta + touched-partition
+    IO) regardless of corpus size. ``store_dir`` must be shared storage
+    on a multi-node cluster (the spill_root contract).
 """
 
 from __future__ import annotations
@@ -84,12 +92,13 @@ def member_mask(h1: np.ndarray, h2: np.ndarray, sh1: np.ndarray,
 def _load_manifest(store_dir: str) -> dict:
     p = os.path.join(store_dir, _MANIFEST)
     if not os.path.exists(p):
-        return {"epochs": {}}
+        return {"epochs": {}, "num_partitions": None}
     with open(p) as f:
         return json.load(f)
 
 
 def _save_manifest(store_dir: str, m: dict) -> None:
+    os.makedirs(store_dir, exist_ok=True)
     p = os.path.join(store_dir, _MANIFEST)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
@@ -107,8 +116,26 @@ def _listed_files(store_dir: str, exclude_epoch: Optional[str]) -> List[str]:
     for e, ent in sorted(m["epochs"].items()):
         if e == exclude_epoch:
             continue
-        out.extend(os.path.join(store_dir, f"epoch={e}", f)
-                   for f in ent["files"])
+        for k, pent in sorted(ent["parts"].items()):
+            out.extend(
+                os.path.join(store_dir, f"epoch={e}", f"part={k}", f)
+                for f in pent["files"])
+    return out
+
+
+def _part_files(store_dir: str, exclude_epoch: Optional[str]
+                ) -> dict[int, List[str]]:
+    """{partition id: listed store files} across prior epochs — the
+    (small, P-keyed) routing table the storage-partitioned folds use."""
+    m = _load_manifest(store_dir)
+    out: dict[int, List[str]] = {}
+    for e, ent in sorted(m["epochs"].items()):
+        if e == exclude_epoch:
+            continue
+        for k, pent in sorted(ent["parts"].items()):
+            out.setdefault(int(k), []).extend(
+                os.path.join(store_dir, f"epoch={e}", f"part={k}", f)
+                for f in pent["files"])
     return out
 
 
@@ -175,92 +202,95 @@ def filter_against_store(
 
         return fp_docs.map_batches(drop, batch_format="pyarrow")
 
-    # exchange regime: both sides route on h1; folds verify (h1, h2)
+    # exchange regime = storage-partitioned semi-join: only the NEW epoch
+    # shuffles (on h1 % P); each fold reads its partition's store files
+    # from disk — store fingerprints never move, untouched partitions
+    # are never read
     from calendar_event_entity_extraction_ray.stages.exchange import (
         hash_partition_map,
     )
 
-    files = _listed_files(store_dir, exclude_epoch)
-    sch = fp_docs.schema()
-    types = dict(zip(sch.names, sch.types))  # arrow types (Ray Schema)
-    payload = [c for c in sch.names if c not in ("_h1", "_h2")]
-
-    def tag_new(b: pa.Table) -> pa.Table:
-        return b.append_column("_side", pa.array(["n"] * b.num_rows)) \
-                .append_column("_fr", b.column("_h1"))
-
-    def tag_store(b: pa.Table) -> pa.Table:
-        # per-batch distinct collapse: duplicate store fingerprints prove
-        # nothing extra and need not ship twice
-        df = b.select(["h1", "h2"]).to_pandas().drop_duplicates()
-        t = pa.table({"_h1": pa.array(df["h1"].to_numpy(), pa.int64()),
-                      "_h2": pa.array(df["h2"].to_numpy(), pa.int64())})
-        for c in payload:
-            t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
-        return t.append_column("_side", pa.array(["s"] * t.num_rows)) \
-                .append_column("_fr", t.column("_h1"))
-
-    store_ds = ray.data.read_parquet(files).map_batches(
-        tag_store, batch_format="pyarrow")
-    new_ds = fp_docs.map_batches(tag_new, batch_format="pyarrow")
-    cols = payload + ["_h1", "_h2", "_side", "_fr"]
-    both = new_ds.map_batches(lambda b: b.select(cols),
-                              batch_format="pyarrow").union(
-        store_ds.map_batches(lambda b: b.select(cols),
-                             batch_format="pyarrow"))
+    m = _load_manifest(store_dir)
+    p_total = int(m["num_partitions"])
+    parts = _part_files(store_dir, exclude_epoch)
 
     def fold(t: pa.Table) -> pa.Table:
-        side = t.column("_side").to_numpy(zero_copy_only=False)
-        new = t.filter(pa.array(side == "n"))
-        st = t.filter(pa.array(side == "s"))
-        new = new.drop_columns(["_side", "_fr"])
-        if st.num_rows == 0 or new.num_rows == 0:
-            return new
-        s1 = st.column("_h1").to_numpy(zero_copy_only=False)
-        s2 = st.column("_h2").to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            return t
+        k = int(t.column("_h1")[0].as_py()) % p_total
+        files = parts.get(k, [])
+        if not files:
+            return t
+        st = pa.concat_tables(pq.read_table(f, columns=["h1", "h2"])
+                              for f in files)
+        s1 = st.column("h1").to_numpy(zero_copy_only=False)
+        s2 = st.column("h2").to_numpy(zero_copy_only=False)
         o = np.argsort(s1, kind="stable")
-        m = member_mask(new.column("_h1").to_numpy(zero_copy_only=False),
-                        new.column("_h2").to_numpy(zero_copy_only=False),
-                        np.ascontiguousarray(s1[o]),
-                        np.ascontiguousarray(s2[o]))
-        return new.filter(pa.array(~m))
+        mask = member_mask(
+            t.column("_h1").to_numpy(zero_copy_only=False),
+            t.column("_h2").to_numpy(zero_copy_only=False),
+            np.ascontiguousarray(s1[o]), np.ascontiguousarray(s2[o]))
+        return t.filter(pa.array(~mask))
 
-    return hash_partition_map(both, "_fr", fold)
+    return hash_partition_map(fp_docs, "_h1", fold,
+                              num_partitions=p_total)
 
 
 def append_epoch(
     fp_survivors: "ray.data.Dataset",
     store_dir: str,
     epoch: str,
+    num_partitions: int = 64,
 ) -> dict:
-    """Write this epoch's fingerprints (attempt-commit: tasks return the
-    file names, the driver records the manifest). No-op if the epoch is
-    already recorded. Returns the manifest entry."""
+    """Write this epoch's fingerprints PRESHARDED by ``h1 % P`` through
+    the same exchange the filter routes on (attempt-commit: fold tasks
+    return the file names, the driver records the manifest). P is fixed
+    by the store's FIRST epoch; later appends reuse it. No-op if the
+    epoch is already recorded. Returns the manifest entry."""
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
     m = _load_manifest(store_dir)
     if epoch in m["epochs"]:
         return m["epochs"][epoch]
+    p_total = int(m["num_partitions"] or num_partitions)
     ed = os.path.join(store_dir, f"epoch={epoch}")
-    os.makedirs(ed, exist_ok=True)
 
-    def w(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"file": pa.array([], pa.string()),
+    def w(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
+        k = int(t.column("_h1")[0].as_py()) % p_total
+        pdir = os.path.join(ed, f"part={k}")
+        os.makedirs(pdir, exist_ok=True)
         name = f"fp-{uuid.uuid4().hex}.parquet"
         pq.write_table(
-            pa.table({"h1": b.column("_h1"), "h2": b.column("_h2")}),
-            os.path.join(ed, name))
-        return pa.table({"file": pa.array([name], pa.string()),
-                         "rows": pa.array([b.num_rows], pa.int64())})
+            pa.table({"h1": t.column("_h1"), "h2": t.column("_h2")}),
+            os.path.join(pdir, name))
+        return pa.table({"part": pa.array([k], pa.int64()),
+                         "file": pa.array([name], pa.string()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
 
-    res = fp_survivors.map_batches(w, batch_format="pyarrow",
-                                   batch_size=None).to_pandas()
+    res = hash_partition_map(
+        fp_survivors.map_batches(
+            lambda b: b.select(["_h1", "_h2"]), batch_format="pyarrow"),
+        "_h1", w, num_partitions=p_total).to_pandas()
     if "file" not in res.columns:  # all-empty ds drops columns (CLAUDE.md)
-        ent = {"files": [], "rows": 0}
+        ent = {"parts": {}, "rows": 0}
     else:
-        ent = {"files": sorted(res["file"].tolist()),
-               "rows": int(res["rows"].sum())}
+        parts: dict = {}
+        for r in res.itertuples():
+            pent = parts.setdefault(str(int(r.part)),
+                                    {"files": [], "rows": 0})
+            pent["files"].append(r.file)
+            pent["rows"] += int(r.rows)
+        for pent in parts.values():
+            pent["files"].sort()
+        ent = {"parts": parts, "rows": int(res["rows"].sum())}
     m = _load_manifest(store_dir)  # re-read: driver is the only writer
+    m["num_partitions"] = p_total
     m["epochs"][epoch] = ent
     _save_manifest(store_dir, m)
     return ent
