@@ -4585,6 +4585,47 @@ def q_dsir_selected_docs(sf_dir: str) -> Any:
                   ["doc_id", "dsir_logratio_e6", "n_grams"])
 
 
+def q_phash_dup_images(sf_dir: str) -> Any:
+    """Perceptual image near-dup pairs: REAL pHash (gray -> 32x32 ->
+    DCT-II -> median-threshold bits, functions/imagecodec.py) over the
+    twin-planted media fixture, then the EXACT hamming pair join
+    (stages/hamming.py — pigeonhole banding, max_dist+1 bands, lossless).
+    Golden oracle is an INDEPENDENT brute-force all-pairs popcount —
+    it checks the banding plan itself, not just the kernels."""
+    from calendar_event_entity_extraction_ray.stages.hamming import (
+        hamming_near_pairs,
+    )
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        phash_batch,
+        synth_media_with_twins,
+    )
+
+    n = max(100, int(10_000 * _sf_of(sf_dir)))
+    ds = ray.data.from_arrow(synth_media_with_twins(n))
+    ph = ds.map_batches(phash_batch, batch_format="pyarrow")
+    pairs = hamming_near_pairs(ph, "phash", "media_id", max_dist=6)
+    return _int64(pairs.to_pandas(), ["id_a", "id_b", "dist"])
+
+
+def q_simhash_near_docs(sf_dir: str) -> Any:
+    """Simhash near-dup pairs at hamming <= 3 (Manku et al. 2007):
+    the same exact banded hamming join over the existing per-doc
+    simhash. Golden oracle = brute-force all-pairs mirror."""
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_simhash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.hamming import (
+        hamming_near_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sh = ds.map_batches(lambda b: add_simhash_column(b, "text"),
+                        batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"])
+    pairs = hamming_near_pairs(sh, "simhash", "doc_id", max_dist=3)
+    return _int64(pairs.to_pandas(), ["id_a", "id_b", "dist"])
+
+
 def _bpe_model(sf_dir: str):
     """Shared trainer for the BPE queries: exact distributed word
     histogram -> top-K cap -> driver merge loop (stages/bpetrain.py).
@@ -4796,6 +4837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selected_docs": q_dsir_selected_docs,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenized_docs": q_bpe_tokenized_docs,
+        "phash_dup_images": q_phash_dup_images,
+        "simhash_near_docs": q_simhash_near_docs,
     }
 
 
@@ -5039,6 +5082,12 @@ def oracle_sql() -> dict[str, str]:
             f" FROM {_golden('semdedup_embeddings')}",
         "bpe_merges":
             f"SELECT rank, lhs, rhs FROM {_golden('bpe_merges')}",
+        "phash_dup_images":
+            f"SELECT id_a, id_b, dist"
+            f" FROM {_golden('phash_dup_images')}",
+        "simhash_near_docs":
+            f"SELECT id_a, id_b, dist"
+            f" FROM {_golden('simhash_near_docs')}",
         "bpe_tokenized_docs":
             f"SELECT doc_id, n_tokens, tokens_fp"
             f" FROM {_golden('bpe_tokenized_docs')}",

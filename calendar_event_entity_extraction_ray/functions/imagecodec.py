@@ -91,3 +91,36 @@ def channel_stats(pixels: np.ndarray) -> dict:
         "_means": means,
         "_stds": stds,
     }
+
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    """32x32 DCT-II basis (cached): D[k, m] = cos(pi*(m+0.5)*k/32)."""
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32, dtype=np.float64)[:, None]
+        m = np.arange(32, dtype=np.float64)[None, :]
+        _DCT32 = np.cos(np.pi * (m + 0.5) * k / 32.0)
+    return _DCT32
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Perceptual 64-bit image hash (the classic pHash plan, all numpy):
+    gray (channel mean, matching ``channel_stats``'s gray) -> 32x32
+    nearest resize -> 2-D DCT-II via two matmuls -> top-left 8x8
+    low-frequency block -> bit i = coef_i > median(coefs[1:]) (DC
+    excluded from the median so flat images don't flip half their
+    bits). Deterministic float64 end to end — the distributed stage and
+    the golden mirror share this exact kernel."""
+    g = pixels.astype(np.float64).mean(axis=2)
+    g32 = resize_nearest(g, 32, 32)
+    d = _dct32()
+    low = (d @ g32 @ d.T)[:8, :8].ravel()
+    med = np.median(low[1:])
+    bits = low > med
+    out = 0
+    for i in np.nonzero(bits)[0]:
+        out |= 1 << int(i)
+    return out

@@ -831,5 +831,11 @@ def ngram_jaccard_pairs(
 
 
 def add_simhash_column(batch: pa.Table, text_col: str, out_col: str = "simhash") -> pa.Table:
+    # two's-complement wrap (NOT a top-bit clamp): the int64 column holds
+    # the exact uint64 bit pattern, recoverable with .view(np.uint64) —
+    # the earlier v - 2^63 clamp destroyed bit 63 (collided v with
+    # v + 2^63, and broke hamming distances on the stored column)
     vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
-    return batch.append_column(out_col, pa.array([v - (1 << 63) if v >= (1 << 63) else v for v in vals], pa.int64()))
+    return batch.append_column(out_col, pa.array(
+        [v - (1 << 64) if v >= (1 << 63) else v for v in vals],
+        pa.int64()))

@@ -296,3 +296,66 @@ class ResampleAudio:
                 out.append(p)
         i = batch.schema.get_field_index("payload")
         return batch.set_column(i, "payload", pa.array(out, pa.binary()))
+
+
+def phash_batch(batch: pa.Table, id_col: str = "media_id") -> pa.Table:
+    """Perceptual hash per IMAGE row (functions/imagecodec.py:phash64);
+    non-image / undecodable rows emit no row. Output (id, phash int64 —
+    the uint64 bit pattern viewed signed, the engine's shuffle-key
+    convention)."""
+    from calendar_event_entity_extraction_ray.functions.imagecodec import (
+        decode_ppm,
+        is_ppm,
+        phash64,
+    )
+
+    ids, hashes = [], []
+    for i, kind, p in zip(batch.column(id_col).to_pylist(),
+                          batch.column("kind").to_pylist(),
+                          batch.column("payload").to_pylist()):
+        if kind == "image" and p is not None and is_ppm(p):
+            ids.append(i)
+            hashes.append(phash64(decode_ppm(p)))
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "phash": pa.array(
+            np.array(hashes, dtype=np.uint64).view(np.int64)
+            if hashes else [], pa.int64()),
+    })
+
+
+def synth_media_with_twins(n: int, twin_every: int = 5,
+                           seed: int = 42) -> pa.Table:
+    """synth_media_table plus PLANTED image near-dups: every
+    ``twin_every``-th image row gets a twin (media_id + 1_000_000) whose
+    pixels differ by a tiny deterministic perturbation — the pHash
+    near-dup recall fixture."""
+    base = synth_media_table(n, seed)
+    ids = base.column("media_id").to_pylist()
+    kinds = base.column("kind").to_pylist()
+    payloads = base.column("payload").to_pylist()
+    rows = {c: list(base.column(c).to_pylist()) for c in base.column_names}
+    from calendar_event_entity_extraction_ray.functions.imagecodec import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    for i, kind, p in zip(ids, kinds, payloads):
+        if kind != "image" or i % twin_every:
+            continue
+        px = decode_ppm(p).copy()
+        px[0, 0] = (int(px[0, 0, 0]) + 3) % 256  # one-pixel nudge
+        for c, v in zip(base.column_names,
+                        [i + 1_000_000, "image", encode_ppm(px),
+                         "image/x-portable-pixmap", px.shape[1],
+                         px.shape[0], None]):
+            rows[c].append(v)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "mime": pa.array(rows["mime"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
+    })

@@ -76,7 +76,8 @@ def golden_simhash_docs() -> pa.Table:
     return pa.table({
         "doc_id": pa.array(df["doc_id"], pa.int64()),
         "simhash": pa.array(
-            [v - (1 << 63) if v >= (1 << 63) else v for v in vals], pa.int64()),
+            [v - (1 << 64) if v >= (1 << 63) else v for v in vals],
+            pa.int64()),  # two's-complement wrap == exact bit pattern
     })
 
 
@@ -855,10 +856,70 @@ def golden_bpe_tokenized_docs() -> pa.Table:
     })
 
 
+def _brute_hamming_pairs(ids, hashes, max_dist) -> pa.Table:
+    """Independent O(n^2) mirror of the banded hamming join: verifies the
+    PLAN (pigeonhole banding + exchange), not just the kernels."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.hamming import (
+        popcount64,
+    )
+
+    ids = np.asarray(ids, dtype=np.int64)
+    h = np.asarray(hashes, dtype=np.uint64)
+    ia, ib, dd = [], [], []
+    for i in range(len(ids)):
+        d = popcount64(h[i] ^ h[i + 1:])
+        hit = np.nonzero(d <= max_dist)[0]
+        ia.extend([ids[i]] * len(hit))
+        ib.extend(ids[i + 1 + hit])
+        dd.extend(d[hit])
+    a = np.minimum(ia, ib) if ia else np.array([], dtype=np.int64)
+    b = np.maximum(ia, ib) if ia else np.array([], dtype=np.int64)
+    return pa.table({"id_a": pa.array(np.asarray(a, np.int64)),
+                     "id_b": pa.array(np.asarray(b, np.int64)),
+                     "dist": pa.array(np.asarray(dd, np.int64))})
+
+
+def golden_phash_dup_images() -> pa.Table:
+    from calendar_event_entity_extraction_ray.functions.imagecodec import (
+        decode_ppm,
+        is_ppm,
+        phash64,
+    )
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        synth_media_with_twins,
+    )
+
+    t = synth_media_with_twins(N_MEDIA)
+    ids, hs = [], []
+    for i, kind, p in zip(t.column("media_id").to_pylist(),
+                          t.column("kind").to_pylist(),
+                          t.column("payload").to_pylist()):
+        if kind == "image" and p is not None and is_ppm(p):
+            ids.append(i)
+            hs.append(phash64(decode_ppm(p)))
+    return _brute_hamming_pairs(ids, hs, 6)
+
+
+def golden_simhash_near_docs() -> pa.Table:
+    from calendar_event_entity_extraction_ray.functions.dedup import (
+        simhash64,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    hs = [simhash64(x or "") for x in t.column("text").to_pylist()]
+    return _brute_hamming_pairs(ids, hs, 3)
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
     "bpe_merges": golden_bpe_merges,
     "bpe_tokenized_docs": golden_bpe_tokenized_docs,
+    "phash_dup_images": golden_phash_dup_images,
+    "simhash_near_docs": golden_simhash_near_docs,
     "lm_scored_docs": golden_lm_scored_docs,
     "dsir_scored_docs": golden_dsir_scored_docs,
     "dsir_selected_docs": golden_dsir_selected_docs,
