@@ -4626,6 +4626,43 @@ def q_simhash_near_docs(sf_dir: str) -> Any:
     return _int64(pairs.to_pandas(), ["id_a", "id_b", "dist"])
 
 
+def q_simhash_dedup_docs(sf_dir: str) -> Any:
+    """Simhash near-dedup with the CLUSTER keeper rule (the corpus_clean
+    canonicalization pattern applied to the hamming family): exact banded
+    pairs at hamming <= 3 -> connected components (min-label) -> keep
+    ONE doc per component (the smallest id), drop the rest via the
+    exchange anti join. Golden oracle = independent brute-force pairs +
+    union-find mirror."""
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_simhash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        connected_components,
+    )
+    from calendar_event_entity_extraction_ray.stages.hamming import (
+        hamming_near_pairs,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import anti_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sh = docs.map_batches(lambda b: add_simhash_column(b, "text"),
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"])
+    pairs = hamming_near_pairs(sh, "simhash", "doc_id", max_dist=3)
+    cc = connected_components(pairs, "id_a", "id_b")
+
+    def losers(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(b.column("node"), b.column("cluster"))
+        return pa.table({"doc_id": b.filter(keep).column("node")})
+
+    drop = cc.map_batches(losers, batch_format="pyarrow")
+    kept = anti_join(docs.select_columns(["doc_id"]), drop,
+                     "doc_id", ["doc_id"])
+    return _int64(kept.to_pandas(), ["doc_id"])
+
+
 def _bpe_model(sf_dir: str):
     """Shared trainer for the BPE queries: exact distributed word
     histogram -> top-K cap -> driver merge loop (stages/bpetrain.py).
@@ -4839,6 +4876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenized_docs": q_bpe_tokenized_docs,
         "phash_dup_images": q_phash_dup_images,
         "simhash_near_docs": q_simhash_near_docs,
+        "simhash_dedup_docs": q_simhash_dedup_docs,
     }
 
 
@@ -5088,6 +5126,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_docs":
             f"SELECT id_a, id_b, dist"
             f" FROM {_golden('simhash_near_docs')}",
+        "simhash_dedup_docs":
+            f"SELECT doc_id FROM {_golden('simhash_dedup_docs')}",
         "bpe_tokenized_docs":
             f"SELECT doc_id, n_tokens, tokens_fp"
             f" FROM {_golden('bpe_tokenized_docs')}",

@@ -902,6 +902,42 @@ def golden_phash_dup_images() -> pa.Table:
     return _brute_hamming_pairs(ids, hs, 6)
 
 
+def golden_simhash_dedup_docs() -> pa.Table:
+    """Independent mirror of the cluster-keeper simhash dedup: brute
+    all-pairs popcount + a plain union-find, keep the min id per
+    component."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.functions.dedup import (
+        simhash64,
+    )
+    from calendar_event_entity_extraction_ray.stages.hamming import (
+        popcount64,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    h = np.asarray([simhash64(x or "")
+                    for x in t.column("text").to_pylist()], dtype=np.uint64)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        d = popcount64(h[i] ^ h[i + 1:])
+        for j in np.nonzero(d <= 3)[0]:
+            ra, rb = find(int(ids[i])), find(int(ids[i + 1 + j]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    kept = sorted(i for i in parent if find(i) == i)
+    return pa.table({"doc_id": pa.array(kept, pa.int64())})
+
+
 def golden_simhash_near_docs() -> pa.Table:
     from calendar_event_entity_extraction_ray.functions.dedup import (
         simhash64,
@@ -920,6 +956,7 @@ GOLDENS = {
     "bpe_tokenized_docs": golden_bpe_tokenized_docs,
     "phash_dup_images": golden_phash_dup_images,
     "simhash_near_docs": golden_simhash_near_docs,
+    "simhash_dedup_docs": golden_simhash_dedup_docs,
     "lm_scored_docs": golden_lm_scored_docs,
     "dsir_scored_docs": golden_dsir_scored_docs,
     "dsir_selected_docs": golden_dsir_selected_docs,
