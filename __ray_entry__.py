@@ -4626,6 +4626,24 @@ def q_simhash_near_docs(sf_dir: str) -> Any:
     return _int64(pairs.to_pandas(), ["id_a", "id_b", "dist"])
 
 
+def q_token_batches_seqs(sf_dir: str) -> Any:
+    """Training-tensor hand-off over the packed sequences
+    (pipelines/traindata.py:token_batches): deterministic tokenizer ids
+    padded to 256, published as exact-integer audit columns; golden
+    recomputes through the same kernels over the frozen
+    training_sequences mirror."""
+    from calendar_event_entity_extraction_ray.pipelines.traindata import (
+        token_batches,
+        training_sequences,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_batches(training_sequences(docs))
+    return _int64(out.to_pandas()[["bucket", "bin", "n_ids", "n_pad",
+                                   "ids_fp"]],
+                  ["bucket", "bin", "n_ids", "n_pad", "ids_fp"])
+
+
 def q_simhash_dedup_docs(sf_dir: str) -> Any:
     """Simhash near-dedup with the CLUSTER keeper rule (the corpus_clean
     canonicalization pattern applied to the hamming family): exact banded
@@ -4877,6 +4895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_dup_images": q_phash_dup_images,
         "simhash_near_docs": q_simhash_near_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
+        "token_batches_seqs": q_token_batches_seqs,
     }
 
 
@@ -5128,6 +5147,9 @@ def oracle_sql() -> dict[str, str]:
             f" FROM {_golden('simhash_near_docs')}",
         "simhash_dedup_docs":
             f"SELECT doc_id FROM {_golden('simhash_dedup_docs')}",
+        "token_batches_seqs":
+            f"SELECT bucket, bin, n_ids, n_pad, ids_fp"
+            f" FROM {_golden('token_batches_seqs')}",
         "bpe_tokenized_docs":
             f"SELECT doc_id, n_tokens, tokens_fp"
             f" FROM {_golden('bpe_tokenized_docs')}",

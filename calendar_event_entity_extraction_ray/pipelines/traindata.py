@@ -120,3 +120,73 @@ def training_sequences(
         lambda b: add_hash_column(b, ["bucket", "bin"], out_col="_bb"),
         batch_format="pyarrow")
     return hash_partition_map(keyed, "_bb", emit)
+
+
+def token_batches(
+    seqs: "ray.data.Dataset",
+    seq_len: int = 256,
+    vocab_size: int = 32768,
+) -> "ray.data.Dataset":
+    """Training-tensor hand-off: encode each packed sequence with the
+    deterministic tokenizer (functions/tokenizer.py), pad (id 0) /
+    truncate to ``seq_len`` — output carries BOTH the real tensor
+    payload (``input_ids``: fixed-width list<int32>, the shape a trainer
+    consumes zero-copy) and exact-integer audit columns (n_ids before
+    padding, n_pad, ids_fp = siphash of the id stream) so the oracle
+    compares without shipping tensors through DuckDB."""
+    import numpy as np
+    import pyarrow as pa
+
+    from calendar_event_entity_extraction_ray.functions.tokenizer import (
+        ToyTokenizer,
+    )
+    from calendar_event_entity_extraction_ray.stages.lmfilter import (
+        hash_strs,
+    )
+
+    def enc(b: pa.Table) -> pa.Table:
+        tok = ToyTokenizer(vocab_size)
+        mats, n_ids, fps = [], [], []
+        for text in b.column("seq_text").to_pylist():
+            ids = tok.encode(text or "")[:seq_len]
+            n_ids.append(len(ids))
+            fps.append(" ".join(map(str, ids)))
+            mats.append(np.pad(np.asarray(ids, dtype=np.int32),
+                               (0, seq_len - len(ids))))
+        flat = (np.concatenate(mats) if mats
+                else np.zeros(0, dtype=np.int32))
+        n = np.asarray(n_ids, dtype=np.int64)
+        return pa.table({
+            "bucket": b.column("bucket"),
+            "bin": b.column("bin"),
+            "input_ids": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.int32()), seq_len),
+            "n_ids": pa.array(n, pa.int64()),
+            "n_pad": pa.array(seq_len - n, pa.int64()),
+            "ids_fp": pa.array(hash_strs(fps).view(np.int64)
+                               if fps else [], pa.int64()),
+        })
+
+    return seqs.map_batches(enc, batch_format="pyarrow")
+
+
+def iter_token_batches(
+    seqs: "ray.data.Dataset",
+    seq_len: int = 256,
+    batch_size: int = 32,
+    vocab_size: int = 32768,
+):
+    """Yield ``(input_ids [batch, seq_len] int32, n_ids [batch] int64)``
+    numpy pairs — the last mile into a training loop. Streaming: blocks
+    arrive with backpressure, the fixed-size-list column reshapes
+    zero-copy; batch order follows block order (pin
+    ``DataContext.execution_options.preserve_order`` for bit-stable
+    epoch order, or compose with the shuffle op for a seeded one)."""
+    import numpy as np
+
+    for b in token_batches(seqs, seq_len, vocab_size).iter_batches(
+            batch_size=batch_size, batch_format="pyarrow"):
+        ids = (b.column("input_ids").combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False)
+               .reshape(-1, seq_len))
+        yield ids, b.column("n_ids").to_numpy(zero_copy_only=False)

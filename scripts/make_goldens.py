@@ -902,6 +902,37 @@ def golden_phash_dup_images() -> pa.Table:
     return _brute_hamming_pairs(ids, hs, 6)
 
 
+def golden_token_batches_seqs() -> pa.Table:
+    """Mirror of q_token_batches_seqs: the sequential training_sequences
+    mirror feeds the same encode/pad/fp kernels single-process."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.functions.tokenizer import (
+        ToyTokenizer,
+    )
+    from calendar_event_entity_extraction_ray.stages.lmfilter import (
+        hash_strs,
+    )
+
+    seqs = golden_training_sequences()
+    tok = ToyTokenizer(32768)
+    seq_len = 256
+    n_ids, fps = [], []
+    for text in seqs.column("seq_text").to_pylist():
+        ids = tok.encode(text or "")[:seq_len]
+        n_ids.append(len(ids))
+        fps.append(" ".join(map(str, ids)))
+    n = np.asarray(n_ids, dtype=np.int64)
+    return pa.table({
+        "bucket": seqs.column("bucket"),
+        "bin": seqs.column("bin"),
+        "n_ids": pa.array(n, pa.int64()),
+        "n_pad": pa.array(seq_len - n, pa.int64()),
+        "ids_fp": pa.array(hash_strs(fps).view(np.int64)
+                           if fps else [], pa.int64()),
+    })
+
+
 def golden_simhash_dedup_docs() -> pa.Table:
     """Independent mirror of the cluster-keeper simhash dedup: brute
     all-pairs popcount + a plain union-find, keep the min id per
@@ -957,6 +988,7 @@ GOLDENS = {
     "phash_dup_images": golden_phash_dup_images,
     "simhash_near_docs": golden_simhash_near_docs,
     "simhash_dedup_docs": golden_simhash_dedup_docs,
+    "token_batches_seqs": golden_token_batches_seqs,
     "lm_scored_docs": golden_lm_scored_docs,
     "dsir_scored_docs": golden_dsir_scored_docs,
     "dsir_selected_docs": golden_dsir_selected_docs,

@@ -80,3 +80,39 @@ class TestPackFirstFit:
         assert (over["n"] == 1).all()
         # bins never cross buckets by construction; NULL text dropped
         assert 41 not in set(got["doc_id"])
+
+
+class TestTokenBatches:
+    def test_iter_token_batches_shapes_and_content(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.functions.tokenizer import (
+            ToyTokenizer,
+        )
+        from calendar_event_entity_extraction_ray.pipelines.traindata import (
+            iter_token_batches,
+        )
+
+        seqs = pd.DataFrame({
+            "bucket": pd.array([0, 0, 1], dtype="int64"),
+            "bin": pd.array([0, 1, 0], dtype="int64"),
+            "n_docs": pd.array([1, 1, 1], dtype="int64"),
+            "n_tok": pd.array([3, 2, 300], dtype="int64"),
+            "seq_text": ["a b c", "d e", "tok " * 300],
+        })
+        ds = ray.data.from_pandas(seqs)
+        got = list(iter_token_batches(ds, seq_len=8, batch_size=2))
+        mats = np.concatenate([m for m, _ in got])
+        lens = np.concatenate([n for _, n in got])
+        assert mats.shape == (3, 8) and mats.dtype == np.int32
+        tok = ToyTokenizer(32768)
+        order = np.argsort(lens)  # 2, 3, 8 after truncation
+        assert sorted(lens.tolist()) == [2, 3, 8]
+        # padded tail is id 0; ids match the deterministic tokenizer
+        row3 = mats[lens == 3][0]
+        assert row3[:3].tolist() == tok.encode("a b c")
+        assert row3[3:].tolist() == [0] * 5
+        row8 = mats[lens == 8][0]
+        assert row8.tolist() == tok.encode("tok " * 300)[:8]
