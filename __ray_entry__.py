@@ -4644,6 +4644,24 @@ def q_token_batches_seqs(sf_dir: str) -> Any:
                   ["bucket", "bin", "n_ids", "n_pad", "ids_fp"])
 
 
+def q_bpe_token_batches_seqs(sf_dir: str) -> Any:
+    """The full tokenizer-training loop closed: train BPE on the raw
+    corpus (q_bpe_merges' trainer), then hand the packed training
+    sequences to token_batches with the TRAINED tokenizer (ids =
+    vocab-index + special offset). Golden recomputes both chains
+    single-process through the same kernels."""
+    from calendar_event_entity_extraction_ray.pipelines.traindata import (
+        token_batches,
+        training_sequences,
+    )
+
+    docs, model = _bpe_model(sf_dir)
+    out = token_batches(training_sequences(docs), bpe_model=model)
+    return _int64(out.to_pandas()[["bucket", "bin", "n_ids", "n_pad",
+                                   "ids_fp"]],
+                  ["bucket", "bin", "n_ids", "n_pad", "ids_fp"])
+
+
 def q_simhash_dedup_docs(sf_dir: str) -> Any:
     """Simhash near-dedup with the CLUSTER keeper rule (the corpus_clean
     canonicalization pattern applied to the hamming family): exact banded
@@ -4896,6 +4914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_docs": q_simhash_near_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "token_batches_seqs": q_token_batches_seqs,
+        "bpe_token_batches_seqs": q_bpe_token_batches_seqs,
     }
 
 
@@ -5150,6 +5169,9 @@ def oracle_sql() -> dict[str, str]:
         "token_batches_seqs":
             f"SELECT bucket, bin, n_ids, n_pad, ids_fp"
             f" FROM {_golden('token_batches_seqs')}",
+        "bpe_token_batches_seqs":
+            f"SELECT bucket, bin, n_ids, n_pad, ids_fp"
+            f" FROM {_golden('bpe_token_batches_seqs')}",
         "bpe_tokenized_docs":
             f"SELECT doc_id, n_tokens, tokens_fp"
             f" FROM {_golden('bpe_tokenized_docs')}",

@@ -126,6 +126,7 @@ def token_batches(
     seqs: "ray.data.Dataset",
     seq_len: int = 256,
     vocab_size: int = 32768,
+    bpe_model=None,
 ) -> "ray.data.Dataset":
     """Training-tensor hand-off: encode each packed sequence with the
     deterministic tokenizer (functions/tokenizer.py), pad (id 0) /
@@ -133,7 +134,13 @@ def token_batches(
     payload (``input_ids``: fixed-width list<int32>, the shape a trainer
     consumes zero-copy) and exact-integer audit columns (n_ids before
     padding, n_pad, ids_fp = siphash of the id stream) so the oracle
-    compares without shipping tensors through DuckDB."""
+    compares without shipping tensors through DuckDB.
+
+    ``bpe_model`` (a trained ``stages/bpetrain.py:BpeModel``) swaps the
+    hash-vocab stand-in for the CORPUS-TRAINED tokenizer: ids are
+    vocab-index + 4 (the ToyTokenizer special-id convention: 0 pad,
+    1 bos, 2 eos, 3 unk — only chars absent from the capped training
+    histogram can hit unk)."""
     import numpy as np
     import pyarrow as pa
 
@@ -144,11 +151,37 @@ def token_batches(
         hash_strs,
     )
 
+    bpe_ref = None
+    if bpe_model is not None:
+        import ray as _ray
+
+        bpe_ref = _ray.put((
+            {p: i for i, p in enumerate(bpe_model.merges)},
+            {t: i + ToyTokenizer.N_SPECIAL
+             for i, t in enumerate(bpe_model.vocab)},
+        ))
+
+    def _encoder():
+        if bpe_ref is None:
+            tok = ToyTokenizer(vocab_size)
+            return lambda text: tok.encode(text or "")
+        import ray as _ray
+
+        from calendar_event_entity_extraction_ray.functions.bpe import (
+            encode_text,
+        )
+
+        ranks, id_of = _ray.get(bpe_ref)
+        cache: dict = {}
+        return lambda text: [id_of.get(t, 3)
+                             for t in encode_text(text or "", ranks,
+                                                  cache)]
+
     def enc(b: pa.Table) -> pa.Table:
-        tok = ToyTokenizer(vocab_size)
+        encode = _encoder()
         mats, n_ids, fps = [], [], []
         for text in b.column("seq_text").to_pylist():
-            ids = tok.encode(text or "")[:seq_len]
+            ids = encode(text or "")[:seq_len]
             n_ids.append(len(ids))
             fps.append(" ".join(map(str, ids)))
             mats.append(np.pad(np.asarray(ids, dtype=np.int32),
@@ -175,6 +208,7 @@ def iter_token_batches(
     seq_len: int = 256,
     batch_size: int = 32,
     vocab_size: int = 32768,
+    bpe_model=None,
 ):
     """Yield ``(input_ids [batch, seq_len] int32, n_ids [batch] int64)``
     numpy pairs — the last mile into a training loop. Streaming: blocks
@@ -184,7 +218,8 @@ def iter_token_batches(
     epoch order, or compose with the shuffle op for a seeded one)."""
     import numpy as np
 
-    for b in token_batches(seqs, seq_len, vocab_size).iter_batches(
+    for b in token_batches(seqs, seq_len, vocab_size,
+                           bpe_model=bpe_model).iter_batches(
             batch_size=batch_size, batch_format="pyarrow"):
         ids = (b.column("input_ids").combine_chunks().flatten()
                .to_numpy(zero_copy_only=False)

@@ -933,6 +933,53 @@ def golden_token_batches_seqs() -> pa.Table:
     })
 
 
+def golden_bpe_token_batches_seqs() -> pa.Table:
+    """Mirror of q_bpe_token_batches_seqs: the BPE mirror's merges feed
+    the same encode/id-map kernels over the sequential
+    training_sequences mirror."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.functions.bpe import (
+        encode_text,
+    )
+    from calendar_event_entity_extraction_ray.functions.tokenizer import (
+        ToyTokenizer,
+    )
+    from calendar_event_entity_extraction_ray.functions.bpe import (
+        build_vocab,
+        cap_word_counts,
+        word_counts,
+    )
+    from calendar_event_entity_extraction_ray.stages.lmfilter import (
+        hash_strs,
+    )
+
+    t, merges = _bpe_mirror()
+    capped = cap_word_counts(
+        word_counts(t.column("text").to_pylist()), 20_000)
+    vocab = build_vocab(capped, merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    id_of = {tk: i + ToyTokenizer.N_SPECIAL for i, tk in enumerate(vocab)}
+    seqs = golden_training_sequences()
+    seq_len = 256
+    cache: dict = {}
+    n_ids, fps = [], []
+    for text in seqs.column("seq_text").to_pylist():
+        ids = [id_of.get(x, 3)
+               for x in encode_text(text or "", ranks, cache)][:seq_len]
+        n_ids.append(len(ids))
+        fps.append(" ".join(map(str, ids)))
+    n = np.asarray(n_ids, dtype=np.int64)
+    return pa.table({
+        "bucket": seqs.column("bucket"),
+        "bin": seqs.column("bin"),
+        "n_ids": pa.array(n, pa.int64()),
+        "n_pad": pa.array(seq_len - n, pa.int64()),
+        "ids_fp": pa.array(hash_strs(fps).view(np.int64)
+                           if fps else [], pa.int64()),
+    })
+
+
 def golden_simhash_dedup_docs() -> pa.Table:
     """Independent mirror of the cluster-keeper simhash dedup: brute
     all-pairs popcount + a plain union-find, keep the min id per
@@ -989,6 +1036,7 @@ GOLDENS = {
     "simhash_near_docs": golden_simhash_near_docs,
     "simhash_dedup_docs": golden_simhash_dedup_docs,
     "token_batches_seqs": golden_token_batches_seqs,
+    "bpe_token_batches_seqs": golden_bpe_token_batches_seqs,
     "lm_scored_docs": golden_lm_scored_docs,
     "dsir_scored_docs": golden_dsir_scored_docs,
     "dsir_selected_docs": golden_dsir_selected_docs,
