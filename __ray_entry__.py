@@ -4607,6 +4607,27 @@ def q_phash_dup_images(sf_dir: str) -> Any:
     return _int64(pairs.to_pandas(), ["id_a", "id_b", "dist"])
 
 
+def q_afp_dup_audio(sf_dir: str) -> Any:
+    """Audio near-dup pairs: REAL clip fingerprint (Haitsma-Kalker
+    spectral-envelope bits + frame majority vote over the real WAV
+    decode, functions/audiocodec.py:afp64) then the exact banded
+    hamming join. Twin-planted fixture; golden oracle is the
+    independent brute-force all-pairs mirror."""
+    from calendar_event_entity_extraction_ray.stages.hamming import (
+        hamming_near_pairs,
+    )
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        afp_batch,
+        synth_media_with_audio_twins,
+    )
+
+    n = max(100, int(10_000 * _sf_of(sf_dir)))
+    ds = ray.data.from_arrow(synth_media_with_audio_twins(n))
+    fp = ds.map_batches(afp_batch, batch_format="pyarrow")
+    pairs = hamming_near_pairs(fp, "afp", "media_id", max_dist=8)
+    return _int64(pairs.to_pandas(), ["id_a", "id_b", "dist"])
+
+
 def q_simhash_near_docs(sf_dir: str) -> Any:
     """Simhash near-dup pairs at hamming <= 3 (Manku et al. 2007):
     the same exact banded hamming join over the existing per-doc
@@ -4911,6 +4932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_tokenized_docs": q_bpe_tokenized_docs,
         "phash_dup_images": q_phash_dup_images,
+        "afp_dup_audio": q_afp_dup_audio,
         "simhash_near_docs": q_simhash_near_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "token_batches_seqs": q_token_batches_seqs,
@@ -5161,6 +5183,9 @@ def oracle_sql() -> dict[str, str]:
         "phash_dup_images":
             f"SELECT id_a, id_b, dist"
             f" FROM {_golden('phash_dup_images')}",
+        "afp_dup_audio":
+            f"SELECT id_a, id_b, dist"
+            f" FROM {_golden('afp_dup_audio')}",
         "simhash_near_docs":
             f"SELECT id_a, id_b, dist"
             f" FROM {_golden('simhash_near_docs')}",

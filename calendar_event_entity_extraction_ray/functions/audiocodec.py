@@ -66,3 +66,29 @@ def audio_stats(samples: np.ndarray, rate: int) -> dict:
         "rms_e4": int(np.floor(rms * 10_000 + 0.5)),
         "zcr_e4": int(np.floor(zcr * 10_000 + 0.5)),
     }
+
+
+def afp64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint (the Haitsma-Kalker plan, clip-level):
+    1024-sample frames (hop 512) -> rfft power spectrum -> 65 contiguous
+    bands -> per-frame bit b = E[b] > E[b+1] (spectral-envelope shape,
+    robust to level and small noise) -> majority vote across frames.
+    Pure numpy float64 — the distributed stage and the golden mirror
+    share this exact kernel. Short clips zero-pad to one frame."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < 1024:
+        x = np.pad(x, (0, 1024 - len(x)))
+    n_frames = 1 + (len(x) - 1024) // 512
+    votes = np.zeros(64, dtype=np.int64)
+    for f in range(n_frames):
+        fr = x[f * 512: f * 512 + 1024]
+        p = np.abs(np.fft.rfft(fr)) ** 2
+        # 65 near-equal bands over bins 1..512 (skip DC)
+        bounds = np.linspace(1, len(p), 66).astype(np.int64)
+        e = np.add.reduceat(p, bounds[:-1])
+        votes += (e[:-1] > e[1:]).astype(np.int64)
+    bits = votes * 2 > n_frames  # strict majority
+    out = 0
+    for i in np.nonzero(bits)[0]:
+        out |= 1 << int(i)
+    return out

@@ -359,3 +359,64 @@ def synth_media_with_twins(n: int, twin_every: int = 5,
         "height": pa.array(rows["height"], pa.int32()),
         "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
     })
+
+
+def afp_batch(batch: pa.Table, id_col: str = "media_id") -> pa.Table:
+    """Audio fingerprint per WAV row (functions/audiocodec.py:afp64);
+    non-audio / undecodable rows emit no row."""
+    from calendar_event_entity_extraction_ray.functions.audiocodec import (
+        afp64,
+        decode_wav,
+        is_wav,
+    )
+
+    ids, hashes = [], []
+    for i, kind, p in zip(batch.column(id_col).to_pylist(),
+                          batch.column("kind").to_pylist(),
+                          batch.column("payload").to_pylist()):
+        if kind == "audio" and p is not None and is_wav(p):
+            ids.append(i)
+            hashes.append(afp64(decode_wav(p)[0]))
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "afp": pa.array(
+            np.array(hashes, dtype=np.uint64).view(np.int64)
+            if hashes else [], pa.int64()),
+    })
+
+
+def synth_media_with_audio_twins(n: int, twin_every: int = 5,
+                                 seed: int = 42) -> pa.Table:
+    """synth_media_table plus PLANTED audio near-dups: every
+    ``twin_every``-th audio row gets a twin (media_id + 2_000_000) whose
+    samples carry a tiny deterministic dither — the afp near-dup recall
+    fixture (the audio counterpart of synth_media_with_twins)."""
+    from calendar_event_entity_extraction_ray.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    base = synth_media_table(n, seed)
+    rows = {c: list(base.column(c).to_pylist()) for c in base.column_names}
+    for i, kind, p in zip(base.column("media_id").to_pylist(),
+                          base.column("kind").to_pylist(),
+                          base.column("payload").to_pylist()):
+        if kind != "audio" or i % twin_every:
+            continue
+        s, rate = decode_wav(p)
+        s = s.copy()
+        s[:: 97] = np.clip(s[:: 97].astype(np.int64) + 40,
+                           -32768, 32767).astype(s.dtype)
+        for c, v in zip(base.column_names,
+                        [i + 2_000_000, "audio", encode_wav(s, rate),
+                         "audio/wav", None, None, None]):
+            rows[c].append(v)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "mime": pa.array(rows["mime"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
+    })

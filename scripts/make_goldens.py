@@ -1016,6 +1016,27 @@ def golden_simhash_dedup_docs() -> pa.Table:
     return pa.table({"doc_id": pa.array(kept, pa.int64())})
 
 
+def golden_afp_dup_audio() -> pa.Table:
+    from calendar_event_entity_extraction_ray.functions.audiocodec import (
+        afp64,
+        decode_wav,
+        is_wav,
+    )
+    from calendar_event_entity_extraction_ray.stages.multimodal import (
+        synth_media_with_audio_twins,
+    )
+
+    t = synth_media_with_audio_twins(N_MEDIA)
+    ids, hs = [], []
+    for i, kind, p in zip(t.column("media_id").to_pylist(),
+                          t.column("kind").to_pylist(),
+                          t.column("payload").to_pylist()):
+        if kind == "audio" and p is not None and is_wav(p):
+            ids.append(i)
+            hs.append(afp64(decode_wav(p)[0]))
+    return _brute_hamming_pairs(ids, hs, 8)
+
+
 def golden_simhash_near_docs() -> pa.Table:
     from calendar_event_entity_extraction_ray.functions.dedup import (
         simhash64,
@@ -1033,6 +1054,7 @@ GOLDENS = {
     "bpe_merges": golden_bpe_merges,
     "bpe_tokenized_docs": golden_bpe_tokenized_docs,
     "phash_dup_images": golden_phash_dup_images,
+    "afp_dup_audio": golden_afp_dup_audio,
     "simhash_near_docs": golden_simhash_near_docs,
     "simhash_dedup_docs": golden_simhash_dedup_docs,
     "token_batches_seqs": golden_token_batches_seqs,

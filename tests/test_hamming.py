@@ -117,3 +117,31 @@ class TestHammingPairs:
         a, b = phash64(px), phash64(px.copy())
         assert a == b
         assert 0 <= a < (1 << 64)
+
+    def test_afp_twins_zero_distinct_far(self):
+        from calendar_event_entity_extraction_ray.functions.audiocodec import (
+            afp64,
+            decode_wav,
+        )
+        from calendar_event_entity_extraction_ray.stages.multimodal import (
+            synth_media_with_audio_twins,
+        )
+
+        t = synth_media_with_audio_twins(45, twin_every=2)
+        hs = {}
+        for i, kind, p in zip(t.column("media_id").to_pylist(),
+                              t.column("kind").to_pylist(),
+                              t.column("payload").to_pylist()):
+            if kind == "audio":
+                hs[i] = afp64(decode_wav(p)[0])
+        twins = [(i, i + 2_000_000) for i in hs
+                 if i < 2_000_000 and (i + 2_000_000) in hs]
+        assert twins
+        pop = lambda a, b: bin(a ^ b).count("1")
+        for a, b in twins:
+            assert pop(hs[a], hs[b]) <= 8
+        orig = sorted(i for i in hs if i < 2_000_000)
+        dists = [pop(hs[a], hs[b])
+                 for a in orig[:8] for b in orig[:8] if a < b]
+        import numpy as np
+        assert np.mean(dists) > 14
