@@ -254,6 +254,10 @@ def append_epoch(
     m = _load_manifest(store_dir)
     if epoch in m["epochs"]:
         return m["epochs"][epoch]
+    if epoch in m.get("compacted_epochs", []):
+        # folded into a base epoch by compact_store: still recorded,
+        # still a no-op (the re-run's filter already dropped everything)
+        return {"parts": {}, "rows": 0}
     p_total = int(m["num_partitions"] or num_partitions)
     ed = os.path.join(store_dir, f"epoch={epoch}")
 
@@ -320,3 +324,63 @@ def dedup_incremental(
                                      mode=mode).materialize()
     append_epoch(survivors, store_dir, epoch)
     return survivors.drop_columns(["_h1", "_h2"])
+
+
+def compact_store(store_dir: str) -> dict:
+    """Fold every partition's files ACROSS epochs into one distinct file
+    per partition (the LSM compaction for the fingerprint store — many
+    epochs accumulate many small files per partition; membership is
+    identical before and after). One ray task per partition reads only
+    its listed files, writes one file under the new base epoch, and the
+    driver swaps the manifest ATOMICALLY after every task commits — a
+    crash before the swap leaves the old manifest (and old files) fully
+    authoritative.
+
+    Compacted epoch NAMES are retained in ``compacted_epochs``:
+    ``append_epoch`` stays a no-op for them, so re-running an old
+    epoch's ingest cannot double-write — its filter now (correctly)
+    reports nothing new. Compacting twice folds the base again:
+    idempotent in content, one file per partition either way."""
+    m = _load_manifest(store_dir)
+    if not m["epochs"]:
+        return m
+    p_total = int(m["num_partitions"])
+    parts = _part_files(store_dir, None)
+    gen = int(m.get("compaction_gen", 0)) + 1
+    base = f"base{gen:04d}"
+    old_dirs = [os.path.join(store_dir, f"epoch={e}")
+                for e in m["epochs"]]
+
+    @ray.remote(num_cpus=1)
+    def fold(k: int, files: List[str]) -> tuple:
+        t = pa.concat_tables(pq.read_table(f, columns=["h1", "h2"])
+                             for f in files)
+        df = t.to_pandas().drop_duplicates()
+        pdir = os.path.join(store_dir, f"epoch={base}", f"part={k}")
+        os.makedirs(pdir, exist_ok=True)
+        name = f"fp-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table({"h1": pa.array(df["h1"].to_numpy(), pa.int64()),
+                      "h2": pa.array(df["h2"].to_numpy(), pa.int64())}),
+            os.path.join(pdir, name))
+        return k, name, len(df)
+
+    refs = [fold.remote(k, files) for k, files in sorted(parts.items())]
+    new_parts: dict = {}
+    total = 0
+    for k, name, rows in ray.get(refs):
+        new_parts[str(k)] = {"files": [name], "rows": rows}
+        total += rows
+    done = sorted(set(m.get("compacted_epochs", []))
+                  | set(m["epochs"]) - {base})
+    m2 = {"num_partitions": p_total,
+          "compaction_gen": gen,
+          "compacted_epochs": done,
+          "epochs": {base: {"parts": new_parts, "rows": total}}}
+    _save_manifest(store_dir, m2)
+    import shutil
+
+    for d in old_dirs:  # post-swap: no manifest references these
+        if os.path.basename(d) != f"epoch={base}":
+            shutil.rmtree(d, ignore_errors=True)
+    return m2

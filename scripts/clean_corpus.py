@@ -37,6 +37,10 @@ def main() -> int:
                          "fingerprinted by PRIOR epochs (<out>/_FPSTORE), "
                          "record this epoch's survivors, write under "
                          "<out>/epoch=<e>/ — idempotent per epoch")
+    ap.add_argument("--compact-store", action="store_true",
+                    help="fold the fingerprint store's epoch files into "
+                         "one file per partition (membership unchanged, "
+                         "atomic manifest swap) and exit")
     args = ap.parse_args()
 
     import ray
@@ -53,6 +57,21 @@ def main() -> int:
         write_corpus,
     )
     from calendar_event_entity_extraction_ray.state.metrics import write_metrics
+
+    if args.compact_store:
+        import os
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            compact_store,
+        )
+
+        m = compact_store(os.path.join(args.out, "_FPSTORE"))
+        print({"compacted_epochs": m.get("compacted_epochs", []),
+               "rows": sum(int(e["rows"]) for e in m["epochs"].values()),
+               "partitions": len(next(iter(m["epochs"].values()))
+                                 ["parts"]) if m["epochs"] else 0})
+        ray.shutdown()
+        return 0
 
     t0 = time.time()
     docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])

@@ -159,3 +159,77 @@ class TestIncrementalDedup:
         out = dedup_incremental(ray.data.from_pandas(e2), store, "d2"
                                 ).to_pandas()
         assert out["doc_id"].tolist() == [99]  # orphan ignored
+
+
+class TestCompaction:
+    def test_compact_preserves_membership_and_folds_files(
+            self, ray_session, tmp_path):
+        import glob
+
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            compact_store,
+            dedup_incremental,
+            filter_against_store,
+            store_rows,
+            with_fingerprints,
+        )
+
+        store = str(tmp_path / "fps")
+        t1 = _corpus(21, 250)
+        dedup_incremental(
+            ray.data.from_pandas(_docs(range(250), t1)), store, "d1")
+        dedup_incremental(
+            ray.data.from_pandas(
+                _docs(range(1000, 1250), _corpus(22, 250, dup_from=t1))),
+            store, "d2")
+        rows_before = store_rows(store)
+
+        probe = _docs(range(9000, 9200), _corpus(23, 200, dup_from=t1))
+        fp = with_fingerprints(ray.data.from_pandas(probe), "text")
+        before = set(filter_against_store(fp, store, mode="exchange")
+                     .to_pandas()["doc_id"])
+
+        m2 = compact_store(store)
+        assert list(m2["epochs"]) == ["base0001"]
+        assert sorted(m2["compacted_epochs"]) == ["d1", "d2"]
+        assert store_rows(store) == rows_before  # distinct fold, no dups
+        # one file per partition, old epoch dirs gone
+        for pdir in glob.glob(store + "/epoch=base0001/part=*"):
+            assert len(glob.glob(pdir + "/*.parquet")) == 1
+        assert not glob.glob(store + "/epoch=d1") \
+            and not glob.glob(store + "/epoch=d2")
+
+        after_ex = set(filter_against_store(fp, store, mode="exchange")
+                       .to_pandas()["doc_id"])
+        after_bc = set(filter_against_store(fp, store, mode="broadcast")
+                       .to_pandas()["doc_id"])
+        assert after_ex == before and after_bc == before
+
+    def test_old_epoch_rerun_after_compact_is_safe(
+            self, ray_session, tmp_path):
+        import json
+        import os
+
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            compact_store,
+            dedup_incremental,
+        )
+
+        store = str(tmp_path / "fps")
+        e1 = _docs(range(100), _corpus(31, 100))
+        dedup_incremental(ray.data.from_pandas(e1), store, "d1")
+        compact_store(store)
+        out = dedup_incremental(ray.data.from_pandas(e1), store, "d1"
+                                ).to_pandas()
+        assert len(out) == 0  # nothing new; no double-write
+        m = json.load(open(os.path.join(store, "_FPMANIFEST.json")))
+        assert list(m["epochs"]) == ["base0001"]
+        # new epoch after compaction still works
+        e2 = _docs(range(500, 560), _corpus(32, 60))
+        s2 = dedup_incremental(ray.data.from_pandas(e2), store, "d3"
+                               ).to_pandas()
+        assert len(s2) == 60
