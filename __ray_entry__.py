@@ -4607,6 +4607,29 @@ def q_phash_dup_images(sf_dir: str) -> Any:
     return _int64(pairs.to_pandas(), ["id_a", "id_b", "dist"])
 
 
+def q_dq_report_events(sf_dir: str) -> Any:
+    """Data-quality gate (the Deequ/dbt-test shape,
+    stages/quality_checks.py): declarative constraints over the events
+    table in ONE streaming pass (exact-integer partials, stream-reduced)
+    plus an exchange-counted uniqueness check — the promote-or-fail
+    report every production pipeline runs on its outputs."""
+    from calendar_event_entity_extraction_ray.stages.quality_checks import (
+        quality_report,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "value"])
+    rep = quality_report(
+        ev,
+        null_cols=["user_id", "value"],
+        accepted_values={"event_type": ["click", "view", "purchase",
+                                        "signup"]},
+        bounds={"value": (0, 400)},
+        unique_cols=["event_id", "user_id"],
+    )
+    return rep
+
+
 def q_afp_dup_audio(sf_dir: str) -> Any:
     """Audio near-dup pairs: REAL clip fingerprint (Haitsma-Kalker
     spectral-envelope bits + frame majority vote over the real WAV
@@ -4933,6 +4956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenized_docs": q_bpe_tokenized_docs,
         "phash_dup_images": q_phash_dup_images,
         "afp_dup_audio": q_afp_dup_audio,
+        "dq_report_events": q_dq_report_events,
         "simhash_near_docs": q_simhash_near_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "token_batches_seqs": q_token_batches_seqs,
@@ -5186,6 +5210,27 @@ def oracle_sql() -> dict[str, str]:
         "afp_dup_audio":
             f"SELECT id_a, id_b, dist"
             f" FROM {_golden('afp_dup_audio')}",
+        "dq_report_events": """
+            SELECT 'row_count' AS "check", '*' AS "column",
+                   COUNT(*) AS value FROM events
+            UNION ALL SELECT 'null_count', 'user_id',
+                   COUNT(*) - COUNT(user_id) FROM events
+            UNION ALL SELECT 'null_count', 'value',
+                   COUNT(*) - COUNT(value) FROM events
+            UNION ALL SELECT 'bad_value_count', 'event_type',
+                   CAST(COALESCE(SUM(CASE WHEN event_type NOT IN
+                       ('click','view','purchase','signup')
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+            UNION ALL SELECT 'out_of_bounds_count', 'value',
+                   CAST(COALESCE(SUM(CASE WHEN FLOOR(value) < 0
+                       OR FLOOR(value) > 400 THEN 1 ELSE 0 END), 0)
+                       AS BIGINT)
+                   FROM events WHERE value IS NOT NULL
+            UNION ALL SELECT 'dup_row_count', 'event_id',
+                   COUNT(event_id) - COUNT(DISTINCT event_id) FROM events
+            UNION ALL SELECT 'dup_row_count', 'user_id',
+                   COUNT(user_id) - COUNT(DISTINCT user_id) FROM events
+        """,
         "simhash_near_docs":
             f"SELECT id_a, id_b, dist"
             f" FROM {_golden('simhash_near_docs')}",

@@ -855,3 +855,39 @@ class TestResampleFill:
         assert len(u2) == 6
         assert u2["n_events"].tolist() == [1, 0, 0, 0, 0, 1]
         assert u2["sum_cents"].tolist() == [200, 0, 0, 0, 0, 300]
+
+
+class TestQualityReport:
+    def test_planted_violations(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.quality_checks import (
+            quality_report,
+        )
+
+        df = pd.DataFrame({
+            "id": pd.array([1, 2, 3, 4, 4, 6], dtype="int64"),
+            "kind": pd.array(["a", "b", "zz", None, "a", "b"],
+                             dtype=object),
+            "v": pd.array([1.5, -2.0, 3.0, 99.9, 150.0, None],
+                          dtype="float64"),
+            "u": pd.array([7, None, 7, 8, 9, 10], dtype="Int64"),
+        })
+        rep = quality_report(
+            ray.data.from_pandas(df).repartition(3),
+            null_cols=["kind", "v", "u"],
+            accepted_values={"kind": ["a", "b"]},
+            bounds={"v": (0, 100)},
+            unique_cols=["id", "u"],
+        )
+        got = {(r.check, r.column): r.value for r in rep.itertuples()}
+        assert got[("row_count", "*")] == 6
+        assert got[("null_count", "kind")] == 1
+        assert got[("null_count", "v")] == 1
+        assert got[("null_count", "u")] == 1
+        assert got[("bad_value_count", "kind")] == 1      # 'zz'
+        assert got[("out_of_bounds_count", "v")] == 2     # -2, 150
+        assert got[("dup_row_count", "id")] == 1          # 4 twice
+        assert got[("dup_row_count", "u")] == 1           # 7 twice
