@@ -4607,6 +4607,43 @@ def q_phash_dup_images(sf_dir: str) -> Any:
     return _int64(pairs.to_pandas(), ["id_a", "id_b", "dist"])
 
 
+def q_doc_len_drift(sf_dir: str) -> Any:
+    """Exact two-sample KS drift (stages/drift.py) between the train and
+    eval splits' doc-length distributions — the snapshot-drift monitor,
+    published as cross-multiplied integers (ks_num, n_a, n_b) so the SQL
+    window-CDF oracle matches bit-for-bit."""
+    import pandas as pd
+
+    from calendar_event_entity_extraction_ray.functions.textsig import (
+        stable_bucket,
+    )
+    from calendar_event_entity_extraction_ray.stages.drift import ks_drift
+
+    docs = _read(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def side_filter(lo: int, hi: int):
+        def f(b: pa.Table) -> pa.Table:
+            keep = []
+            for t in b.column("text").to_pylist():
+                keep.append(t is not None
+                            and lo <= stable_bucket(t, 10_000) < hi)
+            return b.filter(pa.array(keep, pa.bool_())).select(
+                ["n_chars"])
+
+        return f
+
+    a = docs.map_batches(side_filter(0, 7_500), batch_format="pyarrow")
+    b = docs.map_batches(side_filter(7_500, 9_000),
+                         batch_format="pyarrow")
+    ks_num, na, nb, arg = ks_drift(a, b, "n_chars")
+    return pd.DataFrame({
+        "ks_num": pd.array([ks_num], dtype="int64"),
+        "n_a": pd.array([na], dtype="int64"),
+        "n_b": pd.array([nb], dtype="int64"),
+        "arg_value": pd.array([arg], dtype="int64"),
+    })
+
+
 def q_dq_report_events(sf_dir: str) -> Any:
     """Data-quality gate (the Deequ/dbt-test shape,
     stages/quality_checks.py): declarative constraints over the events
@@ -4957,6 +4994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_dup_images": q_phash_dup_images,
         "afp_dup_audio": q_afp_dup_audio,
         "dq_report_events": q_dq_report_events,
+        "doc_len_drift": q_doc_len_drift,
         "simhash_near_docs": q_simhash_near_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "token_batches_seqs": q_token_batches_seqs,
@@ -5210,6 +5248,35 @@ def oracle_sql() -> dict[str, str]:
         "afp_dup_audio":
             f"SELECT id_a, id_b, dist"
             f" FROM {_golden('afp_dup_audio')}",
+        "doc_len_drift": """
+            WITH lab AS (
+                SELECT n_chars AS v,
+                       CASE WHEN CAST(('0x' || substr(md5(text), 1, 8))
+                                 AS BIGINT) % 10000 < 7500 THEN 'a'
+                            WHEN CAST(('0x' || substr(md5(text), 1, 8))
+                                 AS BIGINT) % 10000 < 9000 THEN 'b'
+                       END AS side
+                FROM documents
+                WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+            g AS (
+                SELECT v,
+                       SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+                FROM lab WHERE side IS NOT NULL GROUP BY v),
+            c AS (
+                SELECT v,
+                       SUM(ca) OVER (ORDER BY v) AS cuma,
+                       SUM(cb) OVER (ORDER BY v) AS cumb,
+                       (SELECT SUM(ca) FROM g) AS na,
+                       (SELECT SUM(cb) FROM g) AS nb
+                FROM g)
+            SELECT CAST(ABS(cuma * nb - cumb * na) AS BIGINT) AS ks_num,
+                   CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   v AS arg_value
+            FROM c ORDER BY ABS(cuma * nb - cumb * na) DESC, v ASC
+            LIMIT 1
+        """,
         "dq_report_events": """
             SELECT 'row_count' AS "check", '*' AS "column",
                    COUNT(*) AS value FROM events

@@ -891,3 +891,48 @@ class TestQualityReport:
         assert got[("out_of_bounds_count", "v")] == 2     # -2, 150
         assert got[("dup_row_count", "id")] == 1          # 4 twice
         assert got[("dup_row_count", "u")] == 1           # 7 twice
+
+
+class TestKsDrift:
+    def test_matches_scipy_style_mirror(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.drift import (
+            ks_drift,
+        )
+
+        rng = np.random.RandomState(13)
+        a = rng.randint(0, 50, 3000)
+        b = np.concatenate([rng.randint(0, 50, 1500),
+                            rng.randint(30, 80, 1500)])  # shifted mass
+        dsa = ray.data.from_pandas(
+            pd.DataFrame({"x": pd.array(a, dtype="int64")})).repartition(4)
+        dsb = ray.data.from_pandas(
+            pd.DataFrame({"x": pd.array(b, dtype="int64")})).repartition(3)
+        ks_num, na, nb, arg = ks_drift(dsa, dsb, "x")
+        # mirror: brute ECDF sup on the pooled support
+        support = np.unique(np.concatenate([a, b]))
+        ca = np.searchsorted(np.sort(a), support, side="right")
+        cb = np.searchsorted(np.sort(b), support, side="right")
+        diff = np.abs(ca * len(b) - cb * len(a))
+        assert (na, nb) == (len(a), len(b))
+        assert ks_num == int(diff.max())
+        assert arg == int(support[np.argmax(diff)])
+        assert ks_num / (na * nb) > 0.15  # the shift is detected
+
+    def test_identical_distributions_zero_on_shared_sample(
+            self, ray_session):
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.drift import (
+            ks_drift,
+        )
+
+        df = pd.DataFrame({"x": pd.array([1, 2, 2, 3, None],
+                                         dtype="Int64")})
+        ds = ray.data.from_pandas(df)
+        ks_num, na, nb, _ = ks_drift(ds, ds, "x")
+        assert ks_num == 0 and na == nb == 4  # NULL dropped
