@@ -119,7 +119,8 @@ def run_bench() -> dict:
         "doc_len_hist", "doc_repetition", "segment_nation_orders",
         "lm_scored_docs", "dsir_selected_docs", "semdedup_embeddings",
         "parts_supplier_cnt", "dominant_part_supplier",
-        "bpe_tokenized_docs"]
+        "bpe_tokenized_docs", "resample_user_hourly",
+        "simhash_near_docs", "shuffle_docs", "doc_len_drift"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

@@ -302,7 +302,16 @@ def resample_fill(
                 out["sv"].fillna(0).to_numpy(np.int64), pa.int64()),
         })
 
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        default_num_partitions,
+    )
+
     hashed = ds.map_batches(
         lambda b: add_hash_column(partial(b), [user_col], out_col="_uh"),
         batch_format="pyarrow")
-    return hash_partition_map(hashed, "_uh", fold)
+    # explicit partition count: the adaptive single-task fold heuristic
+    # sizes on INPUT partial rows, but the gap fill EXPLODES output
+    # ~spanx keys/rows (sf0.1: 100k partials -> 1.05M grid rows; the
+    # single fold measured 23 s, parallel folds 4 s)
+    return hash_partition_map(hashed, "_uh", fold,
+                              num_partitions=default_num_partitions())
