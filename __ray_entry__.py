@@ -629,7 +629,7 @@ def q_approx_distinct(sf_dir: str) -> Any:
 
     merged = HyperLogLog(p=12)
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for s in b.column("sketch").to_pylist():
             merged.merge(HyperLogLog.deserialize(s))
     est = merged.estimate()
@@ -813,7 +813,7 @@ def q_grouped_approx_quantiles(sf_dir: str) -> Any:
 
     merged: dict = {}
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for g, blob in zip(b.column("g").to_pylist(),
                            b.column("sk").to_pylist()):
             sk = QuantileSketch.deserialize(blob)
@@ -845,7 +845,7 @@ def q_grouped_approx_quantiles(sf_dir: str) -> Any:
     le_of: dict = {}
     for b in ds.map_batches(rank_partial,
                             batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for g, n, le in zip(b.column("g").to_pylist(),
                             b.column("n").to_pylist(),
                             b.column("le").to_pylist()):
@@ -1749,7 +1749,7 @@ def q_tfidf_top_terms(sf_dir: str) -> Any:
     df_map = {}
     for b in grouped_count(
             ds.map_batches(explode_distinct, batch_format="pyarrow"),
-            "term", out_col="df").iter_batches(batch_format="pyarrow"):
+            "term", out_col="df").iter_batches(batch_format="pyarrow", batch_size=None):
         for term, df_ in zip(b.column("term").to_pylist(),
                              b.column("df").to_pylist()):
             df_map[term] = df_
@@ -1811,7 +1811,7 @@ def q_grouped_approx_distinct(sf_dir: str) -> Any:
 
     merged: dict = {}
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for g, s in zip(b.column("g").to_pylist(),
                         b.column("sketch").to_pylist()):
             h = HyperLogLog.deserialize(s)
@@ -1982,7 +1982,7 @@ def q_heavy_hitters(sf_dir: str) -> Any:
     merged = MisraGries(k=K)
     total = 0
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for blob in b.column("mg").to_pylist():
             merged.merge(MisraGries.deserialize(blob, k=K))
     total = int(ds.count())
@@ -2020,7 +2020,7 @@ def q_cm_user_counts(sf_dir: str) -> Any:
 
     merged = CountMin(w=W, d=D)
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for blob in b.column("cm").to_pylist():
             merged.merge(CountMin.deserialize(blob))
     total = int(merged.table[0].sum())
@@ -2379,7 +2379,7 @@ def q_approx_value_quantiles(sf_dir: str) -> Any:
 
     merged = QuantileSketch(k=256)
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for blob in b.column("sk").to_pylist():
             merged.merge(QuantileSketch.deserialize(blob))
     ests = [merged.quantile(q) for q in qs]
@@ -2400,7 +2400,7 @@ def q_approx_value_quantiles(sf_dir: str) -> Any:
     le = [0] * len(ests)
     for b in ds.map_batches(rank_partial,
                             batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for n, ls in zip(b.column("n").to_pylist(),
                          b.column("le").to_pylist()):
             n_total += n

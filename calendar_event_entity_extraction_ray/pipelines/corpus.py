@@ -139,7 +139,7 @@ def corpus_clean(
         return anti_join(unique, dups, key=id_col, left_cols=keep_cols)
 
     drop_ids = set()
-    for b in dups.iter_batches(batch_format="pyarrow"):
+    for b in dups.iter_batches(batch_format="pyarrow", batch_size=None):
         drop_ids.update(b.column(id_col).to_pylist())
     drop_ref = ray.put(pa.array(sorted(drop_ids), pa.int64()))
 

@@ -704,7 +704,7 @@ def profile_numeric_columns(
 
     stats: dict = {c: [0, 0, float("inf"), float("-inf")] for c in cols}
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for r in b.to_pylist():
             s = stats[r["column"]]
             s[0] += r["n"]
@@ -738,7 +738,7 @@ def profile_numeric_columns(
 
     nd = {c: 0 for c in cols}
     for b in hash_partition_map(tagged, "_dh", fold).iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for c, n in zip(b.column("column").to_pylist(),
                         b.column("nd").to_pylist()):
             nd[c] += n

@@ -92,7 +92,7 @@ def word_histogram_capped(
     cand: Dict[str, int] = {}
     for b in hist.map_batches(topk_partial, batch_format="pyarrow",
                               batch_size=None).iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         mask = b.column("is_total").to_numpy(zero_copy_only=False)
         ws = b.column("word").to_pylist()
         ns = b.column("n").to_pylist()

@@ -23,7 +23,7 @@ def broadcast_dict(ds: "ray.data.Dataset", key_col: str, val_col: str):
     """Small side -> driver dict -> object-store ref (one ``ray.put``)."""
     mapping = {}
     for b in ds.select_columns([key_col, val_col]).iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         mapping.update(zip(b.column(key_col).to_pylist(),
                            b.column(val_col).to_pylist()))
     return ray.put(mapping)

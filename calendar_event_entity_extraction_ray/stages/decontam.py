@@ -103,7 +103,7 @@ def eval_gram_bloom(
     merged = np.zeros(words, dtype=np.uint64)
     for b in eval_ds.map_batches(
             partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for buf in b.column("bits").to_pylist():
             merged |= np.frombuffer(buf, dtype=np.uint64)
     return merged
@@ -217,7 +217,7 @@ def contaminated_doc_ids(
             lambda b: gram_explode_batch(b, doc_id_col, text_col, n),
             batch_format="pyarrow")
         for b in exploded.select_columns(["gram"]).iter_batches(
-                batch_format="pyarrow"):
+                batch_format="pyarrow", batch_size=None):
             eval_grams.update(b.column("gram").to_pylist())
         grams_ref = ray.put(eval_grams)
 

@@ -358,7 +358,7 @@ def minhash_lsh_pairs(
         # broadcast path: candidate id set -> filter source -> driver map
         cand_ids = set()
         for b in cand_index.select_columns([id_col]).iter_batches(
-                batch_format="pyarrow"):
+                batch_format="pyarrow", batch_size=None):
             cand_ids.update(b.column(id_col).to_pylist())
         cand_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
@@ -369,7 +369,7 @@ def minhash_lsh_pairs(
         id_text = {}
         for b in (ds.select_columns([id_col, text_col])
                   .map_batches(cand_rows, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow")):
+                  .iter_batches(batch_format="pyarrow", batch_size=None)):
             id_text.update(zip(b.column(id_col).to_pylist(),
                                b.column(text_col).to_pylist()))
         lookup_ref = ray.put(id_text)
@@ -561,7 +561,7 @@ def gram_document_frequencies(
 
     df: dict = {}
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for g, c in zip(b.column("gram").to_pylist(),
                         b.column("partial").to_pylist()):
             df[g] = df.get(g, 0) + c
@@ -623,7 +623,7 @@ def _bitset_jaccard_pairs(ds, text_col, id_col, threshold, n, vocab,
 
     ids_l, sz_l, bits_l = [], [], []
     for b in ds.map_batches(pack, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         ids_l.append(b.column("_id").to_numpy())
         sz_l.append(b.column("_sz").to_numpy())
         for blob in b.column("_bits").to_pylist():
@@ -787,7 +787,7 @@ def ngram_jaccard_pairs(
 
     # candidate-only verification (driver never holds the corpus)
     cand_ids = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
         cand_ids.update(b.column(a_col).to_pylist())
         cand_ids.update(b.column(b_col).to_pylist())
     if not cand_ids:
@@ -801,7 +801,7 @@ def ngram_jaccard_pairs(
     grams_of = {}
     for b in (ds.select_columns([id_col, text_col])
               .map_batches(cand_rows, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         for i, txt in zip(b.column(id_col).to_pylist(),
                           b.column(text_col).to_pylist()):
             grams_of[i] = char_ngrams(txt or "", n)

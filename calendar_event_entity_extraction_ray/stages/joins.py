@@ -45,7 +45,7 @@ def _sample_boundaries(ds: "ray.data.Dataset", col: str,
 
     for b in (ds.select_columns([col])
               .map_batches(sample, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         vals.append(b.column(col).to_numpy(zero_copy_only=False))
     allv = np.concatenate(vals) if vals else np.array([])
     if len(allv) == 0:
@@ -376,7 +376,7 @@ def _right_key_bloom(right, key, n_bits, k=4):
     merged = BloomFilter(n_bits=n_bits, k=k)
     for b in right.map_batches(partial,
                                batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for blob in b.column("bloom").to_pylist():
             merged.merge(BloomFilter.deserialize(blob, k=k))
     return ray.put(merged)
@@ -667,7 +667,7 @@ def skewed_hash_join(
         [b for b in right.map_batches(
             lambda b: b.select(right_cols).filter(
                 pc.is_in(b.column(key), value_set=hot_vals)),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow")],
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None)],
         promote_options="default")
     if right_hot_tbl.num_rows > max_hot_right_rows:
         raise ValueError(

@@ -62,7 +62,7 @@ def label_centroids(
 
     acc: dict = {}
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for lab, s, n in zip(b.column("label").to_pylist(),
                              b.column("sum").to_pylist(),
                              b.column("n").to_pylist()):
@@ -103,7 +103,7 @@ def _init_centroids(ds: "ray.data.Dataset", vec_col: str, id_col: str,
     rows: list = []
     for b in ds.map_batches(cands, batch_format="pyarrow",
                             batch_size=None).iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         rows.extend(zip(b.column(id_col).to_pylist(),
                         b.column("_v").to_pylist()))
     rows.sort(key=lambda r: r[0])
@@ -160,7 +160,7 @@ def fit_centroids(
         counts = np.zeros(k, dtype=np.int64)
         for b in ds.map_batches(partial, batch_format="pyarrow",
                                 batch_size=None).iter_batches(
-                batch_format="pyarrow"):
+                batch_format="pyarrow", batch_size=None):
             c = b.column("c").to_numpy()
             mat = (b.column("sum").combine_chunks().flatten()
                    .to_numpy(zero_copy_only=False).reshape(len(c), -1))

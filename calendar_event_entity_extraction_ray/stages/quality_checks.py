@@ -89,7 +89,7 @@ def quality_report(
         cnt = grouped_count(ds.select_columns([c]), c, out_col="_n")
         n_distinct = 0
         n_nonnull = 0
-        for b in cnt.iter_batches(batch_format="pyarrow"):
+        for b in cnt.iter_batches(batch_format="pyarrow", batch_size=None):
             n_distinct += b.num_rows
             n_nonnull += int(np.sum(
                 b.column("_n").to_numpy(zero_copy_only=False)))

@@ -113,7 +113,7 @@ def exact_quantiles(
         total = np.zeros(len(intervals) * bins, dtype=np.int64)
         for b in ds.map_batches(hist_partial,
                                 batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"):
+                batch_format="pyarrow", batch_size=None):
             for h in b.column("hist").to_pylist():
                 total += np.asarray(h, dtype=np.int64)
 
@@ -206,7 +206,7 @@ def _collect_pick(ds: "ray.data.Dataset", col: str,
 
     vals: Dict[int, list] = {k: [] for k in range(len(intervals))}
     for b in ds.map_batches(members, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         ks = b.column("_k").to_numpy()
         vs = b.column("_v").to_numpy()
         for k in np.unique(ks):
@@ -254,7 +254,7 @@ def grouped_quantiles(
     gstats: dict = {}
     for b in ds.map_batches(stats_partial,
                             batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_format="pyarrow", batch_size=None):
         for g, n, lo, hi in zip(b.column(group_col).to_pylist(),
                                 b.column("count").to_pylist(),
                                 b.column("min").to_pylist(),
@@ -327,7 +327,7 @@ def grouped_quantiles(
             vals = {i: [] for i in range(len(keys))}
             for b in ds.map_batches(partial,
                                     batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow"):
+                    batch_format="pyarrow", batch_size=None):
                 ks = b.column("_k").to_numpy()
                 vs = b.column("_v").to_numpy()
                 for kk in np.unique(ks):
@@ -336,7 +336,7 @@ def grouped_quantiles(
         total = np.zeros(len(keys) * bins, dtype=np.int64)
         for b in ds.map_batches(partial,
                                 batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"):
+                batch_format="pyarrow", batch_size=None):
             for h in b.column("hist").to_pylist():
                 total += np.asarray(h, dtype=np.int64)
         return keys, total

@@ -65,7 +65,7 @@ def add_signature_batch(batch: pa.Table, text_col: str = "event_text") -> pa.Tab
 def _collect_sigs(ds: "ray.data.Dataset") -> set:
     """Stream just the sig column to the driver — never the full rows."""
     out = set()
-    for b in ds.select_columns(["sig"]).iter_batches(batch_format="pyarrow"):
+    for b in ds.select_columns(["sig"]).iter_batches(batch_format="pyarrow", batch_size=None):
         out.update(b.column("sig").to_pylist())
     return out
 

@@ -88,7 +88,7 @@ def main() -> int:
     t0 = time.time()
     enc = bpe_tokenize(ds, model)
     n_tokens = 0
-    for b in enc.iter_batches(batch_format="pyarrow"):
+    for b in enc.iter_batches(batch_format="pyarrow", batch_size=None):
         n_tokens += int(np.sum(
             b.column("n_tokens").to_numpy(zero_copy_only=False)))
     t_enc = time.time() - t0

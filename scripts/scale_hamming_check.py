@@ -80,7 +80,7 @@ def main() -> int:
 
     n_pairs = pairs.count()
     planted = 0
-    for b in pairs.iter_batches(batch_format="pyarrow"):
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
         a = b.column("id_a").to_numpy(zero_copy_only=False)
         bb = b.column("id_b").to_numpy(zero_copy_only=False)
         planted += int(np.sum((bb == a + 1)
