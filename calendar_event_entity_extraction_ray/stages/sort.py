@@ -111,3 +111,89 @@ def global_row_number(
                 .append_column(out_col, pa.array(rank, pa.int64())))
 
     return folded.map_batches(add_offset, batch_format="pyarrow")
+
+
+def write_sorted(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    out_dir: str,
+    fingerprint: str,
+    tiebreak_cols: Optional[List[str]] = None,
+    num_partitions: Optional[int] = None,
+) -> dict:
+    """Globally-SORTED resumable Parquet export: partition k holds the
+    k-th key range (sampled boundaries, deterministic — so a re-run
+    derives the SAME ranges and resume is well-defined), each partition
+    file is sorted internally, and the manifest records every
+    partition's [min, max] so a downstream reader can binary-search
+    straight to the right file (the sorted-export contract columnar
+    consumers want). Workers write data files, the driver records the
+    manifest (the shared-manifest rule); re-running with the same
+    fingerprint skips completed partitions."""
+    from calendar_event_entity_extraction_ray.state import manifest as M
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        default_num_partitions,
+        hash_partition_map,
+    )
+
+    tiebreak_cols = tiebreak_cols or []
+    ds = ds.materialize()  # consumed twice: sample + route
+    n_parts = num_partitions or default_num_partitions()
+    sample = _sample_values(ds, order_col)
+    if len(sample) == 0:
+        bounds = np.array([])
+        n_parts = 1
+    else:
+        cuts = np.linspace(0, len(sample) - 1,
+                           n_parts + 1)[1:-1].astype(np.int64)
+        bounds = np.unique(sample[cuts])
+        n_parts = len(bounds) + 1
+
+    done = M.completed_partitions(out_dir, fingerprint)
+    sort_cols = [order_col] + tiebreak_cols
+
+    def route(b: pa.Table) -> pa.Table:
+        v = b.column(order_col).to_pandas().to_numpy(dtype=np.float64,
+                                                     copy=False)
+        rb = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        rb[np.isnan(v)] = n_parts - 1
+        b = b.append_column("_rb", pa.array(rb))
+        if done:
+            b = b.filter(pa.array(~np.isin(rb, sorted(done))))
+        return b
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"part_id": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64()),
+                             "vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        part_id = int(t.column("_rb")[0].as_py())
+        df = t.drop_columns(["_rb"]).to_pandas().sort_values(
+            sort_cols, kind="mergesort", na_position="last")
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        M.write_partition_file(out_dir, part_id, out)
+        vals = df[order_col].dropna()
+        return pa.table({
+            "part_id": pa.array([part_id], pa.int64()),
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "vmin": pa.array([float(vals.min()) if len(vals)
+                              else float("nan")], pa.float64()),
+            "vmax": pa.array([float(vals.max()) if len(vals)
+                              else float("nan")], pa.float64()),
+        })
+
+    written = hash_partition_map(
+        ds.map_batches(route, batch_format="pyarrow"), "_rb", fold,
+        num_partitions=n_parts).to_pandas()
+    entries = {}
+    if "part_id" in written.columns:
+        for r in written.itertuples():
+            entries[int(r.part_id)] = {
+                "file": f"part_key={int(r.part_id)}/data.parquet",
+                "rows": int(r.rows),
+                "lineage": {"rows_out": int(r.rows),
+                            "min": None if r.vmin != r.vmin else r.vmin,
+                            "max": None if r.vmax != r.vmax else r.vmax},
+            }
+    return M.record_partitions(out_dir, fingerprint, entries)

@@ -936,3 +936,53 @@ class TestKsDrift:
         ds = ray.data.from_pandas(df)
         ks_num, na, nb, _ = ks_drift(ds, ds, "x")
         assert ks_num == 0 and na == nb == 4  # NULL dropped
+
+
+class TestWriteSorted:
+    def test_global_order_ranges_and_resume(self, ray_session, tmp_path):
+        import glob
+        import json
+        import os
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.sort import (
+            write_sorted,
+        )
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame({
+            "k": rng.uniform(-100, 100, 30_000).round(3),
+            "id": np.arange(30_000, dtype=np.int64),
+        })
+        out = str(tmp_path / "sorted")
+        man = write_sorted(
+            ray.data.from_pandas(df).repartition(8), "k", out,
+            fingerprint="t1", tiebreak_cols=["id"], num_partitions=6)
+
+        # read back in part order -> globally sorted, all rows present
+        parts = sorted(man["partitions"], key=int)
+        frames = [pq.read_table(os.path.join(
+            out, man["partitions"][p]["file"])).to_pandas()
+            for p in parts]
+        allf = pd.concat(frames, ignore_index=True)
+        assert len(allf) == len(df)
+        assert (allf["k"].to_numpy() == np.sort(df["k"].to_numpy())).all()
+        # ranges recorded (manifest lineage) and non-overlapping
+        rng_of = {str(e["part_id"]): (e["min"], e["max"])
+                  for e in man["lineage"]}
+        los = [rng_of[p][0] for p in parts]
+        his = [rng_of[p][1] for p in parts]
+        for a_hi, b_lo in zip(his[:-1], los[1:]):
+            assert a_hi <= b_lo
+        # resume: identical command rewrites nothing
+        mtimes = {f: os.path.getmtime(f)
+                  for f in glob.glob(out + "/part_key=*/data.parquet")}
+        write_sorted(ray.data.from_pandas(df).repartition(8), "k", out,
+                     fingerprint="t1", tiebreak_cols=["id"],
+                     num_partitions=6)
+        for f, t in mtimes.items():
+            assert os.path.getmtime(f) == t
