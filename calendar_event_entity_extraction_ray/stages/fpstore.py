@@ -177,14 +177,17 @@ def filter_against_store(
     exclude_epoch: Optional[str] = None,
     mode: str = "auto",
     broadcast_max_rows: int = 5_000_000,
+    keep_members: bool = False,
 ) -> "ray.data.Dataset":
     """Drop rows whose (_h1, _h2) fingerprint exists in the store
     (prior epochs only). ``mode``: 'broadcast' | 'exchange' | 'auto'
     (manifest row count <= broadcast_max_rows -> broadcast). Both
-    regimes run the same member_mask kernel — identical results."""
+    regimes run the same member_mask kernel — identical results.
+    ``keep_members=True`` inverts the filter (returns ONLY the member
+    rows — the near-dup store's hit stream)."""
     n_store = store_rows(store_dir, exclude_epoch)
     if n_store == 0:
-        return fp_docs
+        return (fp_docs.limit(0) if keep_members else fp_docs)
     if mode == "auto":
         mode = ("broadcast" if n_store <= broadcast_max_rows
                 else "exchange")
@@ -198,7 +201,7 @@ def filter_against_store(
             m = member_mask(
                 b.column("_h1").to_numpy(zero_copy_only=False),
                 b.column("_h2").to_numpy(zero_copy_only=False), s1, s2)
-            return b.filter(pa.array(~m))
+            return b.filter(pa.array(m if keep_members else ~m))
 
         return fp_docs.map_batches(drop, batch_format="pyarrow")
 
@@ -220,7 +223,7 @@ def filter_against_store(
         k = int(t.column("_h1")[0].as_py()) % p_total
         files = parts.get(k, [])
         if not files:
-            return t
+            return t.slice(0, 0) if keep_members else t
         st = pa.concat_tables(pq.read_table(f, columns=["h1", "h2"])
                               for f in files)
         s1 = st.column("h1").to_numpy(zero_copy_only=False)
@@ -230,7 +233,7 @@ def filter_against_store(
             t.column("_h1").to_numpy(zero_copy_only=False),
             t.column("_h2").to_numpy(zero_copy_only=False),
             np.ascontiguousarray(s1[o]), np.ascontiguousarray(s2[o]))
-        return t.filter(pa.array(~mask))
+        return t.filter(pa.array(mask if keep_members else ~mask))
 
     return hash_partition_map(fp_docs, "_h1", fold,
                               num_partitions=p_total)
@@ -384,3 +387,85 @@ def compact_store(store_dir: str) -> dict:
         if os.path.basename(d) != f"epoch={base}":
             shutil.rmtree(d, ignore_errors=True)
     return m2
+
+
+def with_band_fingerprints(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    num_bands: int = 16,
+) -> "ray.data.Dataset":
+    """(id, _h1, _h2) MinHash BAND fingerprints — num_bands rows per doc
+    (the same banding as minhash_lsh_dedup, fingerprinted through the
+    store's dual siphash so the exact-store machinery applies
+    unchanged)."""
+    from calendar_event_entity_extraction_ray.functions.dedup import (
+        MinHasher,
+        word_shingles,
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        mh = MinHasher(num_perm)
+        ids, keys = [], []
+        for i, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            sig = mh.signature(word_shingles(t or ""))
+            for k in mh.band_keys(sig, num_bands):
+                ids.append(i)
+                keys.append(k)
+        h1, h2 = content_hashes(keys)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "_h1": pa.array(h1, pa.int64()),
+            "_h2": pa.array(h2, pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def neardup_incremental(
+    new_docs: "ray.data.Dataset",
+    store_dir: str,
+    epoch: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "auto",
+    num_perm: int = 128,
+    num_bands: int = 16,
+) -> "ray.data.Dataset":
+    """Cross-epoch NEAR-dup drop without ever re-reading prior text: a
+    new doc is dropped when ANY of its MinHash bands matches a prior
+    epoch's band store (the LSH candidate rule applied as the decision —
+    precision follows the banding s-curve; band keys are 128-bit
+    fingerprints so spurious key collisions are negligible, unlike a
+    64-bit single hash). Survivors' bands are recorded for the next
+    epoch. Idempotent per epoch (filter excludes the current epoch;
+    append no-ops on recorded epochs).
+
+    USE A DEDICATED store_dir — band fingerprints and exact-content
+    fingerprints must never share a store. Within-epoch near-dups are
+    NOT handled here (run minhash_lsh/corpus_clean inside the epoch
+    first); this operator only compares against PRIOR epochs."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import anti_join
+
+    docs = new_docs.materialize()  # consumed 2-3x below
+    bands = with_band_fingerprints(docs, text_col, id_col,
+                                   num_perm, num_bands)
+    hits = filter_against_store(bands, store_dir, exclude_epoch=epoch,
+                                mode=mode, keep_members=True)
+    # distinct dropped ids stay a DATASET end to end (grouped_count on
+    # the exchange -> anti join) — never a driver-side set, so the drop
+    # stream can be the whole corpus without driver pressure
+    drop = grouped_count(hits.select_columns([id_col]), id_col,
+                         out_col="_n").map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow")
+    survivors = anti_join(docs, drop, id_col,
+                          list(docs.schema().names)).materialize()
+    append_epoch(with_band_fingerprints(survivors, text_col, id_col,
+                                        num_perm, num_bands),
+                 store_dir, epoch)
+    return survivors

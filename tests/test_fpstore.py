@@ -233,3 +233,66 @@ class TestCompaction:
         s2 = dedup_incremental(ray.data.from_pandas(e2), store, "d3"
                                ).to_pandas()
         assert len(s2) == 60
+
+
+class TestNearDupIncremental:
+    def _texts(self, seed, n, words=40):
+        rng = np.random.RandomState(seed)
+        return [" ".join(f"w{rng.randint(50_000)}" for _ in range(words))
+                for _ in range(n)]
+
+    def test_cross_epoch_near_dups_dropped(self, ray_session, tmp_path):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            neardup_incremental,
+        )
+
+        store = str(tmp_path / "nd")
+        base = self._texts(41, 150)
+        s1 = neardup_incremental(
+            ray.data.from_pandas(_docs(range(150), base)).repartition(4),
+            store, "e1").to_pandas()
+        assert len(s1) == 150  # empty store: everything survives
+
+        # epoch 2: 50 exact copies, 50 near-variants (one word appended
+        # to a 40-word doc -> jaccard ~0.95), 50 fresh
+        variants = [t + " extraword" for t in base[50:100]]
+        fresh = self._texts(42, 50)
+        e2 = _docs(range(1000, 1150), base[:50] + variants + fresh)
+        s2 = neardup_incremental(
+            ray.data.from_pandas(e2).repartition(4), store, "e2"
+        ).to_pandas()
+        kept = set(s2["doc_id"])
+        # every exact copy dropped
+        assert not kept & set(range(1000, 1050))
+        # near-variants: banding at 16 bands x 8 rows catches ~all at
+        # jaccard ~0.95 — require >= 90% dropped
+        n_var_dropped = 50 - len(kept & set(range(1050, 1100)))
+        assert n_var_dropped >= 45
+        # fresh docs: NO false drops
+        assert kept >= set(range(1100, 1150))
+
+    def test_rerun_epoch_idempotent_and_regimes_agree(
+            self, ray_session, tmp_path):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.fpstore import (
+            neardup_incremental,
+            store_rows,
+        )
+
+        store = str(tmp_path / "nd")
+        base = self._texts(7, 120)
+        neardup_incremental(
+            ray.data.from_pandas(_docs(range(120), base)), store, "e1")
+        e2 = _docs(range(500, 560),
+                   base[:30] + self._texts(8, 30))
+        a = neardup_incremental(ray.data.from_pandas(e2), store, "e2",
+                                mode="broadcast").to_pandas()
+        rows_after = store_rows(store)
+        b = neardup_incremental(ray.data.from_pandas(e2), store, "e2",
+                                mode="exchange").to_pandas()
+        assert set(a["doc_id"]) == set(b["doc_id"])
+        assert store_rows(store) == rows_after  # re-run appends nothing
+        assert set(a["doc_id"]) == set(range(530, 560))
