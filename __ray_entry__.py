@@ -1422,6 +1422,38 @@ def q_error_click_burst(sf_dir: str) -> Any:
     return out
 
 
+def q_error_click_pairs(sf_dir: str) -> Any:
+    """Interval join, PAIR form: every (error, click) event pair of the
+    same user with the click inside the 6 hours after the error — the
+    by-key exchange plus two searchsorted rank lookups per user group,
+    pairs emitted with one vectorized gather (stages/joins.py:
+    interval_join_pairs); O(pairs) only in writing the result."""
+    import numpy as np
+
+    import pyarrow.dataset as pds
+
+    from calendar_event_entity_extraction_ray.stages.joins import (
+        interval_join_pairs,
+    )
+
+    def rename(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [col if c == "event_id" else c for c in b.column_names])
+        return f
+
+    errors = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+                   predicate=(pds.field("event_type") == "error")
+                   ).map_batches(rename("err_id"), batch_format="pyarrow")
+    clicks = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+                   predicate=(pds.field("event_type") == "click")
+                   ).map_batches(rename("click_id"), batch_format="pyarrow")
+    return interval_join_pairs(
+        errors, clicks, on="ts", by="user_id",
+        lo=np.timedelta64(0, "s"), hi=np.timedelta64(6 * 3600, "s"),
+        left_cols=["user_id", "err_id"], right_cols=["click_id"])
+
+
 def q_label_centroids(sf_dir: str) -> Any:
     """Grouped vector mean (per-class prototype / mean pooling): per-batch
     numpy partial sums per label, kilobyte driver fold, one row per
@@ -4934,6 +4966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample,
         "term_df_top50": q_term_df,
         "error_click_burst": q_error_click_burst,
+        "error_click_pairs": q_error_click_pairs,
         "label_centroids": q_label_centroids,
         "kmeans_labels": q_kmeans,
         "orders_no_bulk": q_orders_no_bulk,
@@ -5953,6 +5986,14 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
             WHERE e.event_type = 'error'
             GROUP BY e.event_id
+        """,
+        "error_click_pairs": """
+            SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id
+            FROM events e
+            JOIN events c
+              ON c.user_id = e.user_id
+             AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+            WHERE e.event_type = 'error' AND c.event_type = 'click'
         """,
         "label_centroids": """
             SELECT label, dim,

@@ -352,6 +352,92 @@ def range_join_count(
     return hash_partition_map(both, "_kh", count_fold)
 
 
+def interval_join_pairs(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    by: str,
+    lo,
+    hi,
+    left_cols: List[str],
+    right_cols: List[str],
+) -> "ray.data.Dataset":
+    """Interval/range join, PAIR form: one output row per (l, r) pair with
+    ``l.by == r.by`` and ``r.on`` in ``[l.on + lo, l.on + hi)`` (SQL
+    ``r.on >= l.on + lo AND r.on < l.on + hi``). INNER semantics: NULL
+    ``by`` keys drop on both sides, NULL left ``on`` rows never match.
+
+    Same by-key exchange as ``range_join_count``; each fold answers every
+    left row of a key group with two vectorized ``np.searchsorted`` rank
+    lookups against the group's sorted right timestamps, then emits the
+    pairs with one vectorized gather (``np.repeat`` of left indices, the
+    arange-minus-cumsum trick for right indices) — the only O(pairs) work
+    is writing the output itself, never a nested loop.
+
+    ``right_cols`` must be disjoint from ``left_cols`` + ``[on, by]``
+    (pre-rename the right side — the fold unions both schemas). Output
+    columns: ``left_cols`` then ``right_cols``. Partitioning assumption
+    (same as asof_join): one ``by`` key's rows fit a worker's partition.
+    """
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    l_cols = list(dict.fromkeys([on, by] + list(left_cols)))
+    r_only = [c for c in right_cols if c != by]
+    overlap = set(r_only) & set(l_cols)
+    if overlap:
+        raise ValueError(f"right_cols collide with left side: {overlap}")
+    r_cols = list(dict.fromkeys([on, by] + r_only))
+
+    lt = _tag_side(left, by, "l", l_cols, r_only, drop_null_key=True)
+    rt = _tag_side(right, by, "r", r_cols,
+                   [c for c in l_cols if c not in (on, by)],
+                   drop_null_key=True)
+    both = lt.union(rt)
+    out_cols = list(left_cols) + list(right_cols)
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lg = (t.filter(pc.equal(t.column("_side"), "l"))
+              .select(l_cols).to_pandas())
+        rg = (t.filter(pc.equal(t.column("_side"), "r"))
+              .select(r_cols).to_pandas())
+        rg = rg[rg[on].notna()].sort_values([by, on], kind="mergesort")
+        r_groups = {k: g for k, g in rg.groupby(by, sort=False)}
+        parts = [pd.concat([lg.iloc[[]][left_cols].reset_index(drop=True),
+                            rg.iloc[[]][right_cols].reset_index(drop=True)],
+                           axis=1)]  # dtype-stable empty frame
+        for k, g in lg.groupby(by, sort=False):
+            rk = r_groups.get(k)
+            if rk is None or not len(rk):
+                continue
+            rt_arr = rk[on].to_numpy()
+            valid = ~pd.isna(g[on]).to_numpy()
+            if not valid.any():
+                continue
+            g = g[valid]
+            tv = g[on].to_numpy()
+            starts = np.searchsorted(rt_arr, tv + lo, side="left")
+            ends = np.searchsorted(rt_arr, tv + hi, side="left")
+            counts = ends - starts
+            tot = int(counts.sum())
+            if tot == 0:
+                continue
+            li = np.repeat(np.arange(len(g)), counts)
+            cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            ri = (np.arange(tot) - np.repeat(cum, counts)
+                  + np.repeat(starts, counts))
+            parts.append(pd.concat(
+                [g.iloc[li][left_cols].reset_index(drop=True),
+                 rk.iloc[ri][right_cols].reset_index(drop=True)], axis=1))
+        out = pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+
+    return hash_partition_map(both, "_kh", pair_fold)
+
+
 def _right_key_bloom(right, key, n_bits, k=4):
     """Per-batch partial Bloom filters over the right side's key hashes,
     OR-folded on the driver (bit-array-sized, never the keys)."""

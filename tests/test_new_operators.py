@@ -138,6 +138,73 @@ class TestRangeJoinCount:
         assert out["n"].tolist() == [1, 0, 0]
 
 
+class TestIntervalJoinPairs:
+    def _ds(self, rows, cols):
+        import ray
+
+        return ray.data.from_pandas(
+            pd.DataFrame(rows, columns=cols)).repartition(2)
+
+    def test_pairs_match_pandas_cross(self, ray_session):
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            interval_join_pairs,
+        )
+
+        rng = np.random.RandomState(7)
+        t0 = pd.Timestamp("2025-01-01")
+        lrows = [[i, t0 + pd.Timedelta(seconds=int(rng.randint(0, 600))),
+                  int(rng.randint(0, 5))] for i in range(40)]
+        rrows = [[100 + i,
+                  t0 + pd.Timedelta(seconds=int(rng.randint(0, 600))),
+                  int(rng.randint(0, 5))] for i in range(40)]
+        left = self._ds(lrows, ["lid", "ts", "user_id"])
+        rds = self._ds(rrows, ["rid", "ts", "user_id"])
+        got = interval_join_pairs(
+            left, rds, on="ts", by="user_id",
+            lo=np.timedelta64(0, "s"), hi=np.timedelta64(60, "s"),
+            left_cols=["lid"], right_cols=["rid"]).to_pandas()
+        ldf = pd.DataFrame(lrows, columns=["lid", "ts", "user_id"])
+        rdf = pd.DataFrame(rrows, columns=["rid", "rts", "user_id"])
+        m = ldf.merge(rdf, on="user_id")
+        m = m[(m["rts"] >= m["ts"])
+              & (m["rts"] < m["ts"] + pd.Timedelta(seconds=60))]
+        want = sorted(zip(m["lid"], m["rid"]))
+        assert sorted(zip(got["lid"], got["rid"])) == want
+        assert len(want) > 0
+
+    def test_null_keys_drop_and_bounds(self, ray_session):
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            interval_join_pairs,
+        )
+
+        t = pd.Timestamp("2025-01-01 12:00:00")
+        s = pd.Timedelta("1s")
+        left = self._ds([[1, t, 10.0], [2, t, None], [3, None, 10.0]],
+                        ["lid", "ts", "user_id"])
+        # right at t (lower edge IN), t+4 (in), t+5 (upper edge OUT),
+        # one NULL-key row
+        right = self._ds([[7, t, 10.0], [8, t + 4 * s, 10.0],
+                          [9, t + 5 * s, 10.0], [10, t, None]],
+                         ["rid", "ts", "user_id"])
+        got = interval_join_pairs(
+            left, right, on="ts", by="user_id",
+            lo=np.timedelta64(0, "s"), hi=np.timedelta64(5, "s"),
+            left_cols=["lid"], right_cols=["rid"]).to_pandas()
+        assert sorted(zip(got["lid"], got["rid"])) == [(1, 7), (1, 8)]
+
+    def test_collision_raises(self, ray_session):
+        from calendar_event_entity_extraction_ray.stages.joins import (
+            interval_join_pairs,
+        )
+
+        left = self._ds([[1, 0.0, 1]], ["lid", "ts", "user_id"])
+        right = self._ds([[1, 0.0, 1]], ["lid", "ts", "user_id"])
+        with pytest.raises(ValueError):
+            interval_join_pairs(left, right, on="ts", by="user_id",
+                                lo=0.0, hi=1.0,
+                                left_cols=["lid"], right_cols=["lid"])
+
+
 class TestTermDF:
     def test_distinct_per_doc(self, ray_session):
         import ray
