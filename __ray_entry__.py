@@ -676,6 +676,27 @@ def q_minhash_dedup(sf_dir: str) -> Any:
     return minhash_lsh_dup_ids(ds, "text", "doc_id", threshold=0.8)
 
 
+def q_entity_resolution(sf_dir: str) -> Any:
+    """Pool-free entity resolution over part surface forms: cluster every
+    distinct p_name within edit distance 1 and canonicalize each form to
+    its component's lexicographic minimum (stages/resolve.py — distinct
+    exchange -> SymSpell deletion-neighborhood pair join -> min-label
+    connected components -> LEFT join maps singletons to themselves).
+    The oracle replays the identical clustering in DuckDB: levenshtein()
+    brute pairs + a recursive transitive-closure CTE + MIN(peer)."""
+    from calendar_event_entity_extraction_ray.stages.resolve import (
+        resolve_surface_forms,
+    )
+
+    parts = _read(sf_dir, "part", columns=["p_name"])
+    out = resolve_surface_forms(parts, col="p_name", max_d=1,
+                                method="deletions")
+    return out.map_batches(
+        lambda b: pa.table({"surface": b.column("p_name"),
+                            "entity_id": b.column("entity_id")}),
+        batch_format="pyarrow")
+
+
 def q_dup_clusters(sf_dir: str) -> Any:
     """Near-dup canonicalization: connected components over the exact
     cosine>=0.3 pair graph — every member maps to its cluster's minimum
@@ -4923,6 +4944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": q_corpus_clean,
         "doc_sample": q_doc_sample,
         "dup_clusters": q_dup_clusters,
+        "entity_resolution": q_entity_resolution,
         "order_price_quantiles": q_price_quantiles,
         "order_price_p_cont": q_order_price_p_cont,
         "order_global_rank": q_order_global_rank,
@@ -5418,6 +5440,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE text IS NOT NULL
               AND CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 5
+        """,
+        "entity_resolution": """
+            WITH RECURSIVE w AS (
+              SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL
+            ),
+            pairs AS (
+              SELECT a.s AS sa, b.s AS sb
+              FROM w a JOIN w b
+                ON a.s < b.s
+               AND abs(length(a.s) - length(b.s)) <= 1
+               AND levenshtein(a.s, b.s) <= 1
+            ),
+            sym AS (
+              SELECT sa AS a, sb AS b FROM pairs
+              UNION SELECT sb AS a, sa AS b FROM pairs
+            ),
+            reach(node, peer) AS (
+              SELECT a AS node, a AS peer FROM sym
+              UNION
+              SELECT r.node, s2.b AS peer
+              FROM reach r JOIN sym s2 ON r.peer = s2.a
+            ),
+            cc AS (SELECT node, MIN(peer) AS canon FROM reach GROUP BY node)
+            SELECT w.s AS surface, COALESCE(cc.canon, w.s) AS entity_id
+            FROM w LEFT JOIN cc ON w.s = cc.node
         """,
         "dup_clusters": """
             WITH RECURSIVE pairs AS (

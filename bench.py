@@ -154,6 +154,37 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(n_iter: int) -> float:
+    import time as _t
+    t0 = _t.time()
+    x = 0
+    for i in range(n_iter):
+        x += i * i
+    return _t.time() - t0
+
+
+def _hw_ceiling(lo: int, hi: int, n_iter: int = 25_000_000) -> dict:
+    """Same-window hardware scaling ceiling: a pure-ALU CPU burn at lo and
+    hi concurrent processes. Sandbox hosts differ by 2x in effective
+    parallel capacity session-to-session (one host measured ~23.5
+    effective cores at 32 procs, another ~11), so a raw pipeline
+    efficiency number is uninterpretable without the ceiling the SAME
+    host window allows — a ratio no code can beat. Reported alongside,
+    never substituted for, the raw number."""
+    import multiprocessing as mp
+
+    base = n_iter / _burn(n_iter)
+    eff = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_burn, [n_iter] * procs)
+            wall = time.time() - t0
+        eff[procs] = n_iter * procs / wall / base
+    return {"hw_eff_cores": {str(k): round(v, 2) for k, v in eff.items()},
+            "hw_ceiling": round((eff[hi] / eff[lo]) / (hi / lo), 3)}
+
+
 def run_scaling() -> dict:
     # 4 vs 16 (still a 4x ratio): this sandbox's 32 "CPUs" are hyperthreads —
     # a CPU-burn calibration shows 32 procs deliver only ~23.5 effective
@@ -184,13 +215,18 @@ def run_scaling() -> dict:
     # adjacently (same host window); the median pair ratio resists
     # outliers in both directions.
     pairs = []
+    ceilings = []
     for _ in range(repeats):
+        # interleaved hardware calibration: the burn runs in the SAME
+        # host window as the pair it annotates
+        ceilings.append(_hw_ceiling(lo, hi))
         r_lo = run_once(lo)
         r_hi = run_once(hi)
         pairs.append((r_lo, r_hi,
                       (r_lo["value"] / r_hi["value"]) / (hi / lo)))
     pairs.sort(key=lambda p: p[2])
     r_lo, r_hi, eff = pairs[len(pairs) // 2]
+    hw = sorted(c["hw_ceiling"] for c in ceilings)[len(ceilings) // 2]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -202,6 +238,13 @@ def run_scaling() -> dict:
         "all_pair_ratios": [round(p[2], 3) for p in pairs],
         "cpus": [lo, hi],
         "n_pages": r_lo["n_pages"],
+        # host capacity measured in the same windows: the ALU ceiling the
+        # host allows for a perfectly-scaling program, and the pipeline's
+        # efficiency normalized by it (min(1, raw/ceiling))
+        "hw_ceiling_median": hw,
+        "hw_ceilings": [c["hw_ceiling"] for c in ceilings],
+        "hw_eff_cores_last": ceilings[-1]["hw_eff_cores"],
+        "value_normalized": round(min(1.0, eff / hw), 3) if hw > 0 else None,
     }
 
 

@@ -92,3 +92,23 @@ def char_bag_lower_bound(count_a: Dict[str, int],
         if d > 0:
             surplus_b += d
     return max(surplus_a, surplus_b)
+
+
+def deletion_variants(s: str, d: int) -> set:
+    """The depth-``d`` deletion neighborhood of ``s``, INCLUDING ``s``
+    itself (depth 0). SymSpell blocking invariant: if
+    ``levenshtein(a, b) <= d`` then ``deletion_variants(a, d)`` and
+    ``deletion_variants(b, d)`` intersect — take any <= d-op edit
+    script and delete from ``a`` its deleted+substituted positions and
+    from ``b`` its inserted+substituted positions; both sides reach the
+    same string with <= d deletions each. Size ~ C(len, d)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out

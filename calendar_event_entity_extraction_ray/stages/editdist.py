@@ -61,14 +61,17 @@ def levenshtein_pairs(
         lens = pc.utf8_length(b.column(text_col)).to_numpy(
             zero_copy_only=False).astype(np.int64)
         k0 = lens // w
-        ids = b.column(id_col).to_numpy()
+        # id type is preserved (int64 doc ids, or the surface string
+        # itself when resolving entity forms — stages/resolve.py)
+        id_type = b.schema.field(id_col).type
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
         texts = b.column(text_col).to_pylist()
         rep = np.nonzero(lens >= (k0 + 1) * w - max_d)[0]
         out_bucket = np.concatenate([k0, k0[rep] + 1])
         out_ix = np.concatenate([np.arange(len(lens)), rep])
         return pa.table({
             "lbucket": pa.array(out_bucket, pa.int64()),
-            id_col: pa.array(ids[out_ix], pa.int64()),
+            id_col: pa.array(ids[out_ix], type=id_type),
             "_len": pa.array(lens[out_ix], pa.int64()),
             text_col: pa.array([texts[i] for i in out_ix], pa.string()),
         })
@@ -97,10 +100,11 @@ def levenshtein_pairs(
         out_a: list = []
         out_b: list = []
         out_d: list = []
+        id_type = t.schema.field(id_col).type
         df = pd.DataFrame({
             "g": gids,
             "len": t.column("_len").to_numpy(),
-            "id": t.column(id_col).to_numpy(),
+            "id": t.column(id_col).to_numpy(zero_copy_only=False),
             "text": t.column(text_col).to_pylist(),
         })
         for gid, grp in df.groupby("g", sort=False):
@@ -135,8 +139,8 @@ def levenshtein_pairs(
                         out_b.append(hi)
                         out_d.append(d)
         return pa.table({
-            a_col: pa.array(np.asarray(out_a, dtype=np.int64)),
-            b_col: pa.array(np.asarray(out_b, dtype=np.int64)),
+            a_col: pa.array(out_a, type=id_type),
+            b_col: pa.array(out_b, type=id_type),
             "dist": pa.array(np.asarray(out_d, dtype=np.int64)),
         })
 

@@ -34,9 +34,13 @@ def _min_label_fold(t: pa.Table) -> pa.Table:
 def _union_find_fold(t: pa.Table) -> pa.Table:
     """Single-task exact components over one (node, dst) edge table:
     union-find with path compression, then min node id per root as the
-    cluster label (identical output contract to the iterative path)."""
+    cluster label (identical output contract to the iterative path).
+    Node ids may be any orderable type — ints (doc/vec ids) or strings
+    (entity surface forms, stages/resolve.py); MIN on strings is
+    lexicographic, matching both pandas and DuckDB binary collation."""
     import numpy as np
 
+    node_type = t.schema.field("node").type
     a = t.column("node").to_pandas().to_numpy()
     b = t.column("dst").to_pandas().to_numpy()
     parent: dict = {}
@@ -53,11 +57,10 @@ def _union_find_fold(t: pa.Table) -> pa.Table:
         rx, ry = find(x), find(y)
         if rx != ry:
             parent[max(rx, ry)] = min(rx, ry)  # min root wins -> min label
-    nodes = np.unique(np.concatenate([a, b]))
-    labels = np.fromiter((find(int(n)) for n in nodes.tolist()),
-                         dtype=np.int64, count=len(nodes))
-    return pa.table({"node": pa.array(nodes, pa.int64()),
-                     "cluster": pa.array(labels, pa.int64())})
+    nodes = np.unique(np.concatenate([a, b])).tolist()
+    labels = [find(n) for n in nodes]
+    return pa.table({"node": pa.array(nodes, type=node_type),
+                     "cluster": pa.array(labels, type=node_type)})
 
 
 def connected_components(
@@ -89,6 +92,21 @@ def connected_components(
 
     # edges are re-joined every round — pin them once
     sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    sch = sym.schema()
+    n_edges = sym.count() if sch is not None else 0
+    if sch is None or n_edges == 0:
+        # empty edge list: no components (isolated nodes never appear).
+        # Emit a TYPED empty table — a schema-less empty dataset breaks
+        # downstream joins (all-singleton entity resolution hit this)
+        if sch is not None:
+            ntype = sch.types[0]
+        else:
+            esch = edges.schema()
+            ntype = (esch.field(a_col).type if esch is not None
+                     else pa.string())
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], ntype), "cluster": pa.array([], ntype)}))
+    node_type = sch.types[0]
 
     # adaptive small path (same regime split as stages/exchange.py): the
     # iterative algorithm costs ~4 plan executions PER ROUND — on an edge
@@ -99,7 +117,7 @@ def connected_components(
         SMALL_ROWS,
     )
 
-    if num_partitions is None and sym.count() <= SMALL_ROWS:
+    if num_partitions is None and n_edges <= SMALL_ROWS:
         return (sym.repartition(1)
                 .map_batches(_union_find_fold, batch_size=None,
                              batch_format="pyarrow"))
@@ -150,7 +168,28 @@ def connected_components(
             batch_format="pyarrow")
         labels = hash_partition_map(merged, "_nh", _min_label_fold,
                                     num_partitions=num_partitions)
-        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        # convergence: labels only ever decrease under min-propagation, so
+        # any change moves the aggregate. Numeric labels sum directly;
+        # string labels (entity surface forms) sum their process-stable
+        # 64-bit hashes instead — a fixed-point detector, not an output
+        # value (a same-sum collision while labels changed needs a 2^-64
+        # event per round)
+        if pa.types.is_string(node_type) or pa.types.is_large_string(
+                node_type):
+            def _chk(b: pa.Table) -> pa.Table:
+                import numpy as np
+
+                from calendar_event_entity_extraction_ray.stages.dedup \
+                    import hash64_columns
+
+                h = hash64_columns(b, ["label"]).astype(np.uint64)
+                return pa.table({"s": pa.array(
+                    [int(h.sum() % np.uint64(1 << 63))], pa.int64())})
+
+            s = (labels.map_batches(_chk, batch_format="pyarrow")
+                 .aggregate(Sum("s", alias_name="s"))["s"])
+        else:
+            s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
             break
         prev_sum = s

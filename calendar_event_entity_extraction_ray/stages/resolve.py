@@ -1,0 +1,216 @@
+"""Entity resolution over surface strings — edit-distance clustering.
+
+KG construction accumulates near-identical entity surface forms (typos,
+OCR noise, inconsistent spellings: "Jonh Smith" next to "John Smith").
+The reference engine links mentions against a KNOWN entity pool
+(stages/link_entities.py mirrors its top-500 pools); this stage handles
+the pool-free case — no authority list, just the corpus — by clustering
+all surface forms within edit distance ``max_d`` and mapping every form
+to a deterministic cluster canonical:
+
+  1. distinct surfaces: content-hash exchange (stages/dedup.py
+     exact_dedup — a hot surface ships one row per batch);
+  2. exact edit-distance pair join — TWO engines, routed by ``method``:
+       * ``deletions`` (SymSpell blocking; the short-surface scale
+         path): explode each surface into its depth-``max_d`` deletion
+         neighborhood, exchange on the variant key — any pair within
+         distance ``max_d`` shares a variant (proof at
+         functions/editdist.py:deletion_variants) — verify candidates
+         with the Myers kernel inside tiny buckets, then one distinct
+         exchange collapses the same pair found under several shared
+         variants. Linear in n x neighborhood; immune to the
+         same-length-corpus blowup of length banding.
+       * ``bands`` (stages/editdist.py; the long-document path):
+         lossless length banding + char-bag prune. Deletion
+         neighborhoods of 10 KB documents are enormous, length spread
+         keeps the in-band windows small — the regimes are opposites.
+  3. connected components over the pair graph (stages/graph.py —
+     min-label propagation; MIN over strings = lexicographic, which a
+     SQL oracle can replay exactly);
+  4. canonical = component minimum; singleton surfaces (no pair within
+     distance) map to themselves via a LEFT join.
+
+Everything flows through the exchange — nothing driver-side grows with
+the vocabulary.
+
+Transitivity is inherent to resolution-by-clustering: A~B and B~C chain
+into one entity even when dist(A, C) > max_d. That is the standard
+entity-resolution semantics (and what the recursive-CTE oracle
+replays) — not a bug.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def deletion_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    col: str,
+    max_d: int = 1,
+    num_partitions: Optional[int] = None,
+    max_bucket: int = 2000,
+) -> "ray.data.Dataset":
+    """All distinct pairs (a < b, levenshtein <= max_d) over the DISTINCT
+    values of ``col`` via SymSpell deletion blocking. Input rows must
+    already be distinct on ``col`` (resolve_surface_forms guarantees
+    it). ``max_bucket`` caps the O(size^2) verify inside one variant
+    bucket — the same not-silent mitigation as the MinHash band cap
+    (stages/dedup.py:270); realistic surface corpora never approach it
+    (a bucket is "all surfaces sharing one specific deletion variant")."""
+    from calendar_event_entity_extraction_ray.functions.editdist import (
+        deletion_variants,
+        myers_distance,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+        exact_dedup,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    a_col, b_col = f"{col}_a", f"{col}_b"
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys: list = []
+        ss: list = []
+        for s in b.column(col).to_pylist():
+            if s is None:
+                continue
+            for v in deletion_variants(s, max_d):
+                keys.append(v)
+                ss.append(s)
+        t = pa.table({"_vkey": pa.array(keys, pa.string()),
+                      col: pa.array(ss, pa.string())})
+        return add_hash_column(t, ["_vkey"], out_col="_kh")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(["_vkey", col]).to_pandas()
+        out_a: list = []
+        out_b: list = []
+        out_d: list = []
+        n_skipped = 0
+        for _, grp in df.groupby("_vkey", sort=False):
+            ss = sorted(set(grp[col]))
+            n = len(ss)
+            if n < 2:
+                continue
+            if n > max_bucket:
+                n_skipped += n
+                continue
+            for i in range(n):
+                for j in range(i + 1, n):
+                    d = myers_distance(ss[i], ss[j], max_d=max_d)
+                    if d <= max_d:
+                        out_a.append(ss[i])
+                        out_b.append(ss[j])
+                        out_d.append(d)
+        if n_skipped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "deletion_neighborhood_pairs: skipped %d surfaces in "
+                "oversized variant buckets (> %d); raise max_bucket or "
+                "pre-block the corpus", n_skipped, max_bucket)
+        return pa.table({
+            a_col: pa.array(out_a, pa.string()),
+            b_col: pa.array(out_b, pa.string()),
+            "dist": pa.array(np.asarray(out_d, dtype=np.int64)),
+        })
+
+    cand = hash_partition_map(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "_kh", fold, num_partitions=num_partitions)
+    # the same pair verifies under EVERY shared variant — distinct once
+    # (dist is a function of the pair, so first-wins is value-stable)
+    return exact_dedup(cand, key_cols=[a_col, b_col], order_col="dist",
+                       num_partitions=num_partitions)
+
+
+def resolve_surface_forms(
+    ds: "ray.data.Dataset",
+    col: str = "surface",
+    max_d: int = 1,
+    method: str = "auto",
+    band_width: int = 0,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """(surface, entity_id) for every distinct non-null value of ``col``;
+    ``entity_id`` is the lexicographically smallest member of the
+    surface's edit-distance-``max_d`` connected component. ``method``:
+    ``deletions`` | ``bands`` | ``auto`` (= deletions for max_d <= 2,
+    the short-surface regime it was built for, else bands)."""
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        exact_dedup,
+    )
+    from calendar_event_entity_extraction_ray.stages.editdist import (
+        levenshtein_pairs,
+    )
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        connected_components,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    if method == "auto":
+        method = "deletions" if max_d <= 2 else "bands"
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = b.column(col)
+        return pa.table({col: c.filter(pc.is_valid(c))})
+
+    surfaces = exact_dedup(ds.map_batches(project, batch_format="pyarrow"),
+                           key_cols=[col], order_col=col,
+                           num_partitions=num_partitions)
+
+    if method == "deletions":
+        pairs = deletion_neighborhood_pairs(
+            surfaces, col, max_d=max_d, num_partitions=num_partitions)
+    elif method == "bands":
+        # duplicate the surface: editdist needs distinct id/text column
+        # names, and using the surface AS the id makes the pair output
+        # (surface_a, surface_b) without a rank indirection
+        with_txt = surfaces.map_batches(
+            lambda b: b.append_column("_txt", b.column(col)),
+            batch_format="pyarrow")
+        pairs = levenshtein_pairs(with_txt, max_d, id_col=col,
+                                  text_col="_txt", band_width=band_width)
+    else:
+        raise ValueError(f"method={method!r}: deletions | bands | auto")
+
+    # pin the (dup-rate-sized) pair list: CC consumes it for the edge
+    # scan AND the schema probe, and exchange outputs are lazy — each
+    # consumer would re-run the whole pair exchange (round-2.5 fact)
+    pairs = pairs.materialize()
+    comps = connected_components(pairs, f"{col}_a", f"{col}_b",
+                                 num_partitions=num_partitions)
+    comps = comps.map_batches(
+        lambda b: pa.table({col: b.column("node"),
+                            "_canon": b.column("cluster")}),
+        batch_format="pyarrow")
+
+    joined = hash_join(
+        surfaces, comps, key=col,
+        left_cols=[col], right_cols=[col, "_canon"],
+        how="left", num_buckets=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # a block whose _canon values are ALL null arrives arrow-typed
+        # `null` (the pandas join fold erases the dtype — CLAUDE.md
+        # round-3 fact); coalesce(null, string) has no kernel
+        canon = b.column("_canon").cast(b.schema.field(col).type)
+        return pa.table({
+            col: b.column(col),
+            "entity_id": pc.coalesce(canon, b.column(col)),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
