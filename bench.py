@@ -120,7 +120,9 @@ def run_bench() -> dict:
         "lm_scored_docs", "dsir_selected_docs", "semdedup_embeddings",
         "parts_supplier_cnt", "dominant_part_supplier",
         "bpe_tokenized_docs", "resample_user_hourly",
-        "simhash_near_docs", "shuffle_docs", "doc_len_drift"]
+        "simhash_near_docs", "shuffle_docs", "doc_len_drift",
+        # continuation-session operators
+        "error_click_pairs", "entity_resolution"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

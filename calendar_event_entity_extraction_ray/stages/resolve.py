@@ -92,6 +92,11 @@ def deletion_neighborhood_pairs(
 
     def fold(t: pa.Table) -> pa.Table:
         df = t.select(["_vkey", col]).to_pandas()
+        # almost every variant bucket is a singleton (one surface emitted
+        # it, nothing else shares it) — drop them VECTORIZED before the
+        # per-bucket Python loop, which then only walks candidate buckets
+        # (dup-rate-sized, not neighborhood-sized)
+        df = df[df.duplicated("_vkey", keep=False)]
         out_a: list = []
         out_b: list = []
         out_d: list = []
@@ -166,9 +171,12 @@ def resolve_surface_forms(
         c = b.column(col)
         return pa.table({col: c.filter(pc.is_valid(c))})
 
+    # materialize: the distinct-surface exchange output is consumed by
+    # BOTH the pair join and the final left join — lazy exchange outputs
+    # re-run per consumer (round-2.5 fact)
     surfaces = exact_dedup(ds.map_batches(project, batch_format="pyarrow"),
                            key_cols=[col], order_col=col,
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions).materialize()
 
     if method == "deletions":
         pairs = deletion_neighborhood_pairs(
