@@ -222,3 +222,130 @@ def resolve_surface_forms(
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def resolve_graph_entities(
+    triples: "ray.data.Dataset",
+    kinds=("person", "place"),
+    obj_col: str = "obj",
+    kind_col: str = "kind",
+    max_d: int = 1,
+    num_partitions: Optional[int] = None,
+    broadcast_max: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Rewrite linkable entity objects of a triple stream to their
+    resolved canonical form (KG post-linking canonicalization: typo'd
+    surface forms that the alias dictionary does not know collapse into
+    one node).
+
+    Surfaces are resolved PER KIND — a person form never merges with a
+    place form. Only CHANGED surfaces (entity_id != surface) need a
+    lookup at rewrite time; identity mappings are free — so the rewrite
+    table is dup-rate-sized, not vocabulary-sized. Two rewrite regimes
+    (same split as stages/decontam.py):
+
+      * broadcast (changed <= broadcast_max): the rewrite table ships
+        once via ray.put as Arrow arrays (plasma zero-copy) and every
+        triple block rewrites VECTORIZED (index_in -> take -> if_else);
+      * exchange (bigger): composite-key (kind, obj) LEFT hash join +
+        coalesce — nothing driver-side grows with the dup rate.
+
+    Canonicalization can create duplicate triples; a per-batch local
+    dedup runs here, and the graph materialize's per-partition distinct
+    (pipelines/kg.py) makes the global set exact — dedup-by-design."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        dedup_triples_batch,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    # the triple stream is consumed len(kinds)+1 times (one mention scan
+    # per kind + the rewrite) — pin it once; re-running a lazy upstream
+    # extract 3x costs more than letting the object store spill blocks
+    triples = triples.materialize()
+
+    changed_parts = []
+    for k in kinds:
+        def mentions_of(b: pa.Table, _k=k) -> pa.Table:
+            m = pc.equal(b.column(kind_col), _k)
+            return pa.table({obj_col: b.column(obj_col).filter(m)})
+
+        mapping = resolve_surface_forms(
+            triples.map_batches(mentions_of, batch_format="pyarrow"),
+            col=obj_col, max_d=max_d, num_partitions=num_partitions)
+
+        def only_changed(b: pa.Table, _k=k) -> pa.Table:
+            keep = pc.invert(pc.equal(b.column(obj_col),
+                                      b.column("entity_id")))
+            t = b.filter(keep)
+            return pa.table({
+                kind_col: pa.array([_k] * t.num_rows, pa.string()),
+                obj_col: t.column(obj_col),
+                "_canon": t.column("entity_id"),
+            })
+
+        changed_parts.append(mapping.map_batches(
+            only_changed, batch_format="pyarrow"))
+
+    changed = changed_parts[0]
+    for p in changed_parts[1:]:
+        changed = changed.union(p)
+    changed = changed.materialize()
+    n_changed = changed.count()
+    if n_changed == 0:
+        return triples
+
+    if n_changed <= broadcast_max:
+        # group driver-side into per-kind Arrow arrays (bounded by
+        # broadcast_max rows)
+        parts: dict = {k: ([], []) for k in kinds}
+        for b in changed.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            ks = b.column(kind_col).to_pylist()
+            os_ = b.column(obj_col).to_pylist()
+            cs = b.column("_canon").to_pylist()
+            for kk, oo, cc in zip(ks, os_, cs):
+                parts[kk][0].append(oo)
+                parts[kk][1].append(cc)
+        ref = ray.put({k: (pa.array(v[0], pa.string()),
+                           pa.array(v[1], pa.string()))
+                       for k, v in parts.items() if v[0]})
+
+        def rewrite(b: pa.Table, *, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            obj = b.column(obj_col)
+            if isinstance(obj, pa.ChunkedArray):
+                obj = obj.combine_chunks()
+            kind_arr = b.column(kind_col)
+            for kk, (surfs, canons) in m.items():
+                idx = pc.index_in(obj, value_set=surfs)
+                mapped = pc.take(canons, idx)
+                mask = pc.and_kleene(pc.equal(kind_arr, kk),
+                                     pc.is_valid(mapped))
+                mask = pc.fill_null(mask, False)
+                obj = pc.if_else(mask, mapped, obj)
+            out = b.set_column(b.schema.get_field_index(obj_col),
+                               obj_col, obj)
+            return dedup_triples_batch(out)
+
+        return triples.map_batches(rewrite, batch_format="pyarrow")
+
+    # exchange regime: (kind, obj) LEFT join + coalesce
+    tcols = triples.schema().names
+    joined = hash_join(
+        triples, changed, key=[kind_col, obj_col],
+        left_cols=tcols, right_cols=[kind_col, obj_col, "_canon"],
+        how="left", num_buckets=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        canon = b.column("_canon").cast(pa.string())
+        obj = pc.coalesce(canon, b.column(obj_col))
+        out = b.drop_columns(["_canon"])
+        out = out.set_column(out.schema.get_field_index(obj_col),
+                             obj_col, obj)
+        return dedup_triples_batch(out.select(tcols))
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -53,6 +53,12 @@ def main() -> int:
     ap.add_argument("--compact", action="store_true",
                     help="fold accumulated delta side files into the "
                          "base partitions at --out, then exit")
+    ap.add_argument("--resolve-entities", action="store_true",
+                    help="post-linking entity canonicalization: cluster "
+                         "person/place surface forms within edit distance "
+                         "1 (SymSpell deletion blocking + connected "
+                         "components) and rewrite each to its cluster "
+                         "canonical before the graph materialize")
     ap.add_argument("--spill-root", default="",
                     help="shared exchange-spill directory (multi-node: "
                          "point at storage every node mounts; default: "
@@ -142,6 +148,15 @@ def main() -> int:
             n_docs = pages.count()
         triples = kg_triples(pages, extract_concurrency=conc)
         fingerprint = args.fingerprint or f"input-{args.input}"
+
+    if args.resolve_entities:
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_graph_entities,
+        )
+
+        # the canonical rewrite dedups per batch; the graph materialize's
+        # per-partition distinct makes it global (dedup-by-design)
+        triples = resolve_graph_entities(triples)
 
     if args.append:
         # delta ingest: partition count comes from the base manifest

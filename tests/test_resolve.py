@@ -158,3 +158,96 @@ class TestStringIdLevenshteinPairs:
             ("kitten", "mitten"), ("kitten", "sitten"),
             ("mitten", "sitten")]
         assert (df["dist"] == 1).all()
+
+
+class TestResolveGraphEntities:
+    def _triples(self):
+        import datetime
+
+        import ray.data
+
+        ts = datetime.datetime(2025, 6, 1)
+        rows = []
+        for subj, pred, obj, kind in [
+            ("e1", "hasAttendee", "alice johnson", "person"),
+            ("e2", "hasAttendee", "alice johnsen", "person"),
+            ("e3", "hasAttendee", "bob stone", "person"),
+            ("e4", "atLocation", "berlin", "place"),
+            ("e5", "atLocation", "berlim", "place"),
+            # untyped objects NEVER merge, however close (dates d=1):
+            ("e6", "onDate", "2025-06-01", ""),
+            ("e7", "onDate", "2025-06-02", ""),
+            # same surface in both kinds resolves independently
+            ("e8", "atLocation", "alice johnson", "place"),
+        ]:
+            rows.append({"subj": subj, "pred": pred, "obj": obj,
+                         "kind": kind, "url": "u", "warc_ts": ts})
+        return ray.data.from_items(rows)
+
+    WANT = {
+        "e1": "alice johnsen", "e2": "alice johnsen", "e3": "bob stone",
+        "e4": "berlim", "e5": "berlim",
+        "e6": "2025-06-01", "e7": "2025-06-02",
+        # no place-kind pair for "alice johnson" -> stays itself
+        "e8": "alice johnson",
+    }
+
+    def test_broadcast_regime(self, ray_session):
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_graph_entities,
+        )
+
+        out = resolve_graph_entities(self._triples()).to_pandas()
+        assert dict(zip(out["subj"], out["obj"])) == self.WANT
+
+    def test_exchange_regime_identical(self, ray_session):
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_graph_entities,
+        )
+
+        out = resolve_graph_entities(self._triples(),
+                                     broadcast_max=0).to_pandas()
+        assert dict(zip(out["subj"], out["obj"])) == self.WANT
+
+    def test_rewrite_merges_duplicate_triples(self, ray_session):
+        """Two mentions of d<=1 variants under ONE subject collapse to a
+        single distinct triple after canonicalization."""
+        import datetime
+
+        import ray.data
+
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_graph_entities,
+        )
+
+        import pyarrow as pa
+
+        ts = datetime.datetime(2025, 6, 1)
+        # ONE block: the in-stage dedup is per-batch (the global distinct
+        # is the graph materialize's per-partition fold — dedup-by-design)
+        t = pa.table({
+            "subj": ["e1", "e1"], "pred": ["hasAttendee"] * 2,
+            "obj": ["carol smith", "carol smitt"], "kind": ["person"] * 2,
+            "url": ["u"] * 2,
+            "warc_ts": pa.array([ts, ts], pa.timestamp("us")),
+        })
+        out = resolve_graph_entities(ray.data.from_arrow(t)).to_pandas()
+        assert list(out["obj"]) == ["carol smith"]
+        assert len(out) == 1
+
+    def test_noop_when_all_singletons(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_graph_entities,
+        )
+
+        ts = datetime.datetime(2025, 6, 1)
+        rows = [{"subj": f"e{i}", "pred": "hasAttendee", "obj": o,
+                 "kind": "person", "url": "u", "warc_ts": ts}
+                for i, o in enumerate(["aaaaaa", "bbbbbb"])]
+        out = resolve_graph_entities(
+            ray.data.from_items(rows)).to_pandas()
+        assert sorted(out["obj"]) == ["aaaaaa", "bbbbbb"]
