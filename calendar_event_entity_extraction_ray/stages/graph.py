@@ -24,6 +24,11 @@ import pyarrow as pa
 
 import ray.data
 
+# single-task union-find beats the iterative exchange up to ~2M edges
+# (measured: 2M string edges 14.6s / 2M int edges 2.9s in one fold vs a
+# per-round exchange tax that already costs 24s at 150k edges)
+CC_SMALL_EDGES = 2_000_000
+
 
 def _min_label_fold(t: pa.Table) -> pa.Table:
     df = t.select(["node", "label"]).to_pandas()
@@ -108,16 +113,17 @@ def connected_components(
             "node": pa.array([], ntype), "cluster": pa.array([], ntype)}))
     node_type = sch.types[0]
 
-    # adaptive small path (same regime split as stages/exchange.py): the
-    # iterative algorithm costs ~4 plan executions PER ROUND — on an edge
-    # list that fits one task, a single union-find fold replaces 3+ rounds
-    # of exchanges (measured 6.4s -> ~1s on the sf0.01 dup graph). The
-    # iterative path below is the 100TB shape.
-    from calendar_event_entity_extraction_ray.stages.exchange import (
-        SMALL_ROWS,
-    )
-
-    if num_partitions is None and n_edges <= SMALL_ROWS:
+    # adaptive small path: the iterative algorithm costs ~4 plan
+    # executions PER ROUND — on an edge list that fits one task, a single
+    # union-find fold replaces 3+ rounds of exchanges (measured 6.4s ->
+    # ~1s on the sf0.01 dup graph). The cutoff is far above the
+    # exchange's SMALL_ROWS: union-find is O(E a(E)) and a single task
+    # folds 2M string edges in ~15s / 2M int edges in ~3s (measured),
+    # while the iterative path pays its per-round exchange tax on the
+    # SAME data many times over at that size (150k edges measured 24s
+    # iterative vs ~1s folded). The iterative path is the 10^9+-edge
+    # multi-node shape.
+    if num_partitions is None and n_edges <= CC_SMALL_EDGES:
         return (sym.repartition(1)
                 .map_batches(_union_find_fold, batch_size=None,
                              batch_format="pyarrow"))
