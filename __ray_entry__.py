@@ -697,6 +697,25 @@ def q_entity_resolution(sf_dir: str) -> Any:
         batch_format="pyarrow")
 
 
+def q_entity_resolution_freq(sf_dir: str) -> Any:
+    """Entity resolution with the PRACTICAL canonical rule: the cluster
+    member with the most input mentions wins (ties -> lexicographic
+    min), so the common spelling beats the typo (stages/resolve.py
+    canonical="frequent": grouped mention count + per-cluster ARGMAX
+    exchange). Oracle: recursive-CTE components + ROW_NUMBER argmax."""
+    from calendar_event_entity_extraction_ray.stages.resolve import (
+        resolve_surface_forms,
+    )
+
+    parts = _read(sf_dir, "part", columns=["p_name"])
+    out = resolve_surface_forms(parts, col="p_name", max_d=1,
+                                method="deletions", canonical="frequent")
+    return out.map_batches(
+        lambda b: pa.table({"surface": b.column("p_name"),
+                            "entity_id": b.column("entity_id")}),
+        batch_format="pyarrow")
+
+
 def q_dup_clusters(sf_dir: str) -> Any:
     """Near-dup canonicalization: connected components over the exact
     cosine>=0.3 pair graph — every member maps to its cluster's minimum
@@ -4945,6 +4964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "dup_clusters": q_dup_clusters,
         "entity_resolution": q_entity_resolution,
+        "entity_resolution_freq": q_entity_resolution_freq,
         "order_price_quantiles": q_price_quantiles,
         "order_price_p_cont": q_order_price_p_cont,
         "order_global_rank": q_order_global_rank,
@@ -5465,6 +5485,44 @@ def oracle_sql() -> dict[str, str]:
             cc AS (SELECT node, MIN(peer) AS canon FROM reach GROUP BY node)
             SELECT w.s AS surface, COALESCE(cc.canon, w.s) AS entity_id
             FROM w LEFT JOIN cc ON w.s = cc.node
+        """,
+        "entity_resolution_freq": """
+            WITH RECURSIVE w AS (
+              SELECT p_name AS s, COUNT(*) AS n FROM part
+              WHERE p_name IS NOT NULL GROUP BY p_name
+            ),
+            pairs AS (
+              SELECT a.s AS sa, b.s AS sb
+              FROM w a JOIN w b
+                ON a.s < b.s
+               AND abs(length(a.s) - length(b.s)) <= 1
+               AND levenshtein(a.s, b.s) <= 1
+            ),
+            sym AS (
+              SELECT sa AS a, sb AS b FROM pairs
+              UNION SELECT sb AS a, sa AS b FROM pairs
+            ),
+            reach(node, peer) AS (
+              SELECT a AS node, a AS peer FROM sym
+              UNION
+              SELECT r.node, s2.b AS peer
+              FROM reach r JOIN sym s2 ON r.peer = s2.a
+            ),
+            cc AS (SELECT node, MIN(peer) AS cluster FROM reach
+                   GROUP BY node),
+            memb AS (
+              SELECT w.s, COALESCE(cc.cluster, w.s) AS cluster, w.n
+              FROM w LEFT JOIN cc ON w.s = cc.node
+            ),
+            canon AS (
+              SELECT cluster, s AS winner FROM (
+                SELECT cluster, s,
+                       ROW_NUMBER() OVER (PARTITION BY cluster
+                                          ORDER BY n DESC, s ASC) AS rn
+                FROM memb) WHERE rn = 1
+            )
+            SELECT m.s AS surface, c.winner AS entity_id
+            FROM memb m JOIN canon c ON m.cluster = c.cluster
         """,
         "dup_clusters": """
             WITH RECURSIVE pairs AS (

@@ -145,12 +145,21 @@ def resolve_surface_forms(
     method: str = "auto",
     band_width: int = 0,
     num_partitions: Optional[int] = None,
+    canonical: str = "min",
 ) -> "ray.data.Dataset":
-    """(surface, entity_id) for every distinct non-null value of ``col``;
-    ``entity_id`` is the lexicographically smallest member of the
-    surface's edit-distance-``max_d`` connected component. ``method``:
-    ``deletions`` | ``bands`` | ``auto`` (= deletions for max_d <= 2,
-    the short-surface regime it was built for, else bands)."""
+    """(surface, entity_id) for every distinct non-null value of ``col``.
+    ``method``: ``deletions`` | ``bands`` | ``auto`` (= deletions for
+    max_d <= 2, the short-surface regime it was built for, else bands).
+    ``canonical`` picks the cluster representative:
+
+      * ``min`` — lexicographically smallest member (pure function of
+        the cluster; what the recursive-CTE SQL oracle replays);
+      * ``frequent`` — the member with the MOST INPUT MENTIONS (ties ->
+        lexicographic min), the practical ER choice: the common spelling
+        wins over the typo. Mention counts come from a grouped count
+        over the raw input (pre-distinct), the winner per cluster from
+        an ARGMAX exchange (stages/aggregate.py:extreme_row_per_group).
+    """
     from calendar_event_entity_extraction_ray.stages.dedup import (
         exact_dedup,
     )
@@ -164,6 +173,8 @@ def resolve_surface_forms(
 
     if method == "auto":
         method = "deletions" if max_d <= 2 else "bands"
+    if canonical not in ("min", "frequent"):
+        raise ValueError(f"canonical={canonical!r}: min | frequent")
 
     def project(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -203,6 +214,47 @@ def resolve_surface_forms(
         lambda b: pa.table({col: b.column("node"),
                             "_canon": b.column("cluster")}),
         batch_format="pyarrow")
+
+    if canonical == "frequent":
+        from calendar_event_entity_extraction_ray.stages.aggregate import (
+            extreme_row_per_group,
+            grouped_count,
+        )
+
+        # mention counts over the RAW input (pre-distinct); the cluster
+        # winner is argmax(n, then lexicographic min). Singletons never
+        # enter comps and stay self-canonical — a one-member cluster's
+        # argmax IS itself, so the semantics agree.
+        counts = grouped_count(
+            ds.map_batches(project, batch_format="pyarrow"), col,
+            out_col="_n_mentions")
+        comps = comps.materialize()  # consumed by two joins below
+        membered = hash_join(
+            comps.map_batches(
+                lambda b: pa.table({col: b.column(col),
+                                    "_cluster": b.column("_canon")}),
+                batch_format="pyarrow"),
+            counts, key=col, left_cols=[col, "_cluster"],
+            right_cols=[col, "_n_mentions"], num_buckets=num_partitions)
+        winners = extreme_row_per_group(
+            membered, ["_cluster"],
+            [("_n_mentions", "descending"), (col, "ascending")])
+        canon_tbl = winners.map_batches(
+            lambda b: pa.table({"_cluster": b.column("_cluster"),
+                                "_winner": b.column(col)}),
+            batch_format="pyarrow")
+        comps = hash_join(
+            comps.map_batches(
+                lambda b: pa.table({col: b.column(col),
+                                    "_cluster": b.column("_canon")}),
+                batch_format="pyarrow"),
+            canon_tbl, key="_cluster",
+            left_cols=[col, "_cluster"], right_cols=["_cluster", "_winner"],
+            num_buckets=num_partitions)
+        comps = comps.map_batches(
+            lambda b: pa.table({col: b.column(col),
+                                "_canon": b.column("_winner")}),
+            batch_format="pyarrow")
 
     joined = hash_join(
         surfaces, comps, key=col,

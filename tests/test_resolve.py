@@ -251,3 +251,47 @@ class TestResolveGraphEntities:
         out = resolve_graph_entities(
             ray.data.from_items(rows)).to_pandas()
         assert sorted(out["obj"]) == ["aaaaaa", "bbbbbb"]
+
+
+class TestFrequentCanonical:
+    def test_common_spelling_beats_typo(self, ray_session):
+        """The typo sorts FIRST lexicographically but loses on count."""
+        import ray.data
+
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_surface_forms,
+        )
+
+        rows = ([{"surface": "aalice"}] * 2      # typo, lexicographic min
+                + [{"surface": "balice"}] * 9)   # common spelling
+        ds = ray.data.from_items(rows)
+        got_min = resolve_surface_forms(ds, col="surface").to_pandas()
+        got_frq = resolve_surface_forms(ds, col="surface",
+                                        canonical="frequent").to_pandas()
+        assert set(got_min["entity_id"]) == {"aalice"}
+        assert set(got_frq["entity_id"]) == {"balice"}
+
+    def test_tie_breaks_lexicographic(self, ray_session):
+        import ray.data
+
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_surface_forms,
+        )
+
+        rows = [{"surface": "zebra"}, {"surface": "zebrb"}]  # 1 each
+        got = resolve_surface_forms(
+            ray.data.from_items(rows), canonical="frequent").to_pandas()
+        assert set(got["entity_id"]) == {"zebra"}
+
+    def test_singletons_self_canonical(self, ray_session):
+        import ray.data
+
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_surface_forms,
+        )
+
+        rows = [{"surface": "aaaaaa"}] * 5 + [{"surface": "zzzzzz"}]
+        got = resolve_surface_forms(
+            ray.data.from_items(rows), canonical="frequent").to_pandas()
+        assert dict(zip(got["surface"], got["entity_id"])) == {
+            "aaaaaa": "aaaaaa", "zzzzzz": "zzzzzz"}
