@@ -716,6 +716,43 @@ def q_entity_resolution_freq(sf_dir: str) -> Any:
         batch_format="pyarrow")
 
 
+def q_orders_price_range(sf_dir: str) -> Any:
+    """Zone-map-pruned range scan over the engine's OWN sorted store:
+    write_sorted exports orders range-partitioned on o_totalprice with
+    per-partition [min, max] in the manifest; read_sorted_range then
+    answers a BETWEEN predicate opening only intersecting partitions
+    (driver-side manifest prune -> row-group statistics prune -> row
+    filter; stages/sort.py). Oracle = the same BETWEEN on the raw table,
+    proving the prune loses no rows."""
+    import tempfile
+
+    from calendar_event_entity_extraction_ray.stages.sort import (
+        pruned_partition_files,
+        read_sorted_range,
+        write_sorted,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out_dir = tempfile.mkdtemp(prefix="sorted_orders_")
+    write_sorted(orders, "o_totalprice", out_dir,
+                 fingerprint=f"orders-{sf_dir}", num_partitions=16)
+    lo, hi = 1000.0, 3000.0
+    n_pruned = len(pruned_partition_files(out_dir, lo, hi))
+    assert n_pruned < 16, "range should prune at least one partition"
+    ds = read_sorted_range(out_dir, lo, hi)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "price_c": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+        })
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
 def q_dup_clusters(sf_dir: str) -> Any:
     """Near-dup canonicalization: connected components over the exact
     cosine>=0.3 pair graph — every member maps to its cluster's minimum
@@ -4965,6 +5002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "entity_resolution": q_entity_resolution,
         "entity_resolution_freq": q_entity_resolution_freq,
+        "orders_price_range": q_orders_price_range,
         "order_price_quantiles": q_price_quantiles,
         "order_price_p_cont": q_order_price_p_cont,
         "order_global_rank": q_order_global_rank,
@@ -5485,6 +5523,13 @@ def oracle_sql() -> dict[str, str]:
             cc AS (SELECT node, MIN(peer) AS canon FROM reach GROUP BY node)
             SELECT w.s AS surface, COALESCE(cc.canon, w.s) AS entity_id
             FROM w LEFT JOIN cc ON w.s = cc.node
+        """,
+        "orders_price_range": """
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_c
+            FROM orders
+            WHERE o_totalprice >= 1000.0 AND o_totalprice <= 3000.0
         """,
         "entity_resolution_freq": """
             WITH RECURSIVE w AS (

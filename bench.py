@@ -122,7 +122,8 @@ def run_bench() -> dict:
         "bpe_tokenized_docs", "resample_user_hourly",
         "simhash_near_docs", "shuffle_docs", "doc_len_drift",
         # continuation-session operators
-        "error_click_pairs", "entity_resolution"]
+        "error_click_pairs", "entity_resolution",
+        "entity_resolution_freq", "orders_price_range"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

@@ -196,4 +196,93 @@ def write_sorted(
                             "min": None if r.vmin != r.vmin else r.vmin,
                             "max": None if r.vmax != r.vmax else r.vmax},
             }
-    return M.record_partitions(out_dir, fingerprint, entries)
+    manifest = M.record_partitions(out_dir, fingerprint, entries)
+    # self-describing sorted export: readers (read_sorted_range) learn
+    # the order column from the manifest, not from the caller
+    if manifest.get("order_col") != order_col:
+        manifest["order_col"] = order_col
+        M.save_manifest(out_dir, manifest)
+    return manifest
+
+
+def pruned_partition_files(
+    out_dir: str,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> List[str]:
+    """Partition files of a ``write_sorted`` export whose manifest
+    [min, max] intersects [lo, hi] — the driver-side zone-map prune
+    (kilobyte manifest read; no data file is opened). All-NULL
+    partitions never match a range predicate (SQL comparison
+    semantics)."""
+    import os
+
+    from calendar_event_entity_extraction_ray.state import manifest as M
+
+    m = M.load_manifest(out_dir)
+    # lineage is a top-level list (manifest.py:record_partitions); last
+    # entry per part_id wins (resume re-runs only append missing parts)
+    ranges = {}
+    for ln in m.get("lineage", []):
+        if "min" in ln:
+            ranges[str(ln["part_id"])] = (ln["min"], ln["max"])
+    out = []
+    for pid in sorted(m["partitions"], key=int):
+        mn, mx = ranges.get(pid, (None, None))
+        if mn is None or mx is None:
+            continue
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        out.append(os.path.join(out_dir, m["partitions"][pid]["file"]))
+    return out
+
+
+def read_sorted_range(
+    out_dir: str,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    columns: Optional[List[str]] = None,
+) -> "ray.data.Dataset":
+    """Range scan over a ``write_sorted`` export, pruned at THREE levels:
+    whole partitions via the manifest zone map (pruned_partition_files),
+    row groups inside surviving files via a pyarrow statistics filter,
+    and rows via the same filter at decode — only then does data reach
+    the object store. The inclusive [lo, hi] predicate applies to the
+    export's order column (recorded in the manifest); NULL order values
+    never match (SQL range semantics)."""
+    from calendar_event_entity_extraction_ray.state import manifest as M
+
+    m = M.load_manifest(out_dir)
+    order_col = m.get("order_col")
+    if order_col is None:
+        raise ValueError(f"{out_dir}: not a write_sorted export "
+                         "(no order_col in manifest)")
+    files = pruned_partition_files(out_dir, lo, hi)
+    if not files:
+        import os
+
+        import pyarrow.parquet as pq
+
+        # typed empty result: schema from any partition file's footer
+        any_e = next(iter(m["partitions"].values()), None)
+        if any_e is None:
+            raise ValueError(f"{out_dir}: empty manifest")
+        sch = pq.read_schema(os.path.join(out_dir, any_e["file"]))
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return ray.data.from_arrow(sch.empty_table())
+
+    import pyarrow.dataset as pds
+
+    pred = None
+    if lo is not None:
+        pred = pds.field(order_col) >= lo
+    if hi is not None:
+        p2 = pds.field(order_col) <= hi
+        pred = p2 if pred is None else pred & p2
+    kwargs = {"columns": columns} if columns else {}
+    if pred is not None:
+        kwargs["filter"] = pred
+    return ray.data.read_parquet(files, **kwargs)
