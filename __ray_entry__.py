@@ -4932,6 +4932,107 @@ def q_bpe_tokenized_docs(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["doc_id", "n_tokens", "tokens_fp"])
 
 
+def _attendee_pair_edges(sf_dir: str) -> Any:
+    """Ordered DISTINCT co-attendance pairs (a1 < a2) from the flagship
+    triples — the shared edge list for the graph-analytics queries
+    (same per-subject pair fold as q_triangle_count; global distinct is
+    each consumer's job — k_core/bfs symmetrize + dedup internally)."""
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.pipelines.kg import (
+        kg_triples,
+        synth_pages_dataset,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    pages = synth_pages_dataset(_n_pages(sf_dir), seed=42)
+    att = kg_triples(pages).map_batches(
+        lambda b: add_hash_column(
+            b.filter(pc.equal(b.column("pred"), "hasAttendee"))
+            .select(["subj", "obj"]), ["subj"], out_col="_kh"),
+        batch_format="pyarrow")
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["_kh"]).to_pandas()
+        u = df.drop_duplicates()
+        m = u.merge(u, on="subj", suffixes=("_x", "_y"))
+        m = m[m["obj_x"] < m["obj_y"]]
+        out = (m[["obj_x", "obj_y"]].drop_duplicates()
+               .rename(columns={"obj_x": "a1", "obj_y": "a2"}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return hash_partition_map(att, "_kh", pair_fold)
+
+
+def q_kg_attendee_kcore(sf_dir: str) -> Any:
+    """k-core (k=3) of the co-attendance entity graph: the maximal
+    subgraph where every attendee shares events with >= 3 distinct
+    others — the dense social core a KG curation pass would keep.
+    Iterative distributed peeling (stages/graph.py:k_core); oracle =
+    an independent single-process dict peel over the frozen golden
+    triples (tests/golden/oracle/kg_attendee_kcore.parquet)."""
+    from calendar_event_entity_extraction_ray.stages.graph import k_core
+
+    edges = _attendee_pair_edges(sf_dir)
+    return k_core(edges, "a1", "a2", k=3)
+
+
+def q_kg_bfs_hops(sf_dir: str) -> Any:
+    """Unweighted shortest-path hop counts from the lexicographically
+    first attendee over the co-attendance graph (distributed BFS,
+    stages/graph.py:bfs_distances — min-plus frontier relaxation on the
+    exchange). Oracle = a DuckDB RECURSIVE CTE (UNION-distinct frontier,
+    MIN(dist) per node) over the same frozen golden triples."""
+    from ray.data.aggregate import Min
+
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        bfs_distances,
+    )
+
+    edges = _attendee_pair_edges(sf_dir).materialize()
+    seed = edges.aggregate(Min("a1", alias_name="s"))["s"]
+    return bfs_distances(edges, "a1", "a2", [seed], max_depth=25)
+
+
+def q_value_mad_outliers(sf_dir: str) -> Any:
+    """Robust outlier flagging: events whose |value - median| exceeds
+    3x the median absolute deviation — two exact distributed
+    quantile_disc medians (stages/quantiles.py histogram-refine; no
+    global sort) then one vectorized filter pass. The float chain
+    (subtract / abs / 3x compare) is bit-identical numpy vs DuckDB, so
+    the strict > cut is oracle-exact."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.quantiles import (
+        exact_quantiles,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow").materialize()
+    med = exact_quantiles(ds, "value", [0.5])[0][1]
+
+    def dev(b: pa.Table, _m=med) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b.column("event_id"),
+                         "dev": pa.array(np.abs(v - _m), pa.float64())})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow").materialize()
+    mad = exact_quantiles(devs, "dev", [0.5])[0][1]
+    cut = 3.0 * mad
+    return devs.map_batches(
+        lambda b, _c=cut: b.filter(
+            pc.greater(b.column("dev"), _c)).select(["event_id"]),
+        batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -5112,6 +5213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "token_batches_seqs": q_token_batches_seqs,
         "bpe_token_batches_seqs": q_bpe_token_batches_seqs,
+        "kg_attendee_kcore": q_kg_attendee_kcore,
+        "kg_bfs_hops": q_kg_bfs_hops,
+        "value_mad_outliers": q_value_mad_outliers,
     }
 
 
@@ -6638,5 +6742,35 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, term) AS rnk
               FROM scored)
             SELECT doc_id, term, rnk FROM ranked WHERE rnk <= 3
+        """,
+        "kg_attendee_kcore":
+            f"SELECT node, deg FROM {_golden('kg_attendee_kcore')}",
+        "kg_bfs_hops": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT a.obj AS a1, b.obj AS a2
+                FROM {_golden('kg_flagship')} a
+                JOIN {_golden('kg_flagship')} b ON b.subj = a.subj
+                WHERE a.pred = 'hasAttendee' AND b.pred = 'hasAttendee'
+                  AND a.obj <> b.obj),
+            seed AS (SELECT MIN(a1) AS s FROM e),
+            r AS (
+                SELECT s AS node, 0 AS dist FROM seed
+                UNION
+                SELECT e.a2, r.dist + 1
+                FROM r JOIN e ON e.a1 = r.node WHERE r.dist < 25
+            )
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM r GROUP BY node
+        """,
+        "value_mad_outliers": """
+            WITH src AS (
+                SELECT event_id, value FROM events WHERE value IS NOT NULL),
+            m AS (SELECT quantile_disc(value, 0.5) AS med FROM src),
+            d AS (SELECT event_id,
+                         abs(value - (SELECT med FROM m)) AS dev
+                  FROM src),
+            s AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
+            SELECT event_id FROM d
+            WHERE dev > 3 * (SELECT mad FROM s)
         """,
     }

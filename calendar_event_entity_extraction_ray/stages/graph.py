@@ -30,6 +30,14 @@ import ray.data
 CC_SMALL_EDGES = 2_000_000
 
 
+def _schema_col_type(esch, col: str):
+    """Node type of ``col`` from a Ray Dataset schema (Ray's Schema wrapper
+    exposes names/types, not pyarrow's .field)."""
+    if esch is None or col not in getattr(esch, "names", []):
+        return pa.string()
+    return esch.types[esch.names.index(col)]
+
+
 def _min_label_fold(t: pa.Table) -> pa.Table:
     df = t.select(["node", "label"]).to_pandas()
     out = df.groupby("node", sort=False)["label"].min().reset_index()
@@ -106,9 +114,7 @@ def connected_components(
         if sch is not None:
             ntype = sch.types[0]
         else:
-            esch = edges.schema()
-            ntype = (esch.field(a_col).type if esch is not None
-                     else pa.string())
+            ntype = _schema_col_type(edges.schema(), a_col)
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], ntype), "cluster": pa.array([], ntype)}))
     node_type = sch.types[0]
@@ -339,3 +345,291 @@ def pagerank(
                 np.floor(b.column("rank").to_numpy() * 1e9 + 0.5)
                 .astype(np.int64), pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+def _distinct_sym_edges(
+    edges: "ray.data.Dataset", a_col: str, b_col: str,
+    num_partitions: Optional[int],
+) -> "ray.data.Dataset":
+    """(a, b) pairs -> DISTINCT symmetrized (node, dst) edges, partitioned
+    by node hash. Both copies of a duplicate pair land in the same
+    node-hash partition, so a per-partition drop_duplicates is globally
+    exact. Self-loops are dropped (they never contribute to core degree)."""
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = b.column(a_col)
+        bb = b.column(b_col)
+        t = pa.table({
+            "node": pa.chunked_array(list(a.chunks) + list(bb.chunks)),
+            "dst": pa.chunked_array(list(bb.chunks) + list(a.chunks)),
+        })
+        t = t.filter(pc.invert(pc.equal(t.column("node"), t.column("dst"))))
+        return add_hash_column(t, ["node"], out_col="_nh")
+
+    def distinct_fold(t: pa.Table) -> pa.Table:
+        df = t.select(["node", "dst"]).to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    return hash_partition_map(
+        edges.map_batches(symmetrize, batch_format="pyarrow"),
+        "_nh", distinct_fold, num_partitions=num_partitions)
+
+
+def _kcore_single(t: pa.Table, k: int) -> pa.Table:
+    """Single-task exact k-core peel over one DISTINCT symmetrized
+    (node, dst) edge table — the small-graph shortcut (the distributed
+    path must produce the identical (node, deg) set)."""
+    import numpy as np
+
+    node_type = t.schema.field("node").type
+    a = t.column("node").to_pandas().to_numpy()
+    b = t.column("dst").to_pandas().to_numpy()
+    nodes, inv_a = np.unique(a, return_inverse=True)
+    inv_b = np.searchsorted(nodes, b)
+    alive_edge = np.ones(len(a), dtype=bool)
+    while True:
+        deg = np.bincount(inv_a[alive_edge], minlength=len(nodes))
+        alive_node = deg >= k
+        drop = alive_edge & (~alive_node[inv_a] | ~alive_node[inv_b])
+        if not drop.any():
+            break
+        alive_edge &= ~drop
+    deg = np.bincount(inv_a[alive_edge], minlength=len(nodes))
+    keep = deg >= k
+    return pa.table({
+        "node": pa.array(nodes[keep].tolist(), type=node_type),
+        "deg": pa.array(deg[keep].astype(np.int64), pa.int64())})
+
+
+def k_core(
+    edges: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    k: int,
+    max_iters: int = 100,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """k-core decomposition: (a, b) undirected edge list -> (node, deg)
+    for every node of the maximal subgraph in which all degrees are >= k
+    (deg = the node's degree WITHIN the core). Degree counts distinct
+    neighbors; duplicate pairs and self-loops are ignored.
+
+    Algorithm: iterative peeling. Each round computes degrees (one
+    exchange fold over node-hash partitions), drops nodes with deg < k,
+    and filters edges to surviving endpoints (two semi joins — one per
+    endpoint). Rounds to fixpoint is the peel depth (web-ish graphs:
+    a handful); per-round driver state is ONE count, never node lists.
+    Small edge lists (<= CC_SMALL_EDGES) peel in a single numpy task."""
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import semi_join
+
+    sym = _distinct_sym_edges(edges, a_col, b_col, num_partitions)
+    sym = sym.materialize()
+    sch = sym.schema()
+    n_edges = sym.count() if sch is not None else 0
+    if sch is None or n_edges == 0:
+        ntype = _schema_col_type(edges.schema(), a_col)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], ntype),
+            "deg": pa.array([], pa.int64())}))
+
+    if num_partitions is None and n_edges <= CC_SMALL_EDGES:
+        return (sym.repartition(1)
+                .map_batches(lambda t: _kcore_single(t, k),
+                             batch_size=None, batch_format="pyarrow"))
+
+    def deg_fold(t: pa.Table) -> pa.Table:
+        df = t.select(["node"]).to_pandas()
+        out = df.groupby("node", sort=False).size().reset_index(name="deg")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    for _ in range(max_iters):
+        degrees = hash_partition_map(
+            sym.map_batches(
+                lambda b: add_hash_column(b.select(["node"]), ["node"],
+                                          out_col="_nh"),
+                batch_format="pyarrow"),
+            "_nh", deg_fold, num_partitions=num_partitions).materialize()
+        import pyarrow.compute as pc
+
+        removed = degrees.map_batches(
+            lambda b, _k=k: b.filter(pc.less(b.column("deg"), _k)),
+            batch_format="pyarrow")
+        n_removed = removed.count()
+        if n_removed == 0:
+            return degrees
+        survivors = degrees.map_batches(
+            lambda b, _k=k: b.filter(
+                pc.greater_equal(b.column("deg"), _k)).select(["node"]),
+            batch_format="pyarrow").materialize()
+        sym = semi_join(sym, survivors, key="node",
+                        left_cols=["node", "dst"],
+                        num_buckets=num_partitions)
+        sym = sym.map_batches(
+            lambda b: pa.table({"dst": b.column("node"),
+                                "node": b.column("dst")}),
+            batch_format="pyarrow")
+        sym = semi_join(sym, survivors, key="node",
+                        left_cols=["node", "dst"],
+                        num_buckets=num_partitions)
+        if sym.count() == 0:
+            ntype = _schema_col_type(edges.schema(), a_col)
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], ntype),
+                "deg": pa.array([], pa.int64())}))
+        sym = sym.materialize()
+    return degrees.map_batches(
+        lambda b, _k=k: b.filter(pc.greater_equal(b.column("deg"), _k)),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path distances
+# ---------------------------------------------------------------------------
+
+def _bfs_single(t: pa.Table, sources, max_depth: int) -> pa.Table:
+    """Single-task exact BFS over one symmetrized (node, dst) edge table
+    — the small-graph shortcut (the distributed path must match it)."""
+    import numpy as np
+
+    node_type = t.schema.field("node").type
+    a = t.column("node").to_pandas().to_numpy()
+    b = t.column("dst").to_pandas().to_numpy()
+    nodes, inv_a = np.unique(a, return_inverse=True)
+    inv_b = np.searchsorted(nodes, b)
+    n = len(nodes)
+    dist = np.full(n, -1, dtype=np.int64)
+    # sources absent from the edge list are isolated — emitted at dist 0
+    # below (the iterative path seeds them unconditionally; contract:
+    # every source appears, unreachable non-sources don't)
+    src_idx = np.asarray(
+        [i for i, s in zip(np.searchsorted(nodes, sources), sources)
+         if i < n and nodes[i] == s], dtype=np.int64)
+    isolated = [s for i, s in zip(np.searchsorted(nodes, sources), sources)
+                if not (i < n and nodes[i] == s)]
+    dist[src_idx] = 0
+    frontier = src_idx
+    d = 0
+    while len(frontier) and d < max_depth:
+        d += 1
+        on_frontier = np.zeros(n, dtype=bool)
+        on_frontier[frontier] = True
+        nxt = np.unique(inv_b[on_frontier[inv_a]])
+        nxt = nxt[dist[nxt] < 0]
+        dist[nxt] = d
+        frontier = nxt
+    keep = dist >= 0
+    return pa.table({
+        "node": pa.array(nodes[keep].tolist() + isolated, type=node_type),
+        "dist": pa.array(list(dist[keep]) + [0] * len(isolated),
+                         pa.int64())})
+
+
+def bfs_distances(
+    edges: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    sources,
+    max_depth: int = 25,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Unweighted shortest-path distances from ``sources`` over an
+    undirected edge list -> (node, dist), dist in [0, max_depth];
+    unreachable nodes don't appear. Distinct from connected_components:
+    labels are DISTANCES (min-plus propagation, label(v) = min over
+    neighbors label(u)+1), so pointer jumping does not apply — rounds =
+    source eccentricity, each round one hash join (move dist+1 across
+    edges) + one exchange min-fold. Convergence is detected with one
+    (count, sum) aggregate pair per round: under min-relaxation the
+    reached-set only grows and the distance sum over a fixed set only
+    falls, so (n, sum) stable <=> fixpoint. Small edge lists solve in a
+    single numpy task."""
+    from ray.data.aggregate import Count, Sum
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
+    sources = list(sources)
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b.column(a_col)
+        bb = b.column(b_col)
+        return pa.table({
+            "node": pa.chunked_array(list(a.chunks) + list(bb.chunks)),
+            "dst": pa.chunked_array(list(bb.chunks) + list(a.chunks)),
+        })
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    sch = sym.schema()
+    n_edges = sym.count() if sch is not None else 0
+    if sch is None or n_edges == 0:
+        ntype = _schema_col_type(edges.schema(), a_col)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], ntype), "dist": pa.array([], pa.int64())}))
+    node_type = sch.types[0]
+
+    if num_partitions is None and n_edges <= CC_SMALL_EDGES:
+        return (sym.repartition(1)
+                .map_batches(lambda t: _bfs_single(t, sources, max_depth),
+                             batch_size=None, batch_format="pyarrow"))
+
+    labels = ray.data.from_arrow(pa.table({
+        "node": pa.array(sources, type=node_type),
+        "dist": pa.array([0] * len(sources), pa.int64())}))
+
+    def min_fold(t: pa.Table) -> pa.Table:
+        df = t.select(["node", "dist"]).to_pandas()
+        out = df.groupby("node", sort=False)["dist"].min().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    prev = None
+    for _ in range(max_depth + 1):
+        cand = hash_join(sym, labels, key="node",
+                         left_cols=["node", "dst"],
+                         right_cols=["node", "dist"],
+                         num_buckets=num_partitions)
+        def relax(b: pa.Table, _md=max_depth) -> pa.Table:
+            import pyarrow.compute as pc
+
+            d1 = pc.add(b.column("dist"), 1)
+            t = pa.table({"node": b.column("dst"), "dist": d1})
+            return t.filter(pc.less_equal(t.column("dist"), _md))
+
+        cand = cand.map_batches(relax, batch_format="pyarrow")
+        merged = labels.union(cand).map_batches(
+            lambda b: add_hash_column(b.select(["node", "dist"]), ["node"],
+                                      out_col="_nh"),
+            batch_format="pyarrow")
+        labels = hash_partition_map(merged, "_nh", min_fold,
+                                    num_partitions=num_partitions)
+        labels = labels.materialize()
+        agg = labels.aggregate(Count(alias_name="n"),
+                               Sum("dist", alias_name="s"))
+        cur = (agg["n"], agg["s"])
+        if cur == prev:
+            break
+        prev = cur
+    return labels

@@ -565,6 +565,39 @@ def golden_kmeans_labels() -> pa.Table:
     })
 
 
+
+def golden_kg_attendee_kcore() -> pa.Table:
+    """Independent single-process k-core (k=3) peel over the co-attendance
+    graph of the golden flagship triples — a plain dict-adjacency
+    algorithm, sharing no code with stages/graph.py:k_core."""
+    import collections
+    import itertools
+
+    t = golden_kg_flagship().to_pandas()
+    att = t[t.pred == "hasAttendee"]
+    adj: dict = collections.defaultdict(set)
+    for _, grp in att.groupby("subj"):
+        for x, y in itertools.combinations(sorted(set(grp.obj)), 2):
+            adj[x].add(y)
+            adj[y].add(x)
+    k = 3
+    alive = {u: set(vs) for u, vs in adj.items()}
+    changed = True
+    while changed:
+        changed = False
+        for u in list(alive):
+            if len(alive[u]) < k:
+                for v in alive[u]:
+                    alive[v].discard(u)
+                del alive[u]
+                changed = True
+    nodes = sorted(alive)
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "deg": pa.array([len(alive[u]) for u in nodes], pa.int64()),
+    })
+
+
 def golden_pagerank_dups() -> pa.Table:
     """Single-process mirror of q_pagerank: brute-force cosine>=0.3 pair
     graph (same float64 normalization + matmul as _embedding_pairs_ds),
@@ -1085,6 +1118,7 @@ GOLDENS = {
     "chatml_records": golden_chatml_records,
     "kmeans_labels": golden_kmeans_labels,
     "pagerank_dups": golden_pagerank_dups,
+    "kg_attendee_kcore": golden_kg_attendee_kcore,
     "media_resampled": golden_media_resampled,
 }
 

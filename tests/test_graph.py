@@ -98,3 +98,141 @@ class TestPageRank:
         assert all(abs(m_s[n] - m_i[n]) <= 1 for n in m_s)
         # probability mass ~1 (floor-scaled)
         assert abs(sum(m_s.values()) - 10**9) < len(m_s) + 10
+
+
+def _ref_kcore(edges, k):
+    """Independent dict-adjacency peel (no shared code with the stage)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = {u: set(vs) for u, vs in adj.items()}
+    changed = True
+    while changed:
+        changed = False
+        for u in list(alive):
+            if len(alive[u]) < k:
+                for v in alive[u]:
+                    alive[v].discard(u)
+                del alive[u]
+                changed = True
+    return {u: len(vs) for u, vs in alive.items()}
+
+
+def _ref_bfs(edges, srcs, cap):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    dist = {s: 0 for s in srcs}
+    frontier = list(srcs)
+    d = 0
+    while frontier and d < cap:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def _pairs(df, kcol, vcol):
+    return (dict(zip(df[kcol], df[vcol])) if kcol in df else {})
+
+
+class TestKCore:
+    def _edges_ds(self):
+        import ray
+
+        rng = np.random.RandomState(11)
+        raw = rng.randint(0, 300, size=(1200, 2))
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array(raw[:, 0], pa.int64()),
+            "b": pa.array(raw[:, 1], pa.int64()),
+        })).repartition(4)
+        return ds, [(int(a), int(b)) for a, b in raw]
+
+    @pytest.mark.parametrize("k", [2, 4, 7])
+    def test_small_and_iterative_match_reference(self, k):
+        from calendar_event_entity_extraction_ray.stages.graph import k_core
+
+        ds, raw = self._edges_ds()
+        ref = _ref_kcore(raw, k)
+        small = k_core(ds, "a", "b", k).to_pandas()
+        large = k_core(ds, "a", "b", k, num_partitions=3).to_pandas()
+        assert _pairs(small, "node", "deg") == ref
+        assert _pairs(large, "node", "deg") == ref
+
+    def test_duplicate_pairs_and_self_loops_ignored(self):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import k_core
+
+        # triangle with every edge tripled + self loops: degrees must be 2
+        t = pa.table({
+            "a": pa.array([1, 1, 1, 2, 2, 2, 3, 3, 3, 1, 2], pa.int64()),
+            "b": pa.array([2, 2, 2, 3, 3, 3, 1, 1, 1, 1, 2], pa.int64()),
+        })
+        out = k_core(ray.data.from_arrow(t), "a", "b", 2).to_pandas()
+        assert _pairs(out, "node", "deg") == {1: 2, 2: 2, 3: 2}
+        empty = k_core(ray.data.from_arrow(t), "a", "b", 3).to_pandas()
+        assert _pairs(empty, "node", "deg") == {}
+
+    def test_empty_edges_typed(self):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import k_core
+
+        t = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string())})
+        out = k_core(ray.data.from_arrow(t), "a", "b", 2)
+        assert out.schema().names == ["node", "deg"]
+
+
+class TestBfsDistances:
+    def test_small_and_iterative_match_reference(self):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            bfs_distances,
+        )
+
+        rng = np.random.RandomState(5)
+        raw = rng.randint(0, 250, size=(700, 2))
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array(raw[:, 0], pa.int64()),
+            "b": pa.array(raw[:, 1], pa.int64()),
+        })).repartition(4)
+        edges = [(int(a), int(b)) for a, b in raw]
+        for srcs, cap in ([[0], 25], [[0, 249], 25], [[7], 2]):
+            ref = _ref_bfs(edges, srcs, cap)
+            small = bfs_distances(ds, "a", "b", srcs,
+                                  max_depth=cap).to_pandas()
+            large = bfs_distances(ds, "a", "b", srcs, max_depth=cap,
+                                  num_partitions=3).to_pandas()
+            assert _pairs(small, "node", "dist") == ref
+            assert _pairs(large, "node", "dist") == ref
+
+    def test_isolated_source_emitted_at_zero(self):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            bfs_distances,
+        )
+
+        t = pa.table({"a": ["x", "y"], "b": ["y", "z"]})
+        for np_ in (None, 2):
+            out = bfs_distances(ray.data.from_arrow(t), "a", "b",
+                                ["x", "ghost"],
+                                num_partitions=np_).to_pandas()
+            assert _pairs(out, "node", "dist") == {
+                "x": 0, "ghost": 0, "y": 1, "z": 2}
