@@ -5033,6 +5033,111 @@ def q_value_mad_outliers(sf_dir: str) -> Any:
         batch_format="pyarrow")
 
 
+BM25_QUERY_TERMS = ("hash", "join", "vector")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+def q_bm25_topk_docs(sf_dir: str) -> Any:
+    """BM25 top-k retrieval over the corpus for a fixed 3-term query —
+    the ranked-retrieval op a decontamination / eval-similarity pass
+    needs at corpus scale. Three streaming passes: (N, sum dl) aggregate,
+    per-query-term df (per-batch presence partials, tiny fold), then one
+    vectorized scoring pass with per-batch partial top-k folded once
+    (only ~k rows per batch ever leave the scan tasks). The double chain
+    (ln / * / /) is written in the SAME association order as the SQL
+    oracle, term-by-term in fixed order, so floor(score*1e6+0.5) is
+    bit-exact; ties pin on doc_id ASC."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    def drop_null_text(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b.column("text")))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(drop_null_text,
+                        batch_format="pyarrow").materialize()  # consumed 3x
+
+    def dl_batch(b: pa.Table) -> pa.Table:
+        dls = [len(t.split(" ")) for t in b.column("text").to_pylist()]
+        return pa.table({"dl": pa.array(dls, pa.int64())})
+
+    agg = ds.map_batches(dl_batch, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"), Sum("dl", alias_name="sdl"))
+    n_docs, sum_dl = int(agg["n"]), int(agg["sdl"])
+    avgdl = float(sum_dl) / float(n_docs)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        dfs = [0] * len(BM25_QUERY_TERMS)
+        for t in texts:
+            ws = set(t.split(" "))
+            for i, q in enumerate(BM25_QUERY_TERMS):
+                if q in ws:
+                    dfs[i] += 1
+        return pa.table({"term": pa.array(list(BM25_QUERY_TERMS)),
+                         "df": pa.array(dfs, pa.int64())})
+
+    df_by_term = {q: 0 for q in BM25_QUERY_TERMS}
+    for b in ds.map_batches(df_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for term, df_ in zip(b.column("term").to_pylist(),
+                             b.column("df").to_pylist()):
+            df_by_term[term] += df_
+    # idf exactly as the SQL writes it: ln((N - df + 0.5) / (df + 0.5) + 1)
+    idf = [float(np.log((n_docs - df_by_term[q] + 0.5)
+                        / (df_by_term[q] + 0.5) + 1.0))
+           for q in BM25_QUERY_TERMS]
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        words = [t.split(" ") for t in texts]
+        dl = np.array([len(w) for w in words], dtype=np.float64)
+        score = np.zeros(len(words))
+        # fixed term order; association mirrors the SQL expression:
+        # idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        for i, q in enumerate(BM25_QUERY_TERMS):
+            tf = np.array([w.count(q) for w in words], dtype=np.float64)
+            score = score + idf[i] * (
+                (tf * 2.2) / (tf + BM25_K1 * (0.25 + BM25_B * dl / avgdl)))
+        df = pd.DataFrame({
+            "doc_id": b.column("doc_id").to_pandas(),
+            "score_e6": np.floor(score * 1e6 + 0.5).astype(np.int64)})
+        df = df.sort_values(["score_e6", "doc_id"],
+                            ascending=[False, True]).head(BM25_TOPK)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_fold(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["score_e6", "doc_id"],
+            ascending=[False, True]).head(BM25_TOPK).reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (ds.map_batches(score_batch, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final_fold, batch_size=None,
+                         batch_format="pyarrow"))
+
+
+def q_user_active_coverage(sf_dir: str) -> Any:
+    """Per-user active time: total milliseconds covered by the UNION of
+    5-minute windows opened at each event (overlaps collapse — the
+    sweep-line coverage measure, exact int64 epoch-ms arithmetic). One
+    exchange + one vectorized grouped-cummax pass
+    (stages/windows.py:interval_coverage); the oracle replays the sweep
+    as a MAX-over-preceding-rows window."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        interval_coverage,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = interval_coverage(ds, "user_id", "ts", duration_ms=300_000)
+    return _int64(out.to_pandas(), ["user_id", "covered_ms"])
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -5216,6 +5321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_attendee_kcore": q_kg_attendee_kcore,
         "kg_bfs_hops": q_kg_bfs_hops,
         "value_mad_outliers": q_value_mad_outliers,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "user_active_coverage": q_user_active_coverage,
     }
 
 
@@ -6772,5 +6879,73 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
             SELECT event_id FROM d
             WHERE dev > 3 * (SELECT mad FROM s)
+        """,
+        "bm25_topk_docs": """
+            WITH src AS (
+                SELECT doc_id, text, string_split(text, ' ') AS ws
+                FROM documents WHERE text IS NOT NULL),
+            params AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(len(ws)) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM src),
+            dfs AS (
+                SELECT
+                  CAST(COUNT(*) FILTER (
+                    WHERE list_contains(ws, 'hash')) AS DOUBLE) AS df1,
+                  CAST(COUNT(*) FILTER (
+                    WHERE list_contains(ws, 'join')) AS DOUBLE) AS df2,
+                  CAST(COUNT(*) FILTER (
+                    WHERE list_contains(ws, 'vector')) AS DOUBLE) AS df3
+                FROM src),
+            scored AS (
+                SELECT doc_id,
+                  ln((n - df1 + 0.5) / (df1 + 0.5) + 1)
+                    * ((CAST(len(list_filter(ws, x -> x = 'hash'))
+                             AS DOUBLE) * 2.2)
+                       / (CAST(len(list_filter(ws, x -> x = 'hash'))
+                               AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)))
+                  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1)
+                    * ((CAST(len(list_filter(ws, x -> x = 'join'))
+                             AS DOUBLE) * 2.2)
+                       / (CAST(len(list_filter(ws, x -> x = 'join'))
+                               AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)))
+                  + ln((n - df3 + 0.5) / (df3 + 0.5) + 1)
+                    * ((CAST(len(list_filter(ws, x -> x = 'vector'))
+                             AS DOUBLE) * 2.2)
+                       / (CAST(len(list_filter(ws, x -> x = 'vector'))
+                               AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)))
+                  AS score
+                FROM src, params, dfs),
+            ranked AS (
+                SELECT doc_id,
+                       CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS score_e6,
+                       ROW_NUMBER() OVER (
+                         ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT)
+                             DESC, doc_id) AS rnk
+                FROM scored)
+            SELECT doc_id, score_e6, CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 20
+        """,
+        "user_active_coverage": """
+            WITH iv AS (
+                SELECT user_id, epoch_ms(ts) AS s
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            w AS (
+                SELECT user_id, s, s + 300000 AS e,
+                       MAX(s + 300000) OVER (
+                         PARTITION BY user_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmax
+                FROM iv)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN pmax IS NULL OR pmax < s THEN 300000
+                                 WHEN pmax >= e THEN 0
+                                 ELSE e - pmax END) AS BIGINT) AS covered_ms
+            FROM w GROUP BY user_id
         """,
     }

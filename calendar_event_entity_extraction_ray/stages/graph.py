@@ -553,25 +553,24 @@ def bfs_distances(
 ) -> "ray.data.Dataset":
     """Unweighted shortest-path distances from ``sources`` over an
     undirected edge list -> (node, dist), dist in [0, max_depth];
-    unreachable nodes don't appear. Distinct from connected_components:
-    labels are DISTANCES (min-plus propagation, label(v) = min over
-    neighbors label(u)+1), so pointer jumping does not apply — rounds =
-    source eccentricity, each round one hash join (move dist+1 across
-    edges) + one exchange min-fold. Convergence is detected with one
-    (count, sum) aggregate pair per round: under min-relaxation the
-    reached-set only grows and the distance sum over a fixed set only
-    falls, so (n, sum) stable <=> fixpoint. Small edge lists solve in a
-    single numpy task."""
-    from ray.data.aggregate import Count, Sum
+    unreachable nodes don't appear (sources always do, at dist 0).
 
-    from calendar_event_entity_extraction_ray.stages.dedup import (
-        add_hash_column,
-    )
-    from calendar_event_entity_extraction_ray.stages.exchange import (
-        hash_partition_map,
-    )
-    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+    Distinct from connected_components: labels are DISTANCES, so pointer
+    jumping does not apply — rounds = source eccentricity. A naive
+    join-per-round re-ships the WHOLE edge set every round (measured
+    121 s for 7 rounds on a 5M-node tree); instead this is a
+    Pregel-style loop: the symmetrized edges are spilled into hash
+    partitions ONCE (CSR-sorted and cached per worker process), label
+    state lives per partition in the object store, and each round ships
+    only frontier nodes out and candidate (dst, dist) messages back —
+    per-round cost is O(frontier + its adjacency), not O(E + V). In BFS
+    the first arrival is minimal, so the per-partition merge is a set
+    difference (never a re-relaxation) and the loop ends when every
+    frontier is empty. Small edge lists solve in a single numpy task.
 
+    Multi-node note: the edge spill obeys CEE_SPILL_ROOT like the
+    exchange (node-local tempdir otherwise — single-filesystem
+    assumption); candidate messages move through the object store."""
     sources = list(sources)
 
     def symmetrize(b: pa.Table) -> pa.Table:
@@ -596,40 +595,169 @@ def bfs_distances(
                 .map_batches(lambda t: _bfs_single(t, sources, max_depth),
                              batch_size=None, batch_format="pyarrow"))
 
-    labels = ray.data.from_arrow(pa.table({
-        "node": pa.array(sources, type=node_type),
-        "dist": pa.array([0] * len(sources), pa.int64())}))
+    return _bfs_pregel(sym, node_type, sources, max_depth,
+                       int(num_partitions) if num_partitions
+                       else max(8, n_edges // 500_000))
 
-    def min_fold(t: pa.Table) -> pa.Table:
-        df = t.select(["node", "dist"]).to_pandas()
-        out = df.groupby("node", sort=False)["dist"].min().reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
 
-    prev = None
-    for _ in range(max_depth + 1):
-        cand = hash_join(sym, labels, key="node",
-                         left_cols=["node", "dst"],
-                         right_cols=["node", "dist"],
-                         num_buckets=num_partitions)
-        def relax(b: pa.Table, _md=max_depth) -> pa.Table:
-            import pyarrow.compute as pc
+# per-worker-process cache of one pinned edge spill's partitions in CSR
+# form (node-sorted numpy arrays): read+sorted once per worker per
+# partition, reused every BFS round. Keyed by spill dir; switching to a
+# new BFS run drops the old run's tables.
+_EDGE_CACHE: dict = {"dir": None, "parts": {}}
 
-            d1 = pc.add(b.column("dist"), 1)
-            t = pa.table({"node": b.column("dst"), "dist": d1})
-            return t.filter(pc.less_equal(t.column("dist"), _md))
 
-        cand = cand.map_batches(relax, batch_format="pyarrow")
-        merged = labels.union(cand).map_batches(
-            lambda b: add_hash_column(b.select(["node", "dist"]), ["node"],
-                                      out_col="_nh"),
-            batch_format="pyarrow")
-        labels = hash_partition_map(merged, "_nh", min_fold,
-                                    num_partitions=num_partitions)
-        labels = labels.materialize()
-        agg = labels.aggregate(Count(alias_name="n"),
-                               Sum("dist", alias_name="s"))
-        cur = (agg["n"], agg["s"])
-        if cur == prev:
+def _edge_csr(edge_dir: str, part_id: int, files: tuple):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if _EDGE_CACHE["dir"] != edge_dir:
+        _EDGE_CACHE["dir"] = edge_dir
+        _EDGE_CACHE["parts"] = {}
+    got = _EDGE_CACHE["parts"].get(part_id)
+    if got is None:
+        pdir = os.path.join(edge_dir, f"part={part_id}")
+        t = pa.concat_tables([pq.read_table(os.path.join(pdir, f))
+                              for f in sorted(files)])
+        node = t.column("node").to_pandas().to_numpy()
+        dst = t.column("dst").to_pandas().to_numpy()
+        order = np.argsort(node, kind="stable")
+        got = (node[order], dst[order])
+        _EDGE_CACHE["parts"][part_id] = got
+    return got
+
+
+def _bfs_pregel(sym, node_type, sources, max_depth: int, n_parts: int):
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        hash64_columns,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        _PENDING_SPILL_DIRS,
+        resolve_spill_root,
+    )
+
+    root = resolve_spill_root()
+    if root:
+        os.makedirs(root, exist_ok=True)
+        edge_dir = tempfile.mkdtemp(prefix="cee_bfs_edges_", dir=root)
+        eager_cleanup = False
+    else:
+        edge_dir = tempfile.mkdtemp(prefix="cee_bfs_edges_")
+        eager_cleanup = True
+
+    # pin: spill symmetrized edges by hash(node) % n_parts ONCE
+    # (attempt-commit file naming, same protocol as the exchange)
+    def spill(b: pa.Table) -> pa.Table:
+        touched, names = [], []
+        if b.num_rows:
+            h = hash64_columns(b, ["node"]).astype(np.uint64)
+            part = (h % np.uint64(n_parts)).astype(np.int64)
+            for part_id in np.unique(part):
+                sub = b.filter(pa.array(part == part_id))
+                pdir = os.path.join(edge_dir, f"part={int(part_id)}")
+                os.makedirs(pdir, exist_ok=True)
+                fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
+                os.close(fd)
+                pq.write_table(sub, tmp, compression="none")
+                final = tmp[:-4] + ".parquet"
+                os.replace(tmp, final)
+                touched.append(int(part_id))
+                names.append(os.path.basename(final))
+        return pa.table({"part_id": pa.array(touched, pa.int64()),
+                         "file": pa.array(names, pa.string())})
+
+    touched = sym.map_batches(spill, batch_format="pyarrow").to_pandas()
+    files_of = {int(p): tuple(sorted(fs)) for p, fs in
+                touched.groupby("part_id")["file"].apply(list).items()}
+
+    def part_of(values) -> np.ndarray:
+        t = pa.table({"node": pa.array(values, type=node_type)})
+        h = hash64_columns(t, ["node"]).astype(np.uint64)
+        return (h % np.uint64(n_parts)).astype(np.int64)
+
+    empty_labels = pa.table({"node": pa.array([], node_type),
+                             "dist": pa.array([], pa.int64())})
+
+    @ray.remote(num_cpus=1)
+    def scatter(part_id: int, frontier: pa.Table):
+        """frontier (node) -> candidate dsts split by dst partition."""
+        if part_id not in files_of or frontier.num_rows == 0:
+            return [pa.table({"node": pa.array([], node_type)})] * n_parts
+        node_s, dst_s = _edge_csr(edge_dir, part_id, files_of[part_id])
+        f = np.unique(frontier.column("node").to_pandas().to_numpy())
+        lo = np.searchsorted(node_s, f, side="left")
+        hi = np.searchsorted(node_s, f, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return [pa.table({"node": pa.array([], node_type)})] * n_parts
+        starts = np.repeat(lo, counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        cand = np.unique(dst_s[starts + offs])
+        part = part_of(cand)
+        out = []
+        for q in range(n_parts):
+            sel = cand[part == q]
+            out.append(pa.table({"node": pa.array(sel.tolist(),
+                                                  type=node_type)}))
+        return out
+
+    @ray.remote(num_cpus=1, num_returns=3)
+    def gather(labels: pa.Table, d: int, *cands: pa.Table):
+        """merge round-d candidates into this partition's labels; BFS
+        first-arrival is minimal, so the merge is a set difference."""
+        import pandas as _pd
+
+        cat = pa.concat_tables(list(cands))
+        if cat.num_rows == 0:
+            return labels, empty_labels, 0
+        c = _pd.unique(cat.column("node").to_pandas())
+        have = labels.column("node").to_pandas()
+        new = c[~_pd.Series(c).isin(have).to_numpy()]
+        if len(new) == 0:
+            return labels, empty_labels, 0
+        add = pa.table({"node": pa.array(list(new), type=node_type),
+                        "dist": pa.array([d] * len(new), pa.int64())})
+        return pa.concat_tables([labels, add]), add, len(new)
+
+    # seed: sources at dist 0, split by partition
+    src = list(dict.fromkeys(sources))
+    spart = part_of(src)
+    labels_ref, frontier_ref, fsize = {}, {}, {}
+    for q in range(n_parts):
+        mine = [s for s, p in zip(src, spart) if p == q]
+        t = pa.table({"node": pa.array(mine, type=node_type),
+                      "dist": pa.array([0] * len(mine), pa.int64())})
+        labels_ref[q] = ray.put(t)
+        frontier_ref[q] = ray.put(t)
+        fsize[q] = len(mine)
+
+    for d in range(1, max_depth + 1):
+        active = [q for q in range(n_parts) if fsize[q] > 0]
+        if not active:
             break
-        prev = cur
-    return labels
+        scat = {q: scatter.options(num_returns=n_parts).remote(
+            q, frontier_ref[q]) for q in active}
+        for q in range(n_parts):
+            cand_refs = [scat[p][q] for p in active]
+            labels_ref[q], frontier_ref[q], nref = gather.remote(
+                labels_ref[q], d, *cand_refs)
+            fsize[q] = nref
+        fsize = {q: ray.get(r) for q, r in fsize.items()}
+
+    if eager_cleanup:
+        shutil.rmtree(edge_dir, ignore_errors=True)
+    else:
+        _PENDING_SPILL_DIRS.append(edge_dir)
+    return ray.data.from_arrow_refs(
+        [labels_ref[q] for q in range(n_parts)])

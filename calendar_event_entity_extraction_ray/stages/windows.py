@@ -315,3 +315,69 @@ def resample_fill(
     # single fold measured 23 s, parallel folds 4 s)
     return hash_partition_map(hashed, "_uh", fold,
                               num_partitions=default_num_partitions())
+
+
+def interval_coverage(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    duration_ms: int,
+    out_col: str = "covered_ms",
+) -> "ray.data.Dataset":
+    """Per-key total time covered by the UNION of fixed-length intervals
+    [ts, ts + duration_ms) — the active-time / overlap-collapse measure
+    (points with overlapping windows count once). One exchange on the key
+    hash, then a single vectorized pass per partition: sort by (key, ts),
+    per-key running max of interval ends (cummax with per-group reset via
+    a grouped cummax), covered_i = max(0, end_i - max(start_i, prev_max)).
+    All arithmetic is int64 epoch-milliseconds — exact, and the total is
+    tie-order-independent (equal starts imply identical intervals, which
+    contribute 0 past the first). NULL keys / timestamps are dropped
+    (SQL GROUP BY + comparison semantics)."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.and_(pc.is_valid(b.column(key_col)),
+                             pc.is_valid(b.column(ts_col))))
+        ts = b.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.int64()), pa.int64())
+            unit = b.schema.field(ts_col).type.unit
+            div = {"s": None, "ms": 1, "us": 1000, "ns": 1000000}[unit]
+            if unit == "s":
+                ts = pc.multiply(ts, 1000)
+            else:
+                ts = pc.divide(ts, div)
+        t = pa.table({"k": b.column(key_col), "s": pc.cast(ts, pa.int64())})
+        return add_hash_column(t, ["k"], out_col="_kh")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(["k", "s"]).to_pandas()
+        df = df.sort_values(["k", "s"], kind="mergesort")
+        s = df["s"].to_numpy(dtype=np.int64)
+        e = s + int(duration_ms)
+        # per-key running max of PREVIOUS ends: grouped cummax shifted by 1
+        g = df.groupby("k", sort=False, dropna=False)
+        prev_max = pd.Series(e, index=df.index).groupby(
+            df["k"], sort=False).cummax().shift(1).to_numpy()
+        first = g.cumcount().to_numpy() == 0
+        prev_max[first] = np.iinfo(np.int64).min
+        pm = prev_max.astype(np.int64)
+        covered = np.maximum(0, e - np.maximum(s, pm))
+        out = pd.DataFrame({"k": df["k"].to_numpy(), "c": covered})
+        res = out.groupby("k", sort=False)["c"].sum().reset_index()
+        res.columns = [key_col, out_col]
+        res[out_col] = res[out_col].astype(np.int64)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    return hash_partition_map(
+        ds.map_batches(prep, batch_format="pyarrow"), "_kh", fold)
