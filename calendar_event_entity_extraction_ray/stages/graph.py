@@ -247,24 +247,25 @@ def pagerank(
     """PageRank over an UNDIRECTED edge list (edges symmetrized, so every
     node has degree >= 1 — no dangling-mass term). Fixed ``iters``
     rounds; output (node, rank_e9) with ranks floor-scaled to 1e-9 so
-    results hash-compare against the single-process mirror.
+    results hash-compare against the single-process mirror (the
+    distributed path agrees to the last e9 digit +/- 1 ulp-of-rounding —
+    float sums associate differently across partitions).
 
     Small graphs (<= the exchange's small-input threshold) solve in ONE
-    numpy task. The large path is the iterative broadcast shape: degrees
-    once (salted grouped count), then per round one hash_join moves
-    rank/degree across edges + one exchange folds incoming mass per
-    node — the same join-per-round skeleton as connected_components, with
-    rank state living in a Dataset, never on the driver."""
+    numpy task. The large path is the same Pregel loop as
+    bfs_distances/k_core: edges pinned into CSR partitions once
+    (dedup=False — mass flows once per edge INSTANCE), per-partition
+    (nodes, deg, rank) state in the object store, and each round ships
+    only per-destination mass contributions PRE-SUMMED by dst inside the
+    sender (a partition emits at most one row per distinct dst it
+    references, the combiner shape) — the edge set itself never moves
+    after the pin, where the join-per-round formulation re-shuffled
+    edges + ranks through disk every one of the ``iters`` rounds."""
     import numpy as np
 
-    from calendar_event_entity_extraction_ray.stages.dedup import (
-        add_hash_column,
-    )
     from calendar_event_entity_extraction_ray.stages.exchange import (
         SMALL_ROWS,
-        hash_partition_map,
     )
-    from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
     def symmetrize(b: pa.Table) -> pa.Table:
         a = b.column(a_col)
@@ -275,81 +276,97 @@ def pagerank(
         })
 
     sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    n_edges = sym.count()
 
-    if num_partitions is None and sym.count() <= SMALL_ROWS:
+    if num_partitions is None and n_edges <= SMALL_ROWS:
         return (sym.repartition(1)
                 .map_batches(lambda t: _pagerank_single(t, damping, iters),
                              batch_size=None, batch_format="pyarrow"))
 
-    # degrees + node count once
-    def deg_fold(t: pa.Table) -> pa.Table:
-        df = t.select(["node"]).to_pandas()
-        out = df.groupby("node", sort=False).size().reset_index(name="deg")
-        return pa.Table.from_pandas(out, preserve_index=False)
+    sch = sym.schema()
+    node_type = sch.types[0]
+    n_parts = (int(num_partitions) if num_partitions
+               else max(8, n_edges // 500_000))
 
-    degrees = hash_partition_map(
-        sym.map_batches(lambda b: add_hash_column(b, ["node"],
-                                                  out_col="_nh"),
-                        batch_format="pyarrow"),
-        "_nh", deg_fold, num_partitions=num_partitions).materialize()
-    n_nodes = degrees.count()
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        hash64_columns,
+    )
 
-    ranks = degrees.map_batches(
-        lambda b: pa.table({"node": b.column("node"),
-                            "deg": b.column("deg"),
-                            "rank": pa.array(
-                                np.full(b.num_rows, 1.0 / n_nodes))}),
-        batch_format="pyarrow").materialize()
+    edge_dir, files_of, eager_cleanup = _pin_edges(
+        sym, n_parts, "cee_pr_edges_")
+    parts = sorted(files_of)
 
-    for _ in range(iters):
-        moved = hash_join(
-            sym, ranks.map_batches(
-                lambda b: pa.table({
-                    "node": b.column("node"),
-                    "contrib": pa.array(
-                        b.column("rank").to_numpy()
-                        / b.column("deg").to_numpy())}),
-                batch_format="pyarrow"),
-            key="node", left_cols=["node", "dst"],
-            right_cols=["node", "contrib"], num_buckets=num_partitions)
+    def part_of(values) -> "np.ndarray":
+        t = pa.table({"node": pa.array(list(values), type=node_type)})
+        h = hash64_columns(t, ["node"]).astype(np.uint64)
+        return (h % np.uint64(n_parts)).astype(np.int64)
 
-        def mass_fold(t: pa.Table, _d=damping, _n=n_nodes) -> pa.Table:
-            df = t.select(["dst", "contrib"]).to_pandas()
-            out = (df.groupby("dst", sort=False)["contrib"].sum()
-                   .reset_index().rename(columns={"dst": "node",
-                                                  "contrib": "mass"}))
-            return pa.Table.from_pandas(out, preserve_index=False)
+    @ray.remote(num_cpus=1)
+    def init(part_id: int):
+        node_s, _ = _edge_csr(edge_dir, part_id, files_of[part_id],
+                              dedup=False)
+        nodes, counts = np.unique(node_s, return_counts=True)
+        return (nodes, counts.astype(np.float64)), len(nodes)
 
-        mass = hash_partition_map(
-            moved.map_batches(
-                lambda b: add_hash_column(b.select(["dst", "contrib"]),
-                                          ["dst"], out_col="_mh"),
-                batch_format="pyarrow"),
-            "_mh", mass_fold, num_partitions=num_partitions)
-        joined = hash_join(
-            degrees, mass, key="node",
-            left_cols=["node", "deg"], right_cols=["node", "mass"],
-            num_buckets=num_partitions)
-        ranks = joined.map_batches(
-            lambda b, _d=damping, _n=n_nodes: pa.table({
-                "node": b.column("node"),
-                "deg": b.column("deg"),
-                "rank": pa.array((1.0 - _d) / _n
-                                 + _d * b.column("mass").to_numpy())}),
-            batch_format="pyarrow").materialize()
+    @ray.remote(num_cpus=1)
+    def scatter(part_id: int, state, ranks):
+        """per-node contribution rank/deg fanned across out-edges, summed
+        by dst INSIDE the sender, split by dst partition."""
+        node_s, dst_s = _edge_csr(edge_dir, part_id, files_of[part_id],
+                                  dedup=False)
+        nodes, deg = state
+        contrib = ranks / deg
+        # every source row in node_s is present in nodes (built from it)
+        per_edge = contrib[np.searchsorted(nodes, node_s)]
+        # combine by dst before shipping
+        u_dst, inv = np.unique(dst_s, return_inverse=True)
+        mass = np.zeros(len(u_dst))
+        np.add.at(mass, inv, per_edge)
+        dest = part_of(u_dst)
+        out = []
+        for q in range(n_parts):
+            sel = dest == q
+            out.append((u_dst[sel], mass[sel]))
+        return tuple(out)
 
-    return ranks.map_batches(
-        lambda b: pa.table({
-            "node": b.column("node"),
+    @ray.remote(num_cpus=1)
+    def gather(state, n_total, d, *msgs):
+        nodes, _deg = state
+        incoming = np.zeros(len(nodes))
+        for ids, mass in msgs:
+            if len(ids):
+                incoming[np.searchsorted(nodes, ids)] += mass
+        return (1.0 - d) / n_total + d * incoming
+
+    @ray.remote(num_cpus=1)
+    def finalize(state, ranks):
+        nodes, _deg = state
+        return pa.table({
+            "node": pa.array(nodes.tolist(), type=node_type),
             "rank_e9": pa.array(
-                np.floor(b.column("rank").to_numpy() * 1e9 + 0.5)
-                .astype(np.int64), pa.int64())}),
-        batch_format="pyarrow")
+                np.floor(ranks * 1e9 + 0.5).astype(np.int64), pa.int64())})
 
+    init_out = {p: init.options(num_returns=2).remote(p) for p in parts}
+    state_ref = {p: init_out[p][0] for p in parts}
+    n_total = int(sum(ray.get([init_out[p][1] for p in parts])))
 
-# ---------------------------------------------------------------------------
-# k-core decomposition
-# ---------------------------------------------------------------------------
+    @ray.remote(num_cpus=1)
+    def seed(state, n):
+        nodes, _deg = state
+        return np.full(len(nodes), 1.0 / n)
+
+    ranks_ref = {p: seed.remote(state_ref[p], n_total) for p in parts}
+    for _ in range(iters):
+        scat = {p: scatter.options(num_returns=n_parts).remote(
+            p, state_ref[p], ranks_ref[p]) for p in parts}
+        ranks_ref = {p: gather.remote(
+            state_ref[p], n_total, damping,
+            *[scat[q][p] for q in parts]) for p in parts}
+    out_refs = [finalize.remote(state_ref[p], ranks_ref[p]) for p in parts]
+    ray.wait(out_refs, num_returns=len(out_refs))
+    _finish_pinned(edge_dir, eager_cleanup)
+    return ray.data.from_arrow_refs(out_refs)
+
 
 def _sym_local_distinct(
     edges: "ray.data.Dataset", a_col: str, b_col: str,
@@ -659,7 +676,8 @@ def bfs_distances(
 _EDGE_CACHE: dict = {"dir": None, "parts": {}}
 
 
-def _edge_csr(edge_dir: str, part_id: int, files: tuple):
+def _edge_csr(edge_dir: str, part_id: int, files: tuple,
+              dedup: bool = True):
     import os
 
     import numpy as np
@@ -668,7 +686,8 @@ def _edge_csr(edge_dir: str, part_id: int, files: tuple):
     if _EDGE_CACHE["dir"] != edge_dir:
         _EDGE_CACHE["dir"] = edge_dir
         _EDGE_CACHE["parts"] = {}
-    got = _EDGE_CACHE["parts"].get(part_id)
+    key = (part_id, dedup)
+    got = _EDGE_CACHE["parts"].get(key)
     if got is None:
         pdir = os.path.join(edge_dir, f"part={part_id}")
         t = pa.concat_tables([pq.read_table(os.path.join(pdir, f))
@@ -677,18 +696,19 @@ def _edge_csr(edge_dir: str, part_id: int, files: tuple):
         # edge share the source node, hence the partition); k-core
         # degree counting REQUIRES it, BFS is merely insensitive to it.
         # lexsort + consecutive-dup mask: ~2x pandas drop_duplicates +
-        # mergesort, and CSR needs the sort anyway
+        # mergesort, and CSR needs the sort anyway. PageRank passes
+        # dedup=False: mass flows once per edge INSTANCE.
         node = t.column("node").to_pandas().to_numpy()
         dst = t.column("dst").to_pandas().to_numpy()
         order = np.lexsort((dst, node))
         n2, d2 = node[order], dst[order]
-        if len(n2):
+        if dedup and len(n2):
             keep = np.empty(len(n2), dtype=bool)
             keep[0] = True
             keep[1:] = (n2[1:] != n2[:-1]) | (d2[1:] != d2[:-1])
             n2, d2 = n2[keep], d2[keep]
         got = (n2, d2)
-        _EDGE_CACHE["parts"][part_id] = got
+        _EDGE_CACHE["parts"][key] = got
     return got
 
 

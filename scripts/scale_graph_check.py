@@ -15,9 +15,13 @@ Constructions (all edge counts / memberships exact by design):
     per round (the wide-frontier regime, unlike a ring where BFS only
     ever touches 2 nodes per round).
 
+  pagerank: the same ring — 2-regular, so the stationary distribution is
+    EXACTLY uniform and every node must publish floor(1e9/n + 0.5).
+
     python scripts/scale_graph_check.py --op kcore --ring 10000000 --cliques 100
     python scripts/scale_graph_check.py --op kcore --cascade --depth 18
     python scripts/scale_graph_check.py --op bfs --nodes 5000000
+    python scripts/scale_graph_check.py --op pagerank --ring 10000000
 """
 
 from __future__ import annotations
@@ -70,7 +74,8 @@ def heap_depth(n: int, arity: int) -> np.ndarray:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--op", default="kcore", choices=["kcore", "bfs"])
+    ap.add_argument("--op", default="kcore",
+                    choices=["kcore", "bfs", "pagerank"])
     ap.add_argument("--ring", type=int, default=10_000_000)
     ap.add_argument("--cliques", type=int, default=100)
     ap.add_argument("--cascade", action="store_true")
@@ -135,6 +140,36 @@ def main() -> int:
                     "n_edges": n - 1, "core_nodes": got, "expect": 0,
                     "ok": bool(ok), "wall_sec": round(wall, 1),
                     "peel_rounds": args.depth + 1})
+    elif args.op == "pagerank":
+        # a ring is 2-regular, so the stationary PageRank is EXACTLY
+        # uniform: every node must publish rank_e9 == floor(1e9/n + 0.5)
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            pagerank,
+        )
+
+        n = args.ring
+        ring = ray.data.range(n, override_num_blocks=blocks).map_batches(
+            lambda b: ring_edges(b, n), batch_format="pyarrow")
+        expect = int(np.floor(1e9 / n + 0.5))
+        t0 = time.time()
+        out = pagerank(ring, "a", "b", iters=10,
+                       num_partitions=max(8, 2 * n // 500_000))
+        import pyarrow.compute as pc
+        agg = out.map_batches(
+            lambda b: pa.table({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "bad": pa.array([int(pc.sum(pc.cast(pc.not_equal(
+                    b.column("rank_e9"), expect), pa.int64())).as_py()
+                    or 0)], pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        wall = time.time() - t0
+        got, bad = int(agg.n.sum()), int(agg.bad.sum())
+        ok = got == n and bad == 0
+        rec.update({"metric": "pagerank_scale", "ring": n,
+                    "n_edges": n, "iters": 10, "nodes_out": got,
+                    "wrong_rank": bad, "expect_e9": expect,
+                    "ok": bool(ok), "wall_sec": round(wall, 1),
+                    "edge_rounds_per_sec": round(10 * 2 * n / wall, 1)})
     else:
         n = args.nodes
         tree = ray.data.range(n, override_num_blocks=blocks).map_batches(
