@@ -123,7 +123,10 @@ def run_bench() -> dict:
         "simhash_near_docs", "shuffle_docs", "doc_len_drift",
         # continuation-session operators
         "error_click_pairs", "entity_resolution",
-        "entity_resolution_freq", "orders_price_range"]
+        "entity_resolution_freq", "orders_price_range",
+        # continuation-2: graph analytics + retrieval + robust stats
+        "kg_attendee_kcore", "kg_bfs_hops", "bm25_topk_docs",
+        "user_active_coverage", "value_mad_outliers"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

@@ -177,12 +177,44 @@ def record_compaction(out_dir: str, rows_by_part: Dict) -> Dict:
     return manifest
 
 
-def read_output(out_dir: str) -> pa.Table:
+def read_output(out_dir: str, as_of: Optional[str] = None) -> pa.Table:
     """Concatenate every partition's base Parquet plus any LSM delta
     side files. When deltas are present the result is distinct-unioned
     (set-of-triples semantics — a base row re-ingested by a delta epoch
-    must not double); a base-only graph is returned as written."""
+    must not double); a base-only graph is returned as written.
+
+    ``as_of`` gives time travel over the LSM history: pass an epoch name
+    to see the graph as of that epoch (later delta side files are simply
+    not read — the LSM layout makes every delta epoch reversible), or
+    ``"base"`` for the pre-append build. Raises if any LATER epoch is
+    irreversible — merge-applied (rows folded into the base Parquet) or
+    already compacted — because those rows cannot be separated out."""
     m = load_manifest(out_dir)
+    allowed = None
+    if as_of is not None:
+        epochs = m.get("epochs", [])
+        if as_of == "base":
+            later = list(epochs)
+        elif as_of in epochs:
+            later = epochs[epochs.index(as_of) + 1:]
+        else:
+            raise ValueError(f"unknown epoch {as_of!r}; "
+                             f"manifest has {epochs!r}")
+        later_set = set(later)
+        for part_id, entry in m["partitions"].items():
+            if entry.get("epoch") in later_set:
+                raise ValueError(
+                    f"epoch {entry['epoch']!r} was merge-applied into "
+                    f"partition {part_id}'s base — as_of={as_of!r} is "
+                    f"unreadable (use mode='delta' appends for "
+                    f"time-travel)")
+            folded = later_set & set(entry.get("compacted_epochs", []))
+            if folded:
+                raise ValueError(
+                    f"epoch(s) {sorted(folded)} were compacted into "
+                    f"partition {part_id}'s base — as_of={as_of!r} is "
+                    f"unreadable")
+        allowed = set(epochs) - later_set
     tables: List[pa.Table] = []
     any_delta = False
     for part_id in sorted(m["partitions"], key=int):
@@ -191,6 +223,8 @@ def read_output(out_dir: str) -> pa.Table:
         if os.path.exists(base):
             tables.append(pq.read_table(base))
         for d in entry.get("deltas", []):
+            if allowed is not None and d["epoch"] not in allowed:
+                continue
             any_delta = True
             tables.append(pq.read_table(os.path.join(out_dir, d["file"])))
     if not tables:

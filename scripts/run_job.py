@@ -53,6 +53,12 @@ def main() -> int:
     ap.add_argument("--compact", action="store_true",
                     help="fold accumulated delta side files into the "
                          "base partitions at --out, then exit")
+    ap.add_argument("--read-as-of", default="",
+                    help="time-travel read: print the graph's row count "
+                         "as of the named delta epoch (or 'base') at "
+                         "--out, then exit — later delta side files are "
+                         "not read; errors if a later epoch was "
+                         "merge-applied or compacted")
     ap.add_argument("--resolve-entities", action="store_true",
                     help="post-linking entity canonicalization: cluster "
                          "person/place surface forms within edit distance "
@@ -89,6 +95,19 @@ def main() -> int:
         synth_pages_dataset,
     )
     from calendar_event_entity_extraction_ray.state.metrics import write_metrics
+
+    if args.read_as_of:
+        from calendar_event_entity_extraction_ray.state.manifest import (
+            read_output,
+        )
+
+        t0 = time.time()
+        t = read_output(args.out, as_of=args.read_as_of)
+        df = t.to_pandas().drop_duplicates() if t.num_rows else t.to_pandas()
+        print({"as_of": args.read_as_of, "n_triples": len(df),
+               "wall_sec": round(time.time() - t0, 2)})
+        ray.shutdown()
+        return 0
 
     if args.compact:
         t0 = time.time()

@@ -259,3 +259,71 @@ def _manifest(out_dir: str) -> dict:
     )
 
     return load_manifest(out_dir)
+
+
+class TestTimeTravelRead:
+    def test_as_of_over_delta_epochs(self, ray_session, tmp_path_factory):
+        from calendar_event_entity_extraction_ray.pipelines.kg import (
+            append_graph,
+            kg_triples,
+            materialize_graph,
+        )
+        from calendar_event_entity_extraction_ray.state.manifest import (
+            read_output,
+        )
+
+        out = str(tmp_path_factory.mktemp("ttravel") / "graph")
+        materialize_graph(kg_triples(_pages_slice(0, 60)), out,
+                          fingerprint="base", num_partitions=4)
+        base = _distinct(read_output(out))
+        append_graph(kg_triples(_pages_slice(60, 100)), out, epoch="d1",
+                     mode="delta")
+        after_d1 = _distinct(read_output(out))
+        append_graph(kg_triples(_pages_slice(100, 140)), out, epoch="d2",
+                     mode="delta")
+
+        # full read sees everything; as_of peels later epochs off
+        full = _distinct(read_output(out))
+        assert len(full) > len(after_d1) > len(base)
+        pd.testing.assert_frame_equal(
+            _distinct(read_output(out, as_of="d2")), full)
+        pd.testing.assert_frame_equal(
+            _distinct(read_output(out, as_of="d1")), after_d1)
+        pd.testing.assert_frame_equal(
+            _distinct(read_output(out, as_of="base")), base)
+
+        with pytest.raises(ValueError, match="unknown epoch"):
+            read_output(out, as_of="nope")
+
+    def test_as_of_rejects_irreversible_epochs(self, ray_session,
+                                               tmp_path_factory):
+        from calendar_event_entity_extraction_ray.pipelines.kg import (
+            append_graph,
+            compact_graph,
+            kg_triples,
+            materialize_graph,
+        )
+        from calendar_event_entity_extraction_ray.state.manifest import (
+            read_output,
+        )
+
+        out = str(tmp_path_factory.mktemp("ttravel2") / "graph")
+        materialize_graph(kg_triples(_pages_slice(0, 60)), out,
+                          fingerprint="base", num_partitions=4)
+        # merge-applied epoch rewrites the base: base is unreadable
+        append_graph(kg_triples(_pages_slice(60, 100)), out, epoch="m1",
+                     mode="merge")
+        with pytest.raises(ValueError, match="merge-applied"):
+            read_output(out, as_of="base")
+        # a delta epoch after the merge IS readable as_of
+        append_graph(kg_triples(_pages_slice(100, 140)), out, epoch="d1",
+                     mode="delta")
+        got = _distinct(read_output(out, as_of="m1"))
+        append_less = _distinct(read_output(out))
+        assert len(got) < len(append_less)
+        # compaction folds d1 into the base -> m1 view gone too
+        compact_graph(out)
+        with pytest.raises(ValueError, match="compacted"):
+            read_output(out, as_of="m1")
+        pd.testing.assert_frame_equal(
+            _distinct(read_output(out, as_of="d1")), append_less)
