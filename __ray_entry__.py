@@ -5122,6 +5122,21 @@ def q_bm25_topk_docs(sf_dir: str) -> Any:
                          batch_format="pyarrow"))
 
 
+def q_kg_attendee_walks(sf_dir: str) -> Any:
+    """DeepWalk-style corpus generation: one deterministic 5-hop random
+    walk per attendee over the co-attendance graph, rows
+    (walk_id, step, node). Next hops draw from a (walk, step, seed)
+    siphash stream, so the corpus is partitioning-invariant and
+    re-runnable; oracle = an independent dict-adjacency replay of the
+    same stream (tests/golden/oracle/kg_attendee_walks.parquet)."""
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        random_walks,
+    )
+
+    edges = _attendee_pair_edges(sf_dir)
+    return random_walks(edges, "a1", "a2", walk_len=5, seed=0)
+
+
 def q_user_active_coverage(sf_dir: str) -> Any:
     """Per-user active time: total milliseconds covered by the UNION of
     5-minute windows opened at each event (overlaps collapse — the
@@ -5323,6 +5338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_outliers": q_value_mad_outliers,
         "bm25_topk_docs": q_bm25_topk_docs,
         "user_active_coverage": q_user_active_coverage,
+        "kg_attendee_walks": q_kg_attendee_walks,
     }
 
 
@@ -6852,6 +6868,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_attendee_kcore":
             f"SELECT node, deg FROM {_golden('kg_attendee_kcore')}",
+        "kg_attendee_walks":
+            f"SELECT walk_id, step, node "
+            f"FROM {_golden('kg_attendee_walks')}",
         "kg_bfs_hops": f"""
             WITH RECURSIVE e AS (
                 SELECT DISTINCT a.obj AS a1, b.obj AS a2

@@ -866,3 +866,157 @@ def _bfs_pregel(sym, node_type, sources, max_depth: int, n_parts: int):
     _finish_pinned(edge_dir, eager_cleanup)
     return ray.data.from_arrow_refs(
         [labels_ref[q] for q in range(n_parts)])
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk-style corpus generation)
+# ---------------------------------------------------------------------------
+
+def _walk_choice(walk_ids, step: int, seed: int) -> "np.ndarray":
+    """uint64 choice stream for (walk, step): vectorized, process-stable
+    (pandas fixed-key siphash — the repo-standard replacement for salted
+    hash()/per-row md5). Both the distributed loop and the single-task
+    mirror draw from THIS function, so paths are partitioning-invariant."""
+    import numpy as np
+
+    df = pd.DataFrame({"w": walk_ids, "s": np.full(len(walk_ids), step),
+                       "g": np.full(len(walk_ids), seed)})
+    return pd.util.hash_pandas_object(df, index=False).to_numpy()
+
+
+def _walks_single(t: pa.Table, walk_len: int, seed: int) -> pa.Table:
+    """Single-task mirror over one deduped symmetrized (node, dst) edge
+    table: one walk per node, rows (walk_id, step, node)."""
+    import numpy as np
+
+    node_type = t.schema.field("node").type
+    df = t.select(["node", "dst"]).to_pandas().drop_duplicates()
+    df = df.sort_values(["node", "dst"], kind="mergesort")
+    node_s = df["node"].to_numpy()
+    dst_s = df["dst"].to_numpy()
+    nodes = np.unique(node_s)
+    lo = np.searchsorted(node_s, nodes, side="left")
+    hi = np.searchsorted(node_s, nodes, side="right")
+    walk_ids, cur = nodes.copy(), nodes.copy()
+    out_w, out_s, out_n = [walk_ids], [np.zeros(len(nodes), np.int64)], [cur]
+    for step in range(1, walk_len + 1):
+        idx = np.searchsorted(nodes, cur)
+        deg = hi[idx] - lo[idx]
+        h = _walk_choice(walk_ids, step, seed)
+        cur = dst_s[lo[idx] + (h % deg.astype(np.uint64)).astype(np.int64)]
+        out_w.append(walk_ids)
+        out_s.append(np.full(len(cur), step, np.int64))
+        out_n.append(cur)
+    return pa.table({
+        "walk_id": pa.array(np.concatenate(out_w).tolist(), type=node_type),
+        "step": pa.array(np.concatenate(out_s), pa.int64()),
+        "node": pa.array(np.concatenate(out_n).tolist(), type=node_type)})
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    walk_len: int = 8,
+    seed: int = 0,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """One deterministic random walk per node over the undirected graph
+    (DeepWalk-style corpus generation — walk sequences feed embedding /
+    LM training). Output rows (walk_id, step, node), step 0 = the start
+    node; next hop = uniformly-hashed choice among the deduped neighbor
+    list, drawn from a (walk, step, seed) siphash stream, so results are
+    independent of partitioning AND re-runnable (same seed -> same
+    corpus, the resume property every sampling stage here keeps).
+
+    Large path = the Pregel skeleton: edges pinned once, walkers are
+    (walk_id, cur) messages, each position row is recorded IN the
+    partition where that node lives — total traffic O(walks x length),
+    no assembly shuffle (the row form is already complete)."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        hash64_columns,
+    )
+
+    sym = _sym_local_distinct(edges, a_col, b_col).materialize()
+    sch = sym.schema()
+    n_edges = sym.count() if sch is not None else 0
+    if sch is None or n_edges == 0:
+        ntype = _schema_col_type(edges.schema(), a_col)
+        return ray.data.from_arrow(pa.table({
+            "walk_id": pa.array([], ntype),
+            "step": pa.array([], pa.int64()),
+            "node": pa.array([], ntype)}))
+    node_type = sch.types[0]
+
+    if num_partitions is None and n_edges <= CC_SMALL_EDGES:
+        return (sym.repartition(1)
+                .map_batches(lambda t: _walks_single(t, walk_len, seed),
+                             batch_size=None, batch_format="pyarrow"))
+
+    n_parts = (int(num_partitions) if num_partitions
+               else max(8, n_edges // 500_000))
+    edge_dir, files_of, eager_cleanup = _pin_edges(
+        sym, n_parts, "cee_walk_edges_")
+    parts = sorted(files_of)
+
+    def part_of(values) -> "np.ndarray":
+        t = pa.table({"node": pa.array(list(values), type=node_type)})
+        h = hash64_columns(t, ["node"]).astype(np.uint64)
+        return (h % np.uint64(n_parts)).astype(np.int64)
+
+    @ray.remote(num_cpus=1)
+    def step_task(part_id: int, trace, step: int, *walkers):
+        """Record arriving walkers at this partition's nodes, hop them
+        to a hashed neighbor, and ship (walk_id, next) onward."""
+        node_s, dst_s = _edge_csr(edge_dir, part_id, files_of[part_id])
+        if step == 0:
+            nodes = np.unique(node_s)
+            w, cur = nodes, nodes
+        else:
+            w = np.concatenate([m[0] for m in walkers])
+            cur = np.concatenate([m[1] for m in walkers])
+        tw, ts, tn = trace if trace is not None else ([], [], [])
+        tw = list(tw) + [w]
+        ts = list(ts) + [np.full(len(w), step, np.int64)]
+        tn = list(tn) + [cur]
+        out = [(w[:0], cur[:0])] * n_parts
+        if step < walk_len and len(w):
+            idx = np.searchsorted(node_s, cur, side="left")
+            hi = np.searchsorted(node_s, cur, side="right")
+            deg = (hi - idx).astype(np.uint64)
+            h = _walk_choice(w, step + 1, seed)
+            nxt = dst_s[idx + (h % deg).astype(np.int64)]
+            dest = part_of(nxt)
+            out = [(w[dest == q], nxt[dest == q]) for q in range(n_parts)]
+        return ((tw, ts, tn), *out)
+
+    @ray.remote(num_cpus=1)
+    def finalize(trace):
+        tw, ts, tn = trace
+        return pa.table({
+            "walk_id": pa.array(np.concatenate(tw).tolist(),
+                                type=node_type),
+            "step": pa.array(np.concatenate(ts), pa.int64()),
+            "node": pa.array(np.concatenate(tn).tolist(), type=node_type)})
+
+    trace_ref = {p: None for p in parts}
+    walker_refs = {p: [] for p in parts}
+    for step in range(walk_len + 1):
+        rets = {}
+        for p in parts:
+            if step > 0 and not walker_refs[p]:
+                continue
+            rets[p] = step_task.options(num_returns=1 + n_parts).remote(
+                p, trace_ref[p], step, *walker_refs[p])
+            trace_ref[p] = rets[p][0]
+        walker_refs = {p: [] for p in parts}
+        for p, r in rets.items():
+            for q in parts:
+                walker_refs[q].append(r[1 + q])
+    out_refs = [finalize.remote(trace_ref[p]) for p in parts
+                if trace_ref[p] is not None]
+    ray.wait(out_refs, num_returns=len(out_refs))
+    _finish_pinned(edge_dir, eager_cleanup)
+    return ray.data.from_arrow_refs(out_refs)

@@ -598,6 +598,46 @@ def golden_kg_attendee_kcore() -> pa.Table:
     })
 
 
+
+def golden_kg_attendee_walks() -> pa.Table:
+    """Independent dict-adjacency replay of the walk stream: same
+    (walk, step, seed) siphash choice function (the SHARED contract),
+    neighbor lists sorted ascending to match the CSR order, everything
+    else plain-Python."""
+    import collections
+    import itertools
+
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        _walk_choice,
+    )
+
+    t = golden_kg_flagship().to_pandas()
+    att = t[t.pred == "hasAttendee"]
+    adj: dict = collections.defaultdict(set)
+    for _, grp in att.groupby("subj"):
+        for x, y in itertools.combinations(sorted(set(grp.obj)), 2):
+            adj[x].add(y)
+            adj[y].add(x)
+    neigh = {u: sorted(vs) for u, vs in adj.items()}
+    walk_ids = np.array(sorted(neigh), dtype=object)
+    cur = walk_ids.copy()
+    rows_w, rows_s, rows_n = list(walk_ids), [0] * len(walk_ids), list(cur)
+    for step in range(1, 6):
+        h = _walk_choice(walk_ids, step, 0)
+        cur = np.array([neigh[c][int(hv % np.uint64(len(neigh[c])))]
+                        for c, hv in zip(cur, h)], dtype=object)
+        rows_w += list(walk_ids)
+        rows_s += [step] * len(walk_ids)
+        rows_n += list(cur)
+    return pa.table({
+        "walk_id": pa.array(rows_w, pa.string()),
+        "step": pa.array(rows_s, pa.int64()),
+        "node": pa.array(rows_n, pa.string()),
+    })
+
+
 def golden_pagerank_dups() -> pa.Table:
     """Single-process mirror of q_pagerank: brute-force cosine>=0.3 pair
     graph (same float64 normalization + matmul as _embedding_pairs_ds),
@@ -1119,6 +1159,7 @@ GOLDENS = {
     "kmeans_labels": golden_kmeans_labels,
     "pagerank_dups": golden_pagerank_dups,
     "kg_attendee_kcore": golden_kg_attendee_kcore,
+    "kg_attendee_walks": golden_kg_attendee_walks,
     "media_resampled": golden_media_resampled,
 }
 

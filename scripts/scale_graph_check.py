@@ -75,7 +75,7 @@ def heap_depth(n: int, arity: int) -> np.ndarray:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", default="kcore",
-                    choices=["kcore", "bfs", "pagerank"])
+                    choices=["kcore", "bfs", "pagerank", "walks"])
     ap.add_argument("--ring", type=int, default=10_000_000)
     ap.add_argument("--cliques", type=int, default=100)
     ap.add_argument("--cascade", action="store_true")
@@ -170,6 +170,39 @@ def main() -> int:
                     "wrong_rank": bad, "expect_e9": expect,
                     "ok": bool(ok), "wall_sec": round(wall, 1),
                     "edge_rounds_per_sec": round(10 * 2 * n / wall, 1)})
+    elif args.op == "walks":
+        # ring invariants: one walk per node; ring_dist(node, start) <= t
+        # with matching parity (each hop moves exactly +-1 around the ring)
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            random_walks,
+        )
+
+        n, L = args.ring, 8
+        ring = ray.data.range(n, override_num_blocks=blocks).map_batches(
+            lambda b: ring_edges(b, n), batch_format="pyarrow")
+        t0 = time.time()
+        out = random_walks(ring, "a", "b", walk_len=L, seed=5,
+                           num_partitions=max(8, 2 * n // 500_000))
+
+        def chk(b: pa.Table) -> pa.Table:
+            w = b.column("walk_id").to_numpy()
+            st = b.column("step").to_numpy()
+            nd = b.column("node").to_numpy()
+            d = np.abs(nd - w)
+            ring_d = np.minimum(d, n - d)
+            bad = (ring_d > st) | (((ring_d ^ st) & 1) != 0)
+            return pa.table({"n": pa.array([len(w)], pa.int64()),
+                             "bad": pa.array([int(bad.sum())], pa.int64())})
+
+        agg = out.map_batches(chk, batch_format="pyarrow").to_pandas()
+        wall = time.time() - t0
+        rows, bad = int(agg.n.sum()), int(agg.bad.sum())
+        ok = rows == n * (L + 1) and bad == 0
+        rec.update({"metric": "walks_scale", "ring": n, "walk_len": L,
+                    "rows_out": rows, "expect_rows": n * (L + 1),
+                    "invariant_violations": bad, "ok": bool(ok),
+                    "wall_sec": round(wall, 1),
+                    "hops_per_sec": round(n * L / wall, 1)})
     else:
         n = args.nodes
         tree = ray.data.range(n, override_num_blocks=blocks).map_batches(

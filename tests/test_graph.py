@@ -1,6 +1,7 @@
 """stages/graph.py — distributed connected components vs union-find."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -236,3 +237,74 @@ class TestBfsDistances:
                                 num_partitions=np_).to_pandas()
             assert _pairs(out, "node", "dist") == {
                 "x": 0, "ghost": 0, "y": 1, "z": 2}
+
+
+class TestRandomWalks:
+    def _edges(self):
+        import ray
+
+        rng = np.random.RandomState(3)
+        raw = rng.randint(0, 120, size=(500, 2))
+        raw = raw[raw[:, 0] != raw[:, 1]]
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array(raw[:, 0], pa.int64()),
+            "b": pa.array(raw[:, 1], pa.int64()),
+        })).repartition(4)
+        return ds
+
+    def test_partitioning_invariant_and_deterministic(self):
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            random_walks,
+        )
+
+        ds = self._edges()
+        small = random_walks(ds, "a", "b", walk_len=6, seed=7).to_pandas()
+        large = random_walks(ds, "a", "b", walk_len=6, seed=7,
+                             num_partitions=3).to_pandas()
+        again = random_walks(ds, "a", "b", walk_len=6, seed=7,
+                             num_partitions=5).to_pandas()
+        key = ["walk_id", "step"]
+        for df in (small, large, again):
+            df.sort_values(key, inplace=True)
+            df.reset_index(drop=True, inplace=True)
+        pd.testing.assert_frame_equal(small, large)
+        pd.testing.assert_frame_equal(small, again)
+
+    def test_walk_structure(self):
+        import collections
+
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            random_walks,
+        )
+
+        ds = self._edges()
+        df = random_walks(ds, "a", "b", walk_len=4, seed=1).to_pandas()
+        # adjacency for validity checking
+        raw = ds.to_pandas()
+        adj = collections.defaultdict(set)
+        for a, b in zip(raw["a"], raw["b"]):
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+        # one walk per node, every walk has steps 0..4, consecutive
+        # nodes are real neighbors, step0 == walk_id
+        assert set(df["walk_id"]) == set(adj)
+        g = df.sort_values("step").groupby("walk_id")
+        for wid, grp in g:
+            assert list(grp["step"]) == [0, 1, 2, 3, 4]
+            path = list(grp["node"])
+            assert path[0] == wid
+            for u, v in zip(path, path[1:]):
+                assert v in adj[int(u)]
+
+    def test_seed_changes_paths(self):
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            random_walks,
+        )
+
+        ds = self._edges()
+        a = random_walks(ds, "a", "b", walk_len=6, seed=1).to_pandas()
+        b = random_walks(ds, "a", "b", walk_len=6, seed=2).to_pandas()
+        key = ["walk_id", "step"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert not a["node"].equals(b["node"])
