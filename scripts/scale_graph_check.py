@@ -75,7 +75,7 @@ def heap_depth(n: int, arity: int) -> np.ndarray:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", default="kcore",
-                    choices=["kcore", "bfs", "pagerank", "walks"])
+                    choices=["kcore", "bfs", "pagerank", "walks", "cc"])
     ap.add_argument("--ring", type=int, default=10_000_000)
     ap.add_argument("--cliques", type=int, default=100)
     ap.add_argument("--cascade", action="store_true")
@@ -170,6 +170,60 @@ def main() -> int:
                     "wrong_rank": bad, "expect_e9": expect,
                     "ok": bool(ok), "wall_sec": round(wall, 1),
                     "edge_rounds_per_sec": round(10 * 2 * n / wall, 1)})
+    elif args.op == "cc":
+        # a ring is ONE component with diameter n/2 — the adversarial
+        # case for plain min-label propagation (needs pointer jumping to
+        # finish in O(log n) rounds); every node must map to cluster 0
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            connected_components,
+        )
+
+        n = args.ring
+        if args.cascade:
+            # realistic dedup shape: n/5 disjoint 5-node path components
+            # (diameter 4 — converges in a few rounds); cluster(i) must
+            # equal 5*(i//5) for every node
+            def comp_edges(batch: pa.Table) -> pa.Table:
+                i = batch.column("id").to_numpy().astype(np.int64)
+                i = i[(i % 5) != 4]
+                return pa.table({"a": pa.array(i),
+                                 "b": pa.array(i + 1)})
+
+            edges_ds = ray.data.range(
+                n, override_num_blocks=blocks).map_batches(
+                comp_edges, batch_format="pyarrow")
+            n_e = n - n // 5
+
+            def bad_of(b: pa.Table) -> int:
+                nd = b.column("node").to_numpy()
+                cl = b.column("cluster").to_numpy()
+                return int((cl != 5 * (nd // 5)).sum())
+        else:
+            edges_ds = ray.data.range(
+                n, override_num_blocks=blocks).map_batches(
+                lambda b: ring_edges(b, n), batch_format="pyarrow")
+            n_e = n
+
+            def bad_of(b: pa.Table) -> int:
+                return int((b.column("cluster").to_numpy() != 0).sum())
+
+        t0 = time.time()
+        out = connected_components(edges_ds, "a", "b",
+                                   num_partitions=max(8, 2 * n // 500_000))
+        agg = out.map_batches(
+            lambda b: pa.table({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "bad": pa.array([bad_of(b)], pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        wall = time.time() - t0
+        got, bad = int(agg.n.sum()), int(agg.bad.sum())
+        ok = got == n and bad == 0
+        rec.update({"metric": ("cc_components_scale" if args.cascade
+                               else "cc_ring_scale"),
+                    "nodes": n, "n_edges": n_e,
+                    "nodes_out": got, "wrong_cluster": bad,
+                    "ok": bool(ok), "wall_sec": round(wall, 1),
+                    "edges_per_sec": round(n_e / wall, 1)})
     elif args.op == "walks":
         # ring invariants: one walk per node; ring_dist(node, start) <= t
         # with matching parity (each hop moves exactly +-1 around the ring)
