@@ -5137,6 +5137,20 @@ def q_kg_attendee_walks(sf_dir: str) -> Any:
     return random_walks(edges, "a1", "a2", walk_len=5, seed=0)
 
 
+def q_kg_attendee_communities(sf_dir: str) -> Any:
+    """Community detection over the co-attendance graph: synchronous
+    label propagation, 4 fixed rounds, most-frequent-neighbor-label with
+    ties to the minimum — deterministic and partitioning-invariant
+    (classic async LPA is neither), so the oracle is an independent
+    dict/Counter replay of the same rule."""
+    from calendar_event_entity_extraction_ray.stages.graph import (
+        label_propagation,
+    )
+
+    edges = _attendee_pair_edges(sf_dir)
+    return label_propagation(edges, "a1", "a2", iters=4)
+
+
 def q_user_active_coverage(sf_dir: str) -> Any:
     """Per-user active time: total milliseconds covered by the UNION of
     5-minute windows opened at each event (overlaps collapse — the
@@ -5339,6 +5353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": q_bm25_topk_docs,
         "user_active_coverage": q_user_active_coverage,
         "kg_attendee_walks": q_kg_attendee_walks,
+        "kg_attendee_communities": q_kg_attendee_communities,
     }
 
 
@@ -6871,6 +6886,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_attendee_walks":
             f"SELECT walk_id, step, node "
             f"FROM {_golden('kg_attendee_walks')}",
+        "kg_attendee_communities":
+            f"SELECT node, community "
+            f"FROM {_golden('kg_attendee_communities')}",
         "kg_bfs_hops": f"""
             WITH RECURSIVE e AS (
                 SELECT DISTINCT a.obj AS a1, b.obj AS a2

@@ -126,7 +126,8 @@ def run_bench() -> dict:
         "entity_resolution_freq", "orders_price_range",
         # continuation-2: graph analytics + retrieval + robust stats
         "kg_attendee_kcore", "kg_bfs_hops", "bm25_topk_docs",
-        "user_active_coverage", "value_mad_outliers"]
+        "user_active_coverage", "value_mad_outliers",
+        "kg_attendee_walks", "kg_attendee_communities"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

@@ -1131,3 +1131,165 @@ def _cc_pregel(sym, node_type, n_parts: int, max_iters: int):
     ray.wait(out_refs, num_returns=len(out_refs))
     _finish_pinned(edge_dir, eager_cleanup)
     return ray.data.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous, deterministic)
+# ---------------------------------------------------------------------------
+
+def _lpa_pick(node_arr, label_arr, count_arr):
+    """per-node winner: highest neighbor-label count, ties -> MIN label.
+    Inputs are (node, label, count) triples (already summed per pair);
+    returns (nodes, winning labels), nodes ascending."""
+    import numpy as np
+
+    neg = count_arr.max() + 1 - count_arr  # ascending sort key for count
+    order = np.lexsort((label_arr, neg, node_arr))
+    n_s, l_s = node_arr[order], label_arr[order]
+    first = np.empty(len(n_s), dtype=bool)
+    first[0] = True
+    first[1:] = n_s[1:] != n_s[:-1]
+    return n_s[first], l_s[first]
+
+
+def _lpa_single(t: pa.Table, iters: int) -> pa.Table:
+    """Single-task mirror: synchronous LPA over one deduped symmetrized
+    edge table, ``iters`` rounds, label(v) <- most frequent neighbor
+    label with ties to the minimum. Deterministic by construction."""
+    import numpy as np
+
+    node_type = t.schema.field("node").type
+    df = t.select(["node", "dst"]).to_pandas().drop_duplicates()
+    df = df.sort_values(["node", "dst"], kind="mergesort")
+    node_s = df["node"].to_numpy()
+    dst_s = df["dst"].to_numpy()
+    nodes = np.unique(node_s)
+    src_idx = np.searchsorted(nodes, node_s)
+    dst_idx = np.searchsorted(nodes, dst_s)
+    label = nodes.copy()
+    for _ in range(iters):
+        # neighbor labels arriving at each node: (dst, label(src))
+        lab = label[src_idx]
+        key = pd.DataFrame({"n": dst_idx, "l": lab})
+        cnt = key.groupby(["n", "l"], sort=False).size().reset_index(
+            name="c")
+        win_n, win_l = _lpa_pick(cnt["n"].to_numpy(),
+                                 cnt["l"].to_numpy(),
+                                 cnt["c"].to_numpy())
+        new_label = label.copy()
+        new_label[win_n] = win_l
+        label = new_label
+    return pa.table({
+        "node": pa.array(nodes.tolist(), type=node_type),
+        "community": pa.array(label.tolist(), type=node_type)})
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    iters: int = 5,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Community detection by synchronous label propagation: ``iters``
+    fixed rounds of label(v) <- the most frequent label among v's
+    DISTINCT neighbors, ties broken to the minimum label — fully
+    deterministic and partitioning-invariant (classic async LPA is
+    neither), so the result is oracle-replayable like every operator
+    here. Output (node, community).
+
+    Large path = the Pregel skeleton: pinned deduped CSR partitions;
+    each round a partition ships (dst, label, count) triples pre-summed
+    per (dst, label) inside the sender, and the receive side folds an
+    argmax-with-min-tie per node."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        hash64_columns,
+    )
+
+    sym = _sym_local_distinct(edges, a_col, b_col).materialize()
+    sch = sym.schema()
+    n_edges = sym.count() if sch is not None else 0
+    if sch is None or n_edges == 0:
+        ntype = _schema_col_type(edges.schema(), a_col)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], ntype), "community": pa.array([], ntype)}))
+    node_type = sch.types[0]
+
+    if num_partitions is None and n_edges <= CC_SMALL_EDGES:
+        def dedup_lpa(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().drop_duplicates()
+            return _lpa_single(
+                pa.Table.from_pandas(df, preserve_index=False), iters)
+
+        return (sym.repartition(1)
+                .map_batches(dedup_lpa, batch_size=None,
+                             batch_format="pyarrow"))
+
+    n_parts = (int(num_partitions) if num_partitions
+               else max(8, n_edges // 500_000))
+    edge_dir, files_of, eager_cleanup = _pin_edges(
+        sym, n_parts, "cee_lpa_edges_")
+    parts = sorted(files_of)
+
+    def part_of(values) -> "np.ndarray":
+        t = pa.table({"node": pa.array(list(values), type=node_type)})
+        h = hash64_columns(t, ["node"]).astype(np.uint64)
+        return (h % np.uint64(n_parts)).astype(np.int64)
+
+    @ray.remote(num_cpus=1)
+    def init(part_id: int):
+        node_s, _ = _edge_csr(edge_dir, part_id, files_of[part_id])
+        nodes = np.unique(node_s)
+        return (nodes, nodes.copy())
+
+    @ray.remote(num_cpus=1)
+    def scatter(part_id: int, state):
+        nodes, label = state
+        node_s, dst_s = _edge_csr(edge_dir, part_id, files_of[part_id])
+        lab = label[np.searchsorted(nodes, node_s)]
+        cnt = (pd.DataFrame({"d": dst_s, "l": lab})
+               .groupby(["d", "l"], sort=False).size().reset_index(
+                   name="c"))
+        d = cnt["d"].to_numpy()
+        l_ = cnt["l"].to_numpy()
+        c = cnt["c"].to_numpy().astype(np.int64)
+        dest = part_of(d)
+        return [(d[dest == q], l_[dest == q], c[dest == q])
+                for q in range(n_parts)]
+
+    @ray.remote(num_cpus=1)
+    def gather(state, *msgs):
+        nodes, label = state
+        ds_ = np.concatenate([m[0] for m in msgs])
+        ls = np.concatenate([m[1] for m in msgs])
+        cs = np.concatenate([m[2] for m in msgs])
+        if len(ds_) == 0:
+            return (nodes, label)
+        cnt = (pd.DataFrame({"n": ds_, "l": ls, "c": cs})
+               .groupby(["n", "l"], sort=False)["c"].sum().reset_index())
+        win_n, win_l = _lpa_pick(cnt["n"].to_numpy(),
+                                 cnt["l"].to_numpy(),
+                                 cnt["c"].to_numpy())
+        new_label = label.copy()
+        new_label[np.searchsorted(nodes, win_n)] = win_l
+        return (nodes, new_label)
+
+    @ray.remote(num_cpus=1)
+    def finalize(state):
+        nodes, label = state
+        return pa.table({
+            "node": pa.array(nodes.tolist(), type=node_type),
+            "community": pa.array(label.tolist(), type=node_type)})
+
+    state_ref = {p: init.remote(p) for p in parts}
+    for _ in range(iters):
+        scat = {p: scatter.options(num_returns=n_parts).remote(
+            p, state_ref[p]) for p in parts}
+        state_ref = {p: gather.remote(
+            state_ref[p], *[scat[q][p] for q in parts]) for p in parts}
+    out_refs = [finalize.remote(state_ref[p]) for p in parts]
+    ray.wait(out_refs, num_returns=len(out_refs))
+    _finish_pinned(edge_dir, eager_cleanup)
+    return ray.data.from_arrow_refs(out_refs)

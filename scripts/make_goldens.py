@@ -638,6 +638,36 @@ def golden_kg_attendee_walks() -> pa.Table:
     })
 
 
+
+def golden_kg_attendee_communities() -> pa.Table:
+    """Independent dict/Counter replay of deterministic synchronous LPA
+    (4 rounds, most-frequent neighbor label, ties -> min) over the
+    co-attendance graph of the golden triples."""
+    import collections
+    import itertools
+
+    t = golden_kg_flagship().to_pandas()
+    att = t[t.pred == "hasAttendee"]
+    adj: dict = collections.defaultdict(set)
+    for _, grp in att.groupby("subj"):
+        for x, y in itertools.combinations(sorted(set(grp.obj)), 2):
+            adj[x].add(y)
+            adj[y].add(x)
+    label = {u: u for u in adj}
+    for _ in range(4):
+        new = {}
+        for u in adj:
+            cnt = collections.Counter(label[v] for v in adj[u])
+            top = max(cnt.values())
+            new[u] = min(lv for lv, c in cnt.items() if c == top)
+        label = new
+    nodes = sorted(label)
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "community": pa.array([label[u] for u in nodes], pa.string()),
+    })
+
+
 def golden_pagerank_dups() -> pa.Table:
     """Single-process mirror of q_pagerank: brute-force cosine>=0.3 pair
     graph (same float64 normalization + matmul as _embedding_pairs_ds),
@@ -1160,6 +1190,7 @@ GOLDENS = {
     "pagerank_dups": golden_pagerank_dups,
     "kg_attendee_kcore": golden_kg_attendee_kcore,
     "kg_attendee_walks": golden_kg_attendee_walks,
+    "kg_attendee_communities": golden_kg_attendee_communities,
     "media_resampled": golden_media_resampled,
 }
 

@@ -308,3 +308,68 @@ class TestRandomWalks:
         a = a.sort_values(key).reset_index(drop=True)
         b = b.sort_values(key).reset_index(drop=True)
         assert not a["node"].equals(b["node"])
+
+
+class TestLabelPropagation:
+    def test_partitioning_invariant_and_communities(self):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            label_propagation,
+        )
+
+        # two planted 12-cliques joined by one bridge edge + noise chain
+        import itertools
+        e = list(itertools.combinations(range(12), 2))
+        e += [(a + 100, b + 100) for a, b in e]
+        e += [(0, 100)]                       # bridge
+        e += [(200 + i, 201 + i) for i in range(5)]
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array([x for x, _ in e], pa.int64()),
+            "b": pa.array([y for _, y in e], pa.int64()),
+        })).repartition(3)
+        small = label_propagation(ds, "a", "b", iters=5).to_pandas()
+        large = label_propagation(ds, "a", "b", iters=5,
+                                  num_partitions=3).to_pandas()
+        k = small.sort_values("node").reset_index(drop=True)
+        g = large.sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(k, g)
+        lab = dict(zip(k["node"], k["community"]))
+        # each planted clique is one community
+        assert len({lab[i] for i in range(1, 12)}) == 1
+        assert len({lab[i + 100] for i in range(1, 12)}) == 1
+        assert lab[1] != lab[101]
+
+    def test_matches_independent_replay(self):
+        import collections
+
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            label_propagation,
+        )
+
+        rng = np.random.RandomState(9)
+        raw = rng.randint(0, 60, size=(150, 2))
+        raw = raw[raw[:, 0] != raw[:, 1]]
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array(raw[:, 0], pa.int64()),
+            "b": pa.array(raw[:, 1], pa.int64()),
+        }))
+        adj = collections.defaultdict(set)
+        for x, y in raw.tolist():
+            adj[x].add(y)
+            adj[y].add(x)
+        label = {u: u for u in adj}
+        for _ in range(4):
+            new = {}
+            for u in adj:
+                cnt = collections.Counter(label[v] for v in adj[u])
+                top = max(cnt.values())
+                new[u] = min(l for l, c in cnt.items() if c == top)
+            label = new
+        got = label_propagation(ds, "a", "b", iters=4).to_pandas()
+        got2 = label_propagation(ds, "a", "b", iters=4,
+                                 num_partitions=2).to_pandas()
+        for df in (got, got2):
+            assert dict(zip(df["node"], df["community"])) == label
