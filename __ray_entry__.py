@@ -5151,6 +5151,29 @@ def q_kg_attendee_communities(sf_dir: str) -> Any:
     return label_propagation(edges, "a1", "a2", iters=4)
 
 
+def q_user_event_patterns(sf_dir: str) -> Any:
+    """CEP-shaped sequence matching: per user, the number of
+    non-overlapping error -> (clicks|views)* -> purchase episodes in the
+    time-ordered event stream (the "recovered conversion" pattern). One
+    exchange + a grouped ''.join + one compiled findall per user; the
+    oracle rebuilds each sequence with string_agg(ORDER BY) and counts
+    with regexp_extract_all — Python re and DuckDB RE2 agree on
+    leftmost-first greedy matching for backreference-free patterns
+    (verified on random strings)."""
+    from calendar_event_entity_extraction_ray.stages.windows import (
+        pattern_match_counts,
+    )
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "event_id"])
+    out = pattern_match_counts(
+        ds, "user_id", "ts", "event_type", "e[cv]*p",
+        alphabet={"click": "c", "error": "e", "purchase": "p",
+                  "signup": "s", "view": "v"},
+        tiebreak_col="event_id")
+    return _int64(out.to_pandas(), ["user_id", "n_matches"])
+
+
 def q_user_active_coverage(sf_dir: str) -> Any:
     """Per-user active time: total milliseconds covered by the UNION of
     5-minute windows opened at each event (overlaps collapse — the
@@ -5354,6 +5377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_coverage": q_user_active_coverage,
         "kg_attendee_walks": q_kg_attendee_walks,
         "kg_attendee_communities": q_kg_attendee_communities,
+        "user_event_patterns": q_user_event_patterns,
     }
 
 
@@ -6966,6 +6990,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, score_e6, CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= 20
+        """,
+        "user_event_patterns": """
+            WITH seq AS (
+                SELECT user_id,
+                       string_agg(CASE event_type
+                                    WHEN 'click' THEN 'c'
+                                    WHEN 'error' THEN 'e'
+                                    WHEN 'purchase' THEN 'p'
+                                    WHEN 'signup' THEN 's'
+                                    WHEN 'view' THEN 'v' END, ''
+                                  ORDER BY ts, event_id) AS s
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id)
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(s, 'e[cv]*p')) AS BIGINT)
+                       AS n_matches
+            FROM seq
         """,
         "user_active_coverage": """
             WITH iv AS (

@@ -127,7 +127,8 @@ def run_bench() -> dict:
         # continuation-2: graph analytics + retrieval + robust stats
         "kg_attendee_kcore", "kg_bfs_hops", "bm25_topk_docs",
         "user_active_coverage", "value_mad_outliers",
-        "kg_attendee_walks", "kg_attendee_communities"]
+        "kg_attendee_walks", "kg_attendee_communities",
+        "user_event_patterns"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

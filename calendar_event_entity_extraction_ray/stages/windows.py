@@ -381,3 +381,70 @@ def interval_coverage(
 
     return hash_partition_map(
         ds.map_batches(prep, batch_format="pyarrow"), "_kh", fold)
+
+
+def pattern_match_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: str,
+    alphabet: dict,
+    tiebreak_col: str = None,
+    out_col: str = "n_matches",
+) -> "ray.data.Dataset":
+    """CEP / MATCH_RECOGNIZE-shaped sequence matching: per key, order the
+    events by (ts [, tiebreak]), map each event type to one character
+    via ``alphabet``, and count NON-OVERLAPPING regex matches of
+    ``pattern`` over the resulting string (leftmost-first greedy — the
+    semantics Python re and DuckDB RE2 agree on for backreference-free
+    patterns, verified empirically). Events whose type is not in the
+    alphabet are dropped before sequencing (they can't appear in the
+    pattern). Output (key, n_matches), keys with zero matches included.
+
+    One exchange on the key hash; per partition a single sorted pass
+    builds every key's sequence string (grouped ''.join) and one
+    compiled findall per key counts matches — per-key state never
+    crosses partitions, the usual co-location contract."""
+    import re
+
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    cols = [key_col, ts_col, type_col] + (
+        [tiebreak_col] if tiebreak_col else [])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.select(cols)
+        b = b.filter(pc.and_(pc.is_valid(b.column(key_col)),
+                             pc.is_valid(b.column(ts_col))))
+        b = b.filter(pc.is_in(b.column(type_col),
+                              pa.array(list(alphabet), pa.string())))
+        return add_hash_column(b, [key_col], out_col="_kh")
+
+    rx = re.compile(pattern)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        sort_cols = [key_col, ts_col] + (
+            [tiebreak_col] if tiebreak_col else [])
+        df = df.sort_values(sort_cols, kind="mergesort")
+        df["_c"] = df[type_col].map(alphabet)
+        seqs = df.groupby(key_col, sort=False)["_c"].agg("".join)
+        counts = np.fromiter(
+            (len(rx.findall(s)) for s in seqs.to_numpy()),
+            dtype=np.int64, count=len(seqs))
+        out = pd.DataFrame({key_col: seqs.index.to_numpy(),
+                            out_col: counts})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return hash_partition_map(
+        ds.map_batches(prep, batch_format="pyarrow"), "_kh", fold)
