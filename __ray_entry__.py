@@ -5174,6 +5174,32 @@ def q_user_event_patterns(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id", "n_matches"])
 
 
+def q_knn_stored(sf_dir: str) -> Any:
+    """Persisted-IVF ANN: build the cell-partitioned vector store once
+    (stages/vecstore.py — workers write one file per cell, driver
+    records centroids + files), then answer 3 queries reading ONLY the
+    probed cells' files (the zone-map idea for embeddings). Partial
+    top-k cuts on the final (score_e6 desc, id asc) total order, so the
+    result equals one global sort — mirrored single-process in the
+    golden."""
+    import tempfile as _tf
+
+    from calendar_event_entity_extraction_ray.stages.vecstore import (
+        build_ivf_store,
+        query_ivf_store,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = ds.take(3)
+    queries = np.asarray([r["embedding"] for r in qrows],
+                         dtype=np.float64)
+    store = _tf.mkdtemp(prefix="cee_vstore_")
+    build_ivf_store(ds, store, n_cells=16, sample_size=4096)
+    out = query_ivf_store(store, queries, k=10, n_probe=4)
+    return _int64(out.to_pandas(),
+                  ["query_id", "rank", "vec_id", "score_e6"])
+
+
 def q_user_active_coverage(sf_dir: str) -> Any:
     """Per-user active time: total milliseconds covered by the UNION of
     5-minute windows opened at each event (overlaps collapse — the
@@ -5378,6 +5404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_attendee_walks": q_kg_attendee_walks,
         "kg_attendee_communities": q_kg_attendee_communities,
         "user_event_patterns": q_user_event_patterns,
+        "knn_stored": q_knn_stored,
     }
 
 
@@ -6913,6 +6940,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_attendee_communities":
             f"SELECT node, community "
             f"FROM {_golden('kg_attendee_communities')}",
+        "knn_stored":
+            f"SELECT query_id, rank, vec_id, score_e6 "
+            f"FROM {_golden('knn_stored')}",
         "kg_bfs_hops": f"""
             WITH RECURSIVE e AS (
                 SELECT DISTINCT a.obj AS a1, b.obj AS a2

@@ -1,0 +1,237 @@
+"""Persisted IVF vector index: build once, query many times reading only
+the probed cells' files — the zone-map idea applied to embeddings (a
+brute-force query scans 100% of a 100 TB embedding table; an IVF store
+with n_probe/n_cells = 4/64 reads ~6%).
+
+Layout (same worker-write / driver-record discipline as every store
+here — workers write data files, ONLY the driver writes the manifest):
+
+    out_dir/cell=K/data.parquet   (id, embedding) sorted by id
+    out_dir/_MANIFEST.json        centroids, per-cell rows + file names
+
+Build: one driver-side codebook training pass on a bounded sample
+(stages/knn.py:train_ivf_codebook — seeded Lloyd, deterministic), one
+distributed assignment pass, one exchange keyed BY CELL (partition id ==
+cell id, so each fold task owns exactly one cell and writes its file).
+
+Query: rank centroids per query vector, read ONLY the union of probed
+cells (`read_parquet` on the listed files), score each candidate batch
+against the queries that probed its cell, fold per-batch partial top-k.
+Exact within the probed cells; recall is the IVF trade-off, measured in
+tests against brute force on separated clusters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+MANIFEST = "_MANIFEST.json"
+
+
+def build_ivf_store(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    n_cells: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    seed: int = 13,
+) -> dict:
+    """Build the store; returns the manifest dict. Re-running overwrites
+    (the build is deterministic for a given input + seed)."""
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+    from calendar_event_entity_extraction_ray.stages.knn import (
+        _IvfAssign,
+        train_ivf_codebook,
+    )
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cents = train_ivf_codebook(sample, n_cells=n_cells, seed=seed)
+    n_cells = len(cents)          # may clamp on tiny inputs
+    cents_ref = ray.put(cents)
+
+    assigned = ds.map_batches(
+        run_stage,
+        fn_kwargs={"_cls": _IvfAssign, "centroids": cents_ref,
+                   "vec_col": vec_col},
+        batch_format="pyarrow",
+    )
+
+    def write_cell(t: pa.Table) -> pa.Table:
+        # partition id == cell id (hash col IS the cell, 0 <= cell < n):
+        # one fold task per cell writes that cell's single file. Unique
+        # temp names + atomic rename: a retried attempt leaves an orphan
+        # the manifest never lists.
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
+        cell = int(t.column("ivf_cell")[0].as_py())
+        body = t.select([id_col, vec_col]).sort_by(id_col)
+        cdir = os.path.join(out_dir, f"cell={cell}")
+        os.makedirs(cdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(body, tmp)
+        final = tmp[:-4] + ".parquet"
+        os.replace(tmp, final)
+        rel = os.path.join(f"cell={cell}", os.path.basename(final))
+        return pa.table({"cell": pa.array([cell], pa.int64()),
+                         "rows": pa.array([t.num_rows], pa.int64()),
+                         "file": pa.array([rel], pa.string())})
+
+    summary = hash_partition_map(
+        assigned, "ivf_cell", write_cell,
+        num_partitions=n_cells).to_pandas()
+    manifest = {
+        "kind": "ivf_vector_store",
+        "n_cells": int(n_cells),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "seed": int(seed),
+        "centroids": [[float(x) for x in c] for c in cents],
+        "cells": {str(int(r.cell)): {"rows": int(r.rows), "file": r.file}
+                  for r in summary.itertuples()},
+    }
+    tmpm = os.path.join(out_dir, MANIFEST + ".tmp")
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmpm, os.path.join(out_dir, MANIFEST))
+    return manifest
+
+
+def probed_cells(manifest: dict, queries: np.ndarray,
+                 n_probe: int) -> List[np.ndarray]:
+    """Per-query probed cell ids (centroid dot-product ranking)."""
+    cents = np.asarray(manifest["centroids"], dtype=np.float64)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    order = np.argsort(-(qn @ cents.T), axis=1)
+    return [row[:n_probe].astype(np.int64) for row in order]
+
+
+def query_ivf_store(
+    out_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pa.Table:
+    """Top-k per query reading ONLY probed cells. Output
+    (query_id, rank, id, score_e6) — scores floor-scaled like the knn
+    family. Returns include the files-read count in Python attribute
+    form via ``query_ivf_store.last_files_read`` for prune assertions."""
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    probes = probed_cells(manifest, q, n_probe)
+    cell_to_queries: dict = {}
+    for qi, cells in enumerate(probes):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    files = []
+    file_cells = []
+    for c in sorted(cell_to_queries):
+        e = manifest["cells"].get(str(c))
+        if e:
+            files.append(os.path.join(out_dir, e["file"]))
+            file_cells.append(c)
+    query_ivf_store.last_files_read = len(files)
+    query_ivf_store.total_cells = len(manifest["cells"])
+    if not files:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "score_e6": pa.array([], pa.int64())})
+
+    qn_ref = ray.put(qn)
+    c2q_ref = ray.put({c: np.asarray(v, dtype=np.int64)
+                       for c, v in cell_to_queries.items()})
+
+    # cell id travels via the file path — recover it per batch
+    ds = ray.data.read_parquet(files, include_paths=True)
+
+    def partial(b: pa.Table, _k=k) -> pa.Table:
+        import re as _re
+
+        import pyarrow.compute as pc
+
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "score_e6": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        _qn = ray.get(qn_ref)
+        _c2q = ray.get(c2q_ref)
+        outs = [empty]
+        # a batch may span multiple coalesced files — split per path
+        for path in pc.unique(b.column("path")).to_pylist():
+            sub = b.filter(pc.equal(b.column("path"), path))
+            cell = int(_re.search(r"cell=(\d+)", path).group(1))
+            qids = _c2q.get(cell)
+            if qids is None or sub.num_rows == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v) for v in sub.column(vec_col).to_pylist()],
+                dtype=np.float64)
+            mat = mat / np.clip(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+            ids = sub.column(id_col).to_numpy()
+            scores = mat @ _qn[qids].T      # rows x queries
+            top = min(_k, len(ids))
+            out_q, out_i, out_s = [], [], []
+            for j, qi in enumerate(qids):
+                # cut on the FINAL total order (score_e6 desc, id asc) so
+                # the two-stage selection equals one global sort — ties
+                # at the cut are mirror-reproducible
+                s_e6 = np.floor(scores[:, j] * 1e6 + 0.5).astype(np.int64)
+                sel = np.lexsort((ids, -s_e6))[:top]
+                out_q.append(np.full(top, qi, np.int64))
+                out_i.append(ids[sel])
+                out_s.append(s_e6[sel])
+            outs.append(pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "rank": pa.array(np.zeros(top * len(qids), np.int64)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "score_e6": pa.array(np.concatenate(out_s))}))
+        return pa.concat_tables(outs)
+
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_size=None,
+                           batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "score_e6": pa.array([], pa.int64())})
+    out = []
+    for qi, grp in parts.groupby("query_id", sort=True):
+        g = grp.sort_values(["score_e6", id_col],
+                            ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return pa.Table.from_pandas(
+        res[["query_id", "rank", id_col, "score_e6"]],
+        preserve_index=False)

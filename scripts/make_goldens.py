@@ -668,6 +668,49 @@ def golden_kg_attendee_communities() -> pa.Table:
     })
 
 
+
+def golden_knn_stored() -> pa.Table:
+    """Single-process mirror of the persisted-IVF query: same codebook
+    training (deterministic seeded Lloyd on the first 4096 rows), same
+    assignment, same probes, one full sort per query on the
+    (score_e6 DESC, vec_id ASC) total order the distributed partial
+    top-k cuts on."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.knn import (
+        train_ivf_codebook,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.asarray([np.asarray(v) for v in
+                       t.column("embedding").to_pylist()],
+                      dtype=np.float64)
+    cents = train_ivf_codebook(vecs[:4096], n_cells=16, seed=13)
+    norm = vecs / np.clip(np.linalg.norm(vecs, axis=1, keepdims=True),
+                          1e-12, None)
+    assign = np.argmax(norm @ cents.T, axis=1)
+    queries = vecs[:3]
+    qn = queries / np.clip(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-12, None)
+    rows = []
+    for qi in range(3):
+        probes = np.argsort(-(qn[qi] @ cents.T))[:4]
+        cand = np.isin(assign, probes)
+        s_e6 = np.floor(norm[cand] @ qn[qi] * 1e6 + 0.5).astype(np.int64)
+        cid = ids[cand]
+        order = np.lexsort((cid, -s_e6))[:10]
+        for r, j in enumerate(order, 1):
+            rows.append((qi, r, int(cid[j]), int(s_e6[j])))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score_e6": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def golden_pagerank_dups() -> pa.Table:
     """Single-process mirror of q_pagerank: brute-force cosine>=0.3 pair
     graph (same float64 normalization + matmul as _embedding_pairs_ds),
@@ -1191,6 +1234,7 @@ GOLDENS = {
     "kg_attendee_kcore": golden_kg_attendee_kcore,
     "kg_attendee_walks": golden_kg_attendee_walks,
     "kg_attendee_communities": golden_kg_attendee_communities,
+    "knn_stored": golden_knn_stored,
     "media_resampled": golden_media_resampled,
 }
 
