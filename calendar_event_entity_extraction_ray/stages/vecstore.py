@@ -148,12 +148,14 @@ def query_ivf_store(
         for c in cells:
             cell_to_queries.setdefault(int(c), []).append(qi)
     files = []
-    file_cells = []
     for c in sorted(cell_to_queries):
         e = manifest["cells"].get(str(c))
-        if e:
+        if not e:
+            continue
+        if e.get("file"):
             files.append(os.path.join(out_dir, e["file"]))
-            file_cells.append(c)
+        for d in e.get("deltas", []):   # LSM side files (append_ivf_store)
+            files.append(os.path.join(out_dir, d["file"]))
     query_ivf_store.last_files_read = len(files)
     query_ivf_store.total_cells = len(manifest["cells"])
     if not files:
@@ -235,3 +237,126 @@ def query_ivf_store(
     return pa.Table.from_pandas(
         res[["query_id", "rank", id_col, "score_e6"]],
         preserve_index=False)
+
+
+def append_ivf_store(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    epoch: str,
+) -> dict:
+    """LSM append: assign new vectors with the STORED codebook (the index
+    geometry never changes — the delta-ingest analog of the graph
+    store's mode="delta") and write ``cell=K/delta-{epoch}.parquet``
+    side files; base files are never opened. Re-running an epoch already
+    in the manifest is a no-op. ``compact_ivf_store`` folds deltas back.
+    Readers (query_ivf_store) scan base + deltas of each probed cell."""
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+    from calendar_event_entity_extraction_ray.stages.knn import _IvfAssign
+    from calendar_event_entity_extraction_ray.stages.taskform import (
+        run_stage,
+    )
+
+    mpath = os.path.join(out_dir, MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if epoch in manifest.get("epochs", []):
+        return manifest
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    cents = np.asarray(manifest["centroids"], dtype=np.float64)
+    cents_ref = ray.put(cents)
+    n_cells = int(manifest["n_cells"])
+
+    assigned = ds.map_batches(
+        run_stage,
+        fn_kwargs={"_cls": _IvfAssign, "centroids": cents_ref,
+                   "vec_col": vec_col},
+        batch_format="pyarrow",
+    )
+
+    def write_delta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
+        cell = int(t.column("ivf_cell")[0].as_py())
+        body = t.select([id_col, vec_col]).sort_by(id_col)
+        cdir = os.path.join(out_dir, f"cell={cell}")
+        os.makedirs(cdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(body, tmp)
+        final = os.path.join(cdir, f"delta-{epoch}.parquet")
+        os.replace(tmp, final)
+        rel = os.path.join(f"cell={cell}", os.path.basename(final))
+        return pa.table({"cell": pa.array([cell], pa.int64()),
+                         "rows": pa.array([t.num_rows], pa.int64()),
+                         "file": pa.array([rel], pa.string())})
+
+    summary = hash_partition_map(
+        assigned, "ivf_cell", write_delta,
+        num_partitions=n_cells).to_pandas()
+    for r in summary.itertuples():
+        entry = manifest["cells"].setdefault(
+            str(int(r.cell)), {"rows": 0, "file": None})
+        entry.setdefault("deltas", []).append(
+            {"epoch": epoch, "rows": int(r.rows), "file": r.file})
+    manifest.setdefault("epochs", []).append(epoch)
+    tmpm = mpath + ".tmp"
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmpm, mpath)
+    return manifest
+
+
+def compact_ivf_store(out_dir: str) -> dict:
+    """Fold every cell's delta side files into its base file (one ray
+    task per touched cell — concat, sort by id, atomic replace), then
+    record the folded epochs in the manifest. Idempotent; crash before
+    the manifest write just re-folds."""
+    mpath = os.path.join(out_dir, MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    id_col = manifest["id_col"]
+
+    @ray.remote(num_cpus=1)
+    def fold(cell: int, base_rel, delta_rels):
+        paths = ([os.path.join(out_dir, base_rel)] if base_rel else [])
+        paths += [os.path.join(out_dir, d) for d in delta_rels]
+        t = pa.concat_tables([pq.read_table(p) for p in paths
+                              if os.path.exists(p)])
+        t = t.sort_by(id_col)
+        cdir = os.path.join(out_dir, f"cell={cell}")
+        os.makedirs(cdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(t, tmp)
+        final = os.path.join(cdir, "data.parquet")
+        os.replace(tmp, final)
+        for d in delta_rels:
+            try:
+                os.remove(os.path.join(out_dir, d))
+            except OSError:
+                pass
+        return cell, t.num_rows, os.path.join(f"cell={cell}",
+                                              "data.parquet")
+
+    refs = []
+    for c, e in manifest["cells"].items():
+        deltas = e.get("deltas", [])
+        if deltas:
+            refs.append(fold.remote(int(c), e.get("file"),
+                                    [d["file"] for d in deltas]))
+    for cell, rows, rel in ray.get(refs):
+        e = manifest["cells"][str(cell)]
+        folded = [d["epoch"] for d in e.pop("deltas", [])]
+        e["rows"] = int(rows)
+        e["file"] = rel
+        e["compacted_epochs"] = sorted(
+            set(e.get("compacted_epochs", []) + folded))
+    tmpm = mpath + ".tmp"
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmpm, mpath)
+    return manifest

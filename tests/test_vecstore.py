@@ -76,3 +76,64 @@ class TestIvfStore:
         r1 = query_ivf_store(out, vecs[:2], k=5, n_probe=2).to_pandas()
         r2 = query_ivf_store(out2, vecs[:2], k=5, n_probe=2).to_pandas()
         assert r1.equals(r2)
+
+
+class TestIvfStoreAppend:
+    def test_append_query_compact_cycle(self, store, tmp_path):
+        import json
+        import os
+
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            append_ivf_store,
+            build_ivf_store,
+            compact_ivf_store,
+            query_ivf_store,
+        )
+
+        _, _, vecs, ds = store
+        out = str(tmp_path / "ivf_lsm")
+        build_ivf_store(ds, out, n_cells=8, sample_size=1600)
+        base_files = {k: e["file"] for k, e in json.load(
+            open(os.path.join(out, "_MANIFEST.json")))["cells"].items()}
+
+        # day-2 vectors: near cluster 0's center, ids offset by 10_000
+        new_vecs = vecs[:50] + 0.01
+        nds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(10_000, 10_050), pa.int64()),
+            "embedding": pa.array(list(new_vecs.astype(np.float64)),
+                                  pa.list_(pa.float64())),
+        }))
+        m = append_ivf_store(nds, out, epoch="day2")
+        assert m["epochs"] == ["day2"]
+        # base files untouched, delta side files exist
+        man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        n_deltas = 0
+        for k, e in man["cells"].items():
+            assert e["file"] == base_files[k]
+            for d in e.get("deltas", []):
+                n_deltas += 1
+                assert "delta-day2" in d["file"]
+                assert os.path.exists(os.path.join(out, d["file"]))
+        assert n_deltas >= 1
+
+        # querying near cluster 0 must now surface the appended ids
+        res = query_ivf_store(out, vecs[:1], k=5, n_probe=2).to_pandas()
+        assert (res["vec_id"] >= 10_000).any()
+
+        # re-applying the same epoch is a no-op
+        m2 = append_ivf_store(nds, out, epoch="day2")
+        assert m2["epochs"] == ["day2"]
+
+        # compaction folds deltas, result set unchanged
+        before = res.copy()
+        cm = compact_ivf_store(out)
+        for e in cm["cells"].values():
+            assert "deltas" not in e
+        after = query_ivf_store(out, vecs[:1], k=5,
+                                n_probe=2).to_pandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            before.reset_index(drop=True), after.reset_index(drop=True))
