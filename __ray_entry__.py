@@ -5193,9 +5193,14 @@ def q_knn_stored(sf_dir: str) -> Any:
     qrows = ds.take(3)
     queries = np.asarray([r["embedding"] for r in qrows],
                          dtype=np.float64)
+    import shutil as _sh
+
     store = _tf.mkdtemp(prefix="cee_vstore_")
-    build_ivf_store(ds, store, n_cells=16, sample_size=4096)
-    out = query_ivf_store(store, queries, k=10, n_probe=4)
+    try:
+        build_ivf_store(ds, store, n_cells=16, sample_size=4096)
+        out = query_ivf_store(store, queries, k=10, n_probe=4)
+    finally:
+        _sh.rmtree(store, ignore_errors=True)  # result is eager
     return _int64(out.to_pandas(),
                   ["query_id", "rank", "vec_id", "score_e6"])
 
