@@ -726,6 +726,9 @@ def q_orders_price_range(sf_dir: str) -> Any:
     proving the prune loses no rows."""
     import tempfile
 
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        defer_cleanup,
+    )
     from calendar_event_entity_extraction_ray.stages.sort import (
         pruned_partition_files,
         read_sorted_range,
@@ -734,6 +737,9 @@ def q_orders_price_range(sf_dir: str) -> Any:
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     out_dir = tempfile.mkdtemp(prefix="sorted_orders_")
+    # the returned dataset reads out_dir lazily — defer removal to
+    # cleanup_pending_spill()/atexit instead of leaking it per invocation
+    defer_cleanup(out_dir)
     write_sorted(orders, "o_totalprice", out_dir,
                  fingerprint=f"orders-{sf_dir}", num_partitions=16)
     lo, hi = 1000.0, 3000.0

@@ -72,6 +72,23 @@ def cleanup_pending_spill() -> int:
     return n
 
 
+def defer_cleanup(path: str) -> None:
+    """Register a temp directory for deferred removal alongside the spill
+    dirs. For datasets that READ the directory lazily (e.g. a sorted-store
+    export a query returns a lazy reader over): eager rmtree would break
+    the consumer, so it is removed at cleanup_pending_spill() / process
+    exit instead."""
+    _PENDING_SPILL_DIRS.append(path)
+
+
+# Last-resort cleanup so query-surface callers (bench / correctness runs,
+# which never call cleanup_pending_spill themselves) do not accumulate
+# orders-sized temp dirs in /tmp across repeated invocations.
+import atexit  # noqa: E402
+
+atexit.register(cleanup_pending_spill)
+
+
 def default_num_partitions(cap: int = 64) -> int:
     """~2x cluster CPUs (CLAUDE.md: granularity via block/partition count)."""
     try:

@@ -478,6 +478,18 @@ def _kcore_pregel(sym, node_type, k: int, max_iters: int, n_parts: int):
                 incoming[int(q)].append(msg_refs[p][int(q)])
         active = [p for p in parts if incoming[p]]
 
+    if active:
+        # iteration-exhaustion exit with pending death notifications:
+        # the survivors are a SUPERSET of the true k-core (the single-task
+        # path peels to fixpoint). Loud, like the minhash band-cap skips.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_kcore_pregel: stopped after max_iters=%d rounds with %d "
+            "partition(s) still holding undelivered death notifications "
+            "— result is a superset of the true %d-core; raise max_iters",
+            max_iters, len(active), k)
+
     out_refs = [finalize.remote(state_ref[p]) for p in parts
                 if state_ref[p] is not None]
     _finish_pinned(edge_dir, eager_cleanup)

@@ -127,6 +127,35 @@ def probed_cells(manifest: dict, queries: np.ndarray,
     return [row[:n_probe].astype(np.int64) for row in order]
 
 
+def _delta_shadow(out_dir: str, manifest: dict):
+    """Global last-epoch-wins shadow map over every delta file: returns
+    (epoch_ord, (sorted_ids, newest_ordinal)) where an id's newest
+    ordinal is the index of the latest epoch that re-ingested it. Reads
+    ONLY delta id columns; empty arrays when the store has no deltas."""
+    id_col = manifest["id_col"]
+    epochs = manifest.get("epochs", [])
+    epoch_ord = {e: i for i, e in enumerate(epochs)}
+    d_ids, d_ord = [], []
+    for e in manifest["cells"].values():
+        for d in e.get("deltas", []):
+            arr = pq.read_table(
+                os.path.join(out_dir, d["file"]),
+                columns=[id_col]).column(id_col).to_numpy(
+                    zero_copy_only=False)
+            d_ids.append(arr)
+            d_ord.append(np.full(len(arr), epoch_ord[d["epoch"]],
+                                 np.int64))
+    if not d_ids:
+        return epoch_ord, (np.empty(0, np.int64), np.empty(0, np.int64))
+    all_ids = np.concatenate(d_ids)
+    all_ord = np.concatenate(d_ord)
+    order = np.lexsort((all_ord, all_ids))
+    ids_s, ord_s = all_ids[order], all_ord[order]
+    last = np.ones(len(ids_s), bool)
+    last[:-1] = ids_s[:-1] != ids_s[1:]
+    return epoch_ord, (ids_s[last], ord_s[last])
+
+
 def query_ivf_store(
     out_dir: str,
     queries: np.ndarray,
@@ -164,9 +193,20 @@ def query_ivf_store(
                          id_col: pa.array([], pa.int64()),
                          "score_e6": pa.array([], pa.int64())})
 
+    # Last-epoch-wins on duplicate ids: a re-ingested id's older versions
+    # (base row, or an earlier delta's row) are SHADOWED — even across
+    # cells (an updated vector may land in a different cell). The shadow
+    # map is GLOBAL: read ONLY the id column of every delta file (cheap
+    # columnar read; deltas are LSM-small by contract) into one
+    # (sorted ids, newest-epoch-ordinal) pair; the scoring partial drops
+    # any row whose id has a newer version than the row's own file.
+    # Zero overhead for compacted / never-appended stores (no deltas).
+    epoch_ord, shadow = _delta_shadow(out_dir, manifest)
+
     qn_ref = ray.put(qn)
     c2q_ref = ray.put({c: np.asarray(v, dtype=np.int64)
                        for c, v in cell_to_queries.items()})
+    shadow_ref = ray.put((epoch_ord, shadow))
 
     # cell id travels via the file path — recover it per batch
     ds = ray.data.read_parquet(files, include_paths=True)
@@ -184,6 +224,7 @@ def query_ivf_store(
             return empty
         _qn = ray.get(qn_ref)
         _c2q = ray.get(c2q_ref)
+        _eord, _shadow = ray.get(shadow_ref)
         outs = [empty]
         # a batch may span multiple coalesced files — split per path
         for path in pc.unique(b.column("path")).to_pylist():
@@ -192,6 +233,19 @@ def query_ivf_store(
             qids = _c2q.get(cell)
             if qids is None or sub.num_rows == 0:
                 continue
+            s_ids, s_ord = _shadow
+            if len(s_ids):
+                m = _re.search(r"delta-([^/]+)\.parquet$", path)
+                file_ord = _eord.get(m.group(1), -1) if m else -1
+                row_ids = sub.column(id_col).to_numpy(
+                    zero_copy_only=False)
+                pos = np.clip(np.searchsorted(s_ids, row_ids),
+                              0, len(s_ids) - 1)
+                stale = (s_ids[pos] == row_ids) & (s_ord[pos] > file_ord)
+                if stale.any():
+                    sub = sub.filter(pa.array(~stale))
+                if sub.num_rows == 0:
+                    continue
             mat = np.asarray(
                 [np.asarray(v) for v in sub.column(vec_col).to_pylist()],
                 dtype=np.float64)
@@ -249,7 +303,13 @@ def append_ivf_store(
     store's mode="delta") and write ``cell=K/delta-{epoch}.parquet``
     side files; base files are never opened. Re-running an epoch already
     in the manifest is a no-op. ``compact_ivf_store`` folds deltas back.
-    Readers (query_ivf_store) scan base + deltas of each probed cell."""
+    Readers (query_ivf_store) scan base + deltas of each probed cell.
+
+    Duplicate ids across epochs are LAST-EPOCH-WINS: re-ingesting an
+    existing id shadows its older versions — query_ivf_store masks them
+    via a delta-id pre-pass and compact_ivf_store drops them in the fold
+    (keep=last in base-then-epoch order), so top-k never returns the same
+    id twice and compaction never keeps a stale row."""
     from calendar_event_entity_extraction_ray.stages.exchange import (
         hash_partition_map,
     )
@@ -319,13 +379,41 @@ def compact_ivf_store(out_dir: str) -> dict:
     with open(mpath) as f:
         manifest = json.load(f)
     id_col = manifest["id_col"]
+    # global last-epoch-wins shadow (see _delta_shadow): folds drop any
+    # row superseded by a NEWER epoch's version of the same id — even
+    # when the new version landed in a different cell
+    epoch_ord, (s_ids, s_ord) = _delta_shadow(out_dir, manifest)
+    shadow_ref = ray.put((s_ids, s_ord))
 
     @ray.remote(num_cpus=1)
-    def fold(cell: int, base_rel, delta_rels):
-        paths = ([os.path.join(out_dir, base_rel)] if base_rel else [])
-        paths += [os.path.join(out_dir, d) for d in delta_rels]
-        t = pa.concat_tables([pq.read_table(p) for p in paths
-                              if os.path.exists(p)])
+    def fold(cell: int, base_rel, delta_rels, delta_ords, shadow):
+        import pandas as pd
+
+        g_ids, g_ord = shadow
+        parts = ([(base_rel, -1)] if base_rel else [])
+        parts += list(zip(delta_rels, delta_ords))
+        tabs, ords = [], []
+        for rel, o in parts:
+            p = os.path.join(out_dir, rel)
+            if not os.path.exists(p):
+                continue
+            tt = pq.read_table(p)
+            tabs.append(tt)
+            ords.append(np.full(tt.num_rows, o, np.int64))
+        t = pa.concat_tables(tabs)
+        row_ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(g_ids) and len(row_ids):
+            row_ord = np.concatenate(ords)
+            pos = np.clip(np.searchsorted(g_ids, row_ids),
+                          0, len(g_ids) - 1)
+            stale = (g_ids[pos] == row_ids) & (g_ord[pos] > row_ord)
+            if stale.any():
+                t = t.filter(pa.array(~stale))
+                row_ids = row_ids[~stale]
+        # same-epoch dupes within one delta: keep the last occurrence
+        dup = pd.Series(row_ids).duplicated(keep="last").to_numpy()
+        if dup.any():
+            t = t.filter(pa.array(~dup))
         t = t.sort_by(id_col)
         cdir = os.path.join(out_dir, f"cell={cell}")
         os.makedirs(cdir, exist_ok=True)
@@ -346,8 +434,23 @@ def compact_ivf_store(out_dir: str) -> dict:
     for c, e in manifest["cells"].items():
         deltas = e.get("deltas", [])
         if deltas:
-            refs.append(fold.remote(int(c), e.get("file"),
-                                    [d["file"] for d in deltas]))
+            refs.append(fold.remote(
+                int(c), e.get("file"), [d["file"] for d in deltas],
+                [epoch_ord[d["epoch"]] for d in deltas], shadow_ref))
+        elif len(s_ids) and e.get("file"):
+            # delta-free cell whose base may hold ids re-ingested into
+            # OTHER cells: rewrite only when the id column intersects the
+            # shadow set (columnar id read, no vector decode)
+            base_ids = pq.read_table(
+                os.path.join(out_dir, e["file"]),
+                columns=[id_col]).column(id_col).to_numpy(
+                    zero_copy_only=False)
+            if len(base_ids):
+                pos = np.clip(np.searchsorted(s_ids, base_ids),
+                              0, len(s_ids) - 1)
+                if (s_ids[pos] == base_ids).any():
+                    refs.append(fold.remote(int(c), e.get("file"),
+                                            [], [], shadow_ref))
     for cell, rows, rel in ray.get(refs):
         e = manifest["cells"][str(cell)]
         folded = [d["epoch"] for d in e.pop("deltas", [])]

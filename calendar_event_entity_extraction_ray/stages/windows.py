@@ -399,8 +399,11 @@ def pattern_match_counts(
     ``pattern`` over the resulting string (leftmost-first greedy — the
     semantics Python re and DuckDB RE2 agree on for backreference-free
     patterns, verified empirically). Events whose type is not in the
-    alphabet are dropped before sequencing (they can't appear in the
-    pattern). Output (key, n_matches), keys with zero matches included.
+    alphabet contribute NO character but still anchor their key: a key
+    whose events all fall outside the alphabet is emitted with
+    n_matches=0 (matching a string_agg-over-CASE SQL oracle), never
+    silently dropped. Output (key, n_matches), keys with zero matches
+    included.
 
     One exchange on the key hash; per partition a single sorted pass
     builds every key's sequence string (grouped ''.join) and one
@@ -426,8 +429,8 @@ def pattern_match_counts(
         b = b.select(cols)
         b = b.filter(pc.and_(pc.is_valid(b.column(key_col)),
                              pc.is_valid(b.column(ts_col))))
-        b = b.filter(pc.is_in(b.column(type_col),
-                              pa.array(list(alphabet), pa.string())))
+        # out-of-alphabet rows are KEPT (mapped to '' in the fold) so
+        # their keys still surface with n_matches=0
         return add_hash_column(b, [key_col], out_col="_kh")
 
     rx = re.compile(pattern)
@@ -437,7 +440,7 @@ def pattern_match_counts(
         sort_cols = [key_col, ts_col] + (
             [tiebreak_col] if tiebreak_col else [])
         df = df.sort_values(sort_cols, kind="mergesort")
-        df["_c"] = df[type_col].map(alphabet)
+        df["_c"] = df[type_col].map(alphabet).fillna("")
         seqs = df.groupby(key_col, sort=False)["_c"].agg("".join)
         counts = np.fromiter(
             (len(rx.findall(s)) for s in seqs.to_numpy()),

@@ -1,0 +1,101 @@
+"""Round-4 ADVICE fixes: pattern_match_counts zero-match keys, k-core
+iteration-exhaustion warning, deferred temp-dir cleanup registry."""
+
+import numpy as np
+import pyarrow as pa
+
+
+class TestPatternZeroMatchKeys:
+    def test_key_with_no_alphabet_events_kept(self, ray_session):
+        """A key whose events ALL fall outside the alphabet must appear
+        with n_matches=0 (the string_agg SQL-oracle semantics), not be
+        silently dropped."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            pattern_match_counts,
+        )
+
+        t = pa.table({
+            "k": ["u1", "u1", "u2", "u2", "u3"],
+            "ts": pa.array([1, 2, 1, 2, 1], pa.int64()),
+            "typ": ["error", "purchase", "scroll", "hover", "error"],
+        })
+        out = pattern_match_counts(
+            ray.data.from_arrow(t).repartition(2),
+            "k", "ts", "typ", "ep",
+            alphabet={"error": "e", "purchase": "p"}).to_pandas()
+        got = dict(zip(out["k"], out["n_matches"]))
+        # u2's events are all out-of-alphabet -> present with 0
+        assert got == {"u1": 1, "u2": 0, "u3": 0}
+
+    def test_out_of_alphabet_events_contribute_no_char(self, ray_session):
+        """Unmapped events interleaved with mapped ones must not break a
+        match (they contribute no character)."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            pattern_match_counts,
+        )
+
+        t = pa.table({
+            "k": ["u"] * 3,
+            "ts": pa.array([1, 2, 3], pa.int64()),
+            "typ": ["error", "scroll", "purchase"],
+        })
+        out = pattern_match_counts(
+            ray.data.from_arrow(t), "k", "ts", "typ", "ep",
+            alphabet={"error": "e", "purchase": "p"}).to_pandas()
+        assert int(out["n_matches"].iloc[0]) == 1
+
+
+class TestKcoreExhaustionWarning:
+    def test_warns_on_iteration_exhaustion(self, ray_session, caplog):
+        """_kcore_pregel exiting via max_iters with pending death
+        notifications must warn (result is a superset of the true core).
+        A path graph peels one node per round, so max_iters=0 on a
+        4-node path with k=2 leaves undelivered notifications."""
+        import logging
+
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.graph import (
+            _kcore_pregel,
+            _sym_local_distinct,
+        )
+
+        edges = ray.data.from_arrow(pa.table({
+            "a": pa.array([1, 2, 3], pa.int64()),
+            "b": pa.array([2, 3, 4], pa.int64()),
+        }))
+        sym = _sym_local_distinct(edges, "a", "b").materialize()
+        with caplog.at_level(
+                logging.WARNING,
+                logger="calendar_event_entity_extraction_ray.stages.graph"):
+            out = _kcore_pregel(sym, pa.int64(), 2, 0, 2).to_pandas()
+        assert any("superset" in r.message for r in caplog.records)
+        # and the fixpoint run (enough rounds) is empty with no warning
+        caplog.clear()
+        with caplog.at_level(
+                logging.WARNING,
+                logger="calendar_event_entity_extraction_ray.stages.graph"):
+            full = _kcore_pregel(sym, pa.int64(), 2, 100, 2).to_pandas()
+        assert len(full) == 0
+        assert not any("superset" in r.message for r in caplog.records)
+
+
+class TestDeferCleanup:
+    def test_registered_dir_removed_by_cleanup(self, tmp_path):
+        import os
+
+        from calendar_event_entity_extraction_ray.stages.exchange import (
+            cleanup_pending_spill,
+            defer_cleanup,
+        )
+
+        d = tmp_path / "scratch"
+        d.mkdir()
+        (d / "x.txt").write_text("x")
+        defer_cleanup(str(d))
+        assert cleanup_pending_spill() >= 1
+        assert not os.path.exists(str(d))

@@ -137,3 +137,55 @@ class TestIvfStoreAppend:
 
         pd.testing.assert_frame_equal(
             before.reset_index(drop=True), after.reset_index(drop=True))
+
+    def test_reingest_existing_id_last_epoch_wins(self, store, tmp_path):
+        """Re-ingesting an EXISTING vec_id shadows the old version:
+        top-k never returns the id twice, queries see the NEW vector
+        (even when it moved to a different cell), and compact keeps
+        exactly one row per id."""
+        import json
+        import os
+
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            append_ivf_store,
+            build_ivf_store,
+            compact_ivf_store,
+            query_ivf_store,
+        )
+
+        _, _, vecs, ds = store
+        out = str(tmp_path / "ivf_upd")
+        build_ivf_store(ds, out, n_cells=8, sample_size=1600)
+
+        # id 3 stays near its cluster (same cell, nudged); id 555 moves
+        # ACROSS clusters (cluster 1 -> cluster 7's center) — the
+        # cross-cell shadow case
+        upd = np.stack([vecs[3] + 0.01, vecs[2900]])
+        nds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([3, 555], pa.int64()),
+            "embedding": pa.array(list(upd.astype(np.float64)),
+                                  pa.list_(pa.float64())),
+        }))
+        append_ivf_store(nds, out, epoch="upd1")
+
+        def check(tag):
+            # query near id 3's home: id 3 once, scored vs the NEW vector
+            r = query_ivf_store(out, vecs[3:4], k=5, n_probe=3).to_pandas()
+            assert (r["vec_id"] == 3).sum() == 1, tag
+            # query near id 555's OLD home: stale base row must be masked
+            r_old = query_ivf_store(out, vecs[555:556], k=400,
+                                    n_probe=2).to_pandas()
+            assert (r_old["vec_id"] == 555).sum() == 0, tag
+            # query near the NEW location: exactly one hit
+            r_new = query_ivf_store(out, vecs[2900:2901], k=400,
+                                    n_probe=2).to_pandas()
+            assert (r_new["vec_id"] == 555).sum() == 1, tag
+
+        check("pre-compact")
+        cm = compact_ivf_store(out)
+        check("post-compact")
+        # one row per id store-wide after compaction
+        assert sum(e["rows"] for e in cm["cells"].values()) == len(vecs)
