@@ -1401,16 +1401,17 @@ def q_resample_user_hourly(sf_dir: str) -> Any:
 
 def q_shuffle_docs(sf_dir: str) -> Any:
     """Deterministic epoch shuffle (training-data reordering): every doc
-    gets a seeded pseudo-random global position — md5('s42:'||doc_id)
-    hex-prefix key (the repo's DuckDB-parity hash; a production epoch
-    shuffle would use the siphash family, same plan) ranked by the
+    gets a seeded pseudo-random global position — the vectorized 32-bit
+    avalanche key (functions/inthash.py, bit-identical in DuckDB BIGINT
+    arithmetic, so the oracle needs no per-row md5) ranked by the
     range-partitioned sort (stages/sort.py), so the permutation is
     reproducible at ANY partitioning and resumable — unlike
     ``random_shuffle()``, which is neither. Output partition k holds
     positions (offset_k, offset_{k+1}]: exactly the layout a sharded
     training loader wants."""
-    import hashlib as _h
-
+    from calendar_event_entity_extraction_ray.functions.inthash import (
+        shuffle_key32,
+    )
     from calendar_event_entity_extraction_ray.stages.sort import (
         global_row_number,
     )
@@ -1418,11 +1419,9 @@ def q_shuffle_docs(sf_dir: str) -> Any:
     docs = _read(sf_dir, "documents", columns=["doc_id"])
 
     def key(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        ks = [int(_h.md5(f"s42:{i}".encode()).hexdigest()[:8], 16)
-              for i in ids]
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({"doc_id": b.column("doc_id"),
-                         "skey": pa.array(ks, pa.int64())})
+                         "skey": pa.array(shuffle_key32(ids, 42))})
 
     out = global_row_number(docs.map_batches(key, batch_format="pyarrow"),
                             "skey", tiebreak_cols=["doc_id"],
@@ -5439,6 +5438,11 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 'test' END"
     )
     sig = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    from calendar_event_entity_extraction_ray.functions.inthash import (
+        shuffle_key32_sql,
+    )
+
+    skey = shuffle_key32_sql("doc_id", 42)
     return {
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -6386,13 +6390,10 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN b
               ON g.user_id = b.user_id AND g.bucket = b.bucket
         """,
-        "shuffle_docs": """
+        "shuffle_docs": f"""
             SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (
-                       ORDER BY CAST(('0x' || substr(
-                           md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                           AS BIGINT),
-                                doc_id) AS BIGINT) AS shuffle_pos
+                       ORDER BY {skey}, doc_id) AS BIGINT) AS shuffle_pos
             FROM documents
         """,
         "order_price_p_cont": """

@@ -84,6 +84,38 @@ class TestKcoreExhaustionWarning:
         assert not any("superset" in r.message for r in caplog.records)
 
 
+class TestIntHashParity:
+    def test_numpy_duckdb_bit_identical(self):
+        """shuffle_key32 (vectorized shuffle key) must be bit-identical
+        to its generated DuckDB BIGINT expression across the id range,
+        including ids above 2^32."""
+        import duckdb
+        import pandas as pd
+
+        from calendar_event_entity_extraction_ray.functions.inthash import (
+            shuffle_key32,
+            shuffle_key32_sql,
+        )
+
+        rng = np.random.default_rng(7)
+        ids = np.concatenate([
+            rng.integers(0, 2**31, 2000),
+            rng.integers(0, 2**62, 2000),
+            np.array([0, 1, 2**32 - 1, 2**32, 2**62]),
+        ]).astype(np.int64)
+        for seed in (42, 7):
+            py = shuffle_key32(ids, seed)
+            con = duckdb.connect()
+            con.register("t", pd.DataFrame({"id": ids}))
+            db = con.execute(
+                f"SELECT {shuffle_key32_sql('id', seed)} AS k FROM t"
+            ).fetchnumpy()["k"].astype(np.int64)
+            assert (py == db).all()
+        # permutation quality: no collisions over a dense id range
+        u = shuffle_key32(np.arange(100_000), 42)
+        assert len(np.unique(u)) == 100_000
+
+
 class TestDeferCleanup:
     def test_registered_dir_removed_by_cleanup(self, tmp_path):
         import os
