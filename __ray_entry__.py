@@ -329,15 +329,14 @@ def q_customer_order_totals(sf_dir: str) -> Any:
     INNER semantics (the oracle drops unmatched keys)."""
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict_local,
-        broadcast_lookup,
+        broadcast_sorted_map_local,
+        lookup_sorted,
     )
 
-    seg_ref = broadcast_dict_local(
+    seg_ref = broadcast_sorted_map_local(
         f"{sf_dir}/customer.parquet", "c_custkey", "c_mktsegment")
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_lookup(orders, seg_ref, "o_custkey", "c_mktsegment",
-                              out_type=pa.string())
+    joined = lookup_sorted(orders, seg_ref, "o_custkey", "c_mktsegment")
 
     def prep(b: pa.Table) -> pa.Table:
         price = b.column("o_totalprice").to_numpy()
@@ -423,16 +422,15 @@ def q_brand_revenue(sf_dir: str) -> Any:
     """lineitem x part broadcast join -> revenue per brand (INNER)."""
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict_local,
-        broadcast_lookup,
+        broadcast_sorted_map_local,
+        lookup_sorted,
     )
 
-    brand_ref = broadcast_dict_local(
+    brand_ref = broadcast_sorted_map_local(
         f"{sf_dir}/part.parquet", "p_partkey", "p_brand")
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
-    joined = broadcast_lookup(li, brand_ref, "l_partkey", "p_brand",
-                              out_type=pa.string())
+    joined = lookup_sorted(li, brand_ref, "l_partkey", "p_brand")
 
     def prep(b: pa.Table) -> pa.Table:
         price = b.column("l_extendedprice").to_numpy()
@@ -2537,16 +2535,16 @@ def q_segment_revenue(sf_dir: str) -> Any:
         grouped_sums,
     )
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict_local,
-        broadcast_lookup,
+        broadcast_sorted_map_local,
+        lookup_sorted,
     )
     from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
-    seg_ref = broadcast_dict_local(
+    seg_ref = broadcast_sorted_map_local(
         f"{sf_dir}/customer.parquet", "c_custkey", "c_mktsegment")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    orders_seg = broadcast_lookup(orders, seg_ref, "o_custkey",
-                                  "c_mktsegment", out_type=pa.string())
+    orders_seg = lookup_sorted(orders, seg_ref, "o_custkey",
+                               "c_mktsegment")
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -3039,14 +3037,16 @@ def q_user_value_prank(sf_dir: str) -> Any:
 
 def q_region_nation_revenue(sf_dir: str) -> Any:
     """TPC-H Q5 shape — region-local supplier revenue, a five-way join:
-    the three kilobyte dimensions (region->nation filter, customer->
-    nation, supplier->nation) broadcast once via ray.put (region
-    predicate applied by the INNER lookup drop); orders |X| lineitem is
-    the one genuinely large-large edge and runs on the exchange hash
-    join; the same-nation predicate filters post-join; the 25-nation
-    final aggregate stream-reduces. At full web scale customer stops
-    being dimension-sized — swap its lookup for hash_join on the same
-    plan; nothing else changes."""
+    region->nation (kilobytes) broadcasts as a dict; customer->nation
+    and supplier->nation GROW with the data, so they ship as sorted
+    zero-copy arrays (broadcast_sorted_map + lookup_sorted — a dict
+    re-unpickles per task at scale) with the region predicate applied by
+    the INNER lookup drop; orders |X| lineitem is the one genuinely
+    large-large edge and runs on the exchange hash join; the
+    same-nation predicate filters post-join; the 25-nation final
+    aggregate stream-reduces. At full web scale, when even two customer
+    columns strain the driver build, swap the lookup for hash_join on
+    the same plan; nothing else changes."""
     from datetime import datetime
 
     import pyarrow.compute as pc
@@ -3059,6 +3059,8 @@ def q_region_nation_revenue(sf_dir: str) -> Any:
     )
     from calendar_event_entity_extraction_ray.stages.broadcast import (
         broadcast_lookup,
+        broadcast_sorted_map,
+        lookup_sorted,
     )
     from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
@@ -3067,16 +3069,27 @@ def q_region_nation_revenue(sf_dir: str) -> Any:
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
     nat_name = {n["n_nationkey"]: n["n_name"] for n in nation
                 if n["n_regionkey"] in rkeys}
+    # customer/supplier grow with the data: ship them as sorted arrays
+    # (zero-copy, searchsorted lookup) rather than dicts, which
+    # re-unpickle per task at scale (stages/broadcast.py)
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
-    c_nat_ref = _ray.put({c: n for c, n in zip(
-        cust.column("c_custkey").to_pylist(),
-        cust.column("c_nationkey").to_pylist()) if n in nat_name})
+    c_keep = np.array([n in nat_name for n in
+                       cust.column("c_nationkey").to_pylist()])
+    cust = cust.filter(pa.array(c_keep))
+    c_nat_ref = broadcast_sorted_map(
+        cust.column("c_custkey").to_numpy(zero_copy_only=False),
+        pa.array(cust.column("c_nationkey").to_numpy(
+            zero_copy_only=False), pa.int64()))
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"])
-    s_nat_ref = _ray.put({s: n for s, n in zip(
-        supp.column("s_suppkey").to_pylist(),
-        supp.column("s_nationkey").to_pylist()) if n in nat_name})
+    s_keep = np.array([n in nat_name for n in
+                       supp.column("s_nationkey").to_pylist()])
+    supp = supp.filter(pa.array(s_keep))
+    s_nat_ref = broadcast_sorted_map(
+        supp.column("s_suppkey").to_numpy(zero_copy_only=False),
+        pa.array(supp.column("s_nationkey").to_numpy(
+            zero_copy_only=False), pa.int64()))
 
     import pyarrow.dataset as pds
 
@@ -3086,8 +3099,7 @@ def q_region_nation_revenue(sf_dir: str) -> Any:
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
                    predicate=((pds.field("o_orderdate") >= lo)
                               & (pds.field("o_orderdate") < hi)))
-    orders = broadcast_lookup(orders, c_nat_ref, "o_custkey", "c_nat",
-                              out_type=pa.int64())
+    orders = lookup_sorted(orders, c_nat_ref, "o_custkey", "c_nat")
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey",
@@ -3101,9 +3113,8 @@ def q_region_nation_revenue(sf_dir: str) -> Any:
                          "l_suppkey": b.column("l_suppkey"),
                          "rev_e4": pa.array(rev)})
 
-    li = broadcast_lookup(li.map_batches(prep, batch_format="pyarrow"),
-                          s_nat_ref, "l_suppkey", "s_nat",
-                          out_type=pa.int64())
+    li = lookup_sorted(li.map_batches(prep, batch_format="pyarrow"),
+                       s_nat_ref, "l_suppkey", "s_nat")
 
     joined = hash_join(
         orders.map_batches(
@@ -3143,6 +3154,7 @@ def q_brand_small_qty(sf_dir: str) -> Any:
     bit-identical to SQL), hash_join ships the thresholds back onto the
     lines, and the strict < predicate plus the final per-part aggregate
     finish the plan."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray as _ray
@@ -3151,20 +3163,21 @@ def q_brand_small_qty(sf_dir: str) -> Any:
         grouped_sums,
     )
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_lookup,
+        broadcast_keyset, semi_filter_sorted,
     )
     from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_brand"])
-    brand_ref = _ray.put({k: 1 for k, b in zip(
-        part.column("p_partkey").to_pylist(),
-        part.column("p_brand").to_pylist()) if b == "Brand#13"})
+    # part grows with the data: membership ships as ONE sorted int64
+    # numpy array (zero-copy out of plasma; a dict re-unpickles per task)
+    brand_ref = broadcast_keyset(
+        part.filter(pc.equal(part.column("p_brand"), "Brand#13"))
+        .column("p_partkey").to_numpy(zero_copy_only=False))
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_quantity", "l_extendedprice"])
-    li = broadcast_lookup(li, brand_ref, "l_partkey", "_b",
-                          out_type=pa.int64())
+    li = semi_filter_sorted(li, brand_ref, "l_partkey")
 
     def prep(b: pa.Table) -> pa.Table:
         qty = b.column("l_quantity").to_numpy()
@@ -3215,14 +3228,17 @@ def q_brand_small_qty(sf_dir: str) -> Any:
 
 def q_parts_supplier_cnt(sf_dir: str) -> Any:
     """TPC-H Q16 shape — COUNT(DISTINCT supplier) per part attribute
-    group with a NOT IN exclusion list: part is a broadcast dim (index
-    dict + np.take over attribute arrays — one vectorized lookup adds
-    all three columns), the excluded-supplier set is a broadcast np.isin
-    filter (at full supplier cardinality this routes through
-    stages/joins.py:anti_join unchanged), then DISTINCT
-    (brand, type, size, suppkey) and the per-group count run as two
-    grouped_sums — each batch collapses to its distinct rows before the
-    exchange, so a hot (attrs, supplier) pair ships one row per batch."""
+    group with a NOT IN exclusion list: part is a broadcast dim shipped
+    as a sorted int64 key array + attribute arrays in key order
+    (zero-copy out of plasma, one searchsorted + np.take per batch adds
+    all three columns — a dict re-unpickles per task at scale), the
+    excluded-supplier set is a sorted-array anti filter (at full
+    supplier cardinality this routes through stages/joins.py:anti_join
+    unchanged), then DISTINCT (brand, type, size, suppkey) and the
+    per-group count run as two grouped_sums — each batch collapses to
+    its distinct rows before the exchange, so a hot (attrs, supplier)
+    pair ships one row per batch."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray as _ray
@@ -3230,45 +3246,50 @@ def q_parts_supplier_cnt(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.aggregate import (
         grouped_sums,
     )
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_keyset, semi_filter_sorted,
+    )
 
-    sizes = {1, 5, 9, 13, 17, 21, 25, 29}
+    sizes = [1, 5, 9, 13, 17, 21, 25, 29]
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_brand", "p_type",
                                   "p_size"])
-    keep = [(pk, b, t, s) for pk, b, t, s in zip(
-        part.column("p_partkey").to_pylist(),
-        part.column("p_brand").to_pylist(),
-        part.column("p_type").to_pylist(),
-        part.column("p_size").to_pylist())
-        if b != "Brand#13" and s in sizes]
-    dim_ref = _ray.put({
-        "idx": {pk: i for i, (pk, _, _, _) in enumerate(keep)},
-        "brand": np.array([b for _, b, _, _ in keep], dtype=object),
-        "type": np.array([t for _, _, t, _ in keep], dtype=object),
-        "size": np.array([s for _, _, _, s in keep], dtype=np.int64),
-    })
+    part = part.filter(pc.and_(
+        pc.not_equal(part.column("p_brand"), "Brand#13"),
+        pc.is_in(part.column("p_size"),
+                 value_set=pa.array(sizes, pa.int64()))))
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    take = pa.array(order)
+    dim_ref = _ray.put((
+        pk[order].astype(np.int64),
+        part.column("p_brand").combine_chunks().take(take),
+        part.column("p_type").combine_chunks().take(take),
+        part.column("p_size").combine_chunks().take(take),
+    ))
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_acctbal"])
-    bad_ref = _ray.put(np.array(
-        [k for k, bal in zip(sup.column("s_suppkey").to_pylist(),
-                             sup.column("s_acctbal").to_pylist())
-         if bal < 0], dtype=np.int64))
+    bad_ref = broadcast_keyset(
+        sup.filter(pc.less(sup.column("s_acctbal"), 0.0))
+        .column("s_suppkey").to_numpy(zero_copy_only=False))
 
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    li = semi_filter_sorted(li, bad_ref, "l_suppkey", keep=False)
 
     def attach(b: pa.Table) -> pa.Table:
-        dim = _ray.get(dim_ref)          # once per task; worker-cached
-        bad = _ray.get(bad_ref)
-        sk = b.column("l_suppkey").to_numpy()
-        b = b.filter(pa.array(~np.isin(sk, bad)))
-        idx = b.column("l_partkey").to_pandas().map(dim["idx"])
-        b = b.filter(pa.array(idx.notna().to_numpy()))
-        ii = idx.dropna().to_numpy().astype(np.int64)
+        keys, brand, ptype, size = _ray.get(dim_ref)  # zero-copy arrays
+        lk = b.column("l_partkey").to_numpy().astype(np.int64)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+            hit = keys[pos] == lk
+        else:
+            hit, pos = np.zeros(len(lk), bool), np.zeros(len(lk), np.int64)
+        ii = pa.array(pos[hit])
         return pa.table({
-            "p_brand": pa.array(np.take(dim["brand"], ii), pa.string()),
-            "p_type": pa.array(np.take(dim["type"], ii), pa.string()),
-            "p_size": pa.array(np.take(dim["size"], ii), pa.int64()),
-            "l_suppkey": b.column("l_suppkey"),
+            "p_brand": brand.take(ii),
+            "p_type": ptype.take(ii),
+            "p_size": size.take(ii),
+            "l_suppkey": b.column("l_suppkey").filter(pa.array(hit)),
         })
 
     tagged = li.map_batches(attach, batch_format="pyarrow")
@@ -3291,6 +3312,7 @@ def q_dominant_part_supplier(sf_dir: str) -> Any:
     suppliers that shipped more than half of a part's volume. The
     supplier name attaches via a broadcast dict; DISTINCT collapses a
     supplier dominating several parts to one output row."""
+    import pyarrow.compute as pc
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
@@ -3300,15 +3322,16 @@ def q_dominant_part_supplier(sf_dir: str) -> Any:
         grouped_sums,
     )
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_dict_local, broadcast_lookup,
+        broadcast_keyset, broadcast_sorted_map_local, lookup_sorted,
+        semi_filter_sorted,
     )
     from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_name"])
-    fam_ref = _ray.put({pk: 1 for pk, nm in zip(
-        part.column("p_partkey").to_pylist(),
-        part.column("p_name").to_pylist()) if nm.startswith("small")})
+    fam_ref = broadcast_keyset(
+        part.filter(pc.starts_with(part.column("p_name"), "small"))
+        .column("p_partkey").to_numpy(zero_copy_only=False))
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_suppkey", "l_quantity"],
@@ -3317,8 +3340,7 @@ def q_dominant_part_supplier(sf_dir: str) -> Any:
                     >= pd.Timestamp("1996-01-01"))
                    & (pds.field("l_shipdate")
                       < pd.Timestamp("1997-01-01"))))
-    li = broadcast_lookup(li, fam_ref, "l_partkey", "_f",
-                          out_type=pa.int64())
+    li = semi_filter_sorted(li, fam_ref, "l_partkey")
 
     def prep(b: pa.Table) -> pa.Table:
         qty = b.column("l_quantity").to_numpy()
@@ -3353,10 +3375,9 @@ def q_dominant_part_supplier(sf_dir: str) -> Any:
             b.column("tq"))).select(["l_suppkey"]),
         batch_format="pyarrow")
 
-    name_ref = broadcast_dict_local(f"{sf_dir}/supplier.parquet",
-                                    "s_suppkey", "s_name")
-    named = broadcast_lookup(dominant, name_ref, "l_suppkey", "s_name",
-                             out_type=pa.string())
+    name_ref = broadcast_sorted_map_local(f"{sf_dir}/supplier.parquet",
+                                          "s_suppkey", "s_name")
+    named = lookup_sorted(dominant, name_ref, "l_suppkey", "s_name")
     out = grouped_sums(
         named.map_batches(
             lambda b: b.rename_columns(["s_suppkey", "s_name"]),
@@ -3414,7 +3435,7 @@ def q_nation_pair_volume(sf_dir: str) -> Any:
         grouped_sums,
     )
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_lookup,
+        broadcast_sorted_map, lookup_sorted,
     )
     from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
@@ -3422,20 +3443,24 @@ def q_nation_pair_volume(sf_dir: str) -> Any:
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
     nat_name = {n["n_nationkey"]: n["n_name"] for n in nation
                 if n["n_name"] in pair}
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    c_nat_ref = _ray.put({c: n for c, n in zip(
-        cust.column("c_custkey").to_pylist(),
-        cust.column("c_nationkey").to_pylist()) if n in nat_name})
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"])
-    s_nat_ref = _ray.put({s: n for s, n in zip(
-        supp.column("s_suppkey").to_pylist(),
-        supp.column("s_nationkey").to_pylist()) if n in nat_name})
+
+    def _nat_map(path, key_col, nat_col):
+        # customer/supplier grow with the data: ship as sorted arrays
+        # (zero-copy searchsorted lookup), never dicts (CLAUDE.md r3)
+        t = pq.read_table(f"{sf_dir}/{path}", columns=[key_col, nat_col])
+        nk = t.column(nat_col).to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, np.array(list(nat_name)))
+        t = t.filter(pa.array(keep))
+        return broadcast_sorted_map(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            pa.array(t.column(nat_col).to_numpy(zero_copy_only=False),
+                     pa.int64()))
+
+    c_nat_ref = _nat_map("customer.parquet", "c_custkey", "c_nationkey")
+    s_nat_ref = _nat_map("supplier.parquet", "s_suppkey", "s_nationkey")
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    orders = broadcast_lookup(orders, c_nat_ref, "o_custkey", "c_nat",
-                              out_type=pa.int64())
+    orders = lookup_sorted(orders, c_nat_ref, "o_custkey", "c_nat")
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_shipdate",
@@ -3451,9 +3476,8 @@ def q_nation_pair_volume(sf_dir: str) -> Any:
             "l_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
             "rev_e4": pa.array(rev)})
 
-    li = broadcast_lookup(li.map_batches(prep, batch_format="pyarrow"),
-                          s_nat_ref, "l_suppkey", "s_nat",
-                          out_type=pa.int64())
+    li = lookup_sorted(li.map_batches(prep, batch_format="pyarrow"),
+                       s_nat_ref, "l_suppkey", "s_nat")
 
     joined = hash_join(
         orders.map_batches(lambda b: b.select(["o_orderkey", "c_nat"]),
@@ -3555,8 +3579,10 @@ def q_disjunctive_revenue(sf_dir: str) -> Any:
 
     import ray as _ray
 
+    import pyarrow.compute as pc2
+
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_lookup,
+        broadcast_sorted_map, lookup_sorted,
     )
 
     # (brand, max_size, qty_lo, qty_hi) per branch, bit i of the mask
@@ -3566,23 +3592,23 @@ def q_disjunctive_revenue(sf_dir: str) -> Any:
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_brand", "p_size"])
-    mask: dict = {}
-    for pk, br, sz in zip(part.column("p_partkey").to_pylist(),
-                          part.column("p_brand").to_pylist(),
-                          part.column("p_size").to_pylist()):
-        m = 0
-        for i, (b_br, b_sz, _, _) in enumerate(branches):
-            if br == b_br and 1 <= sz <= b_sz:
-                m |= 1 << i
-        if m:
-            mask[pk] = m
-    mask_ref = _ray.put(mask)
+    # vectorized mask build + sorted-array broadcast: part grows with
+    # the data (dict re-unpickles per task; this is plasma zero-copy)
+    brand_np = np.asarray(part.column("p_brand"))
+    size_np = part.column("p_size").to_numpy(zero_copy_only=False)
+    m = np.zeros(len(brand_np), dtype=np.int64)
+    for i, (b_br, b_sz, _, _) in enumerate(branches):
+        m |= np.where((brand_np == b_br) & (size_np >= 1)
+                      & (size_np <= b_sz), 1 << i, 0)
+    nz = m != 0
+    mask_ref = broadcast_sorted_map(
+        part.column("p_partkey").to_numpy(zero_copy_only=False)[nz],
+        pa.array(m[nz], pa.int64()))
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_quantity",
                         "l_extendedprice", "l_discount"])
-    li = broadcast_lookup(li, mask_ref, "l_partkey", "_m",
-                          out_type=pa.int64())
+    li = lookup_sorted(li, mask_ref, "l_partkey", "_m")
 
     def hit_rev(b: pa.Table) -> pa.Table:
         qty = b.column("l_quantity").to_numpy()
@@ -3796,23 +3822,24 @@ def q_promo_revenue(sf_dir: str) -> Any:
 
     import ray as _ray
 
+    import pyarrow.compute as pc2
+
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_lookup,
+        broadcast_sorted_map, lookup_sorted,
     )
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_type"])
-    promo_ref = _ray.put({k: (1 if t == "PROMO" else 0) for k, t in zip(
-        part.column("p_partkey").to_pylist(),
-        part.column("p_type").to_pylist())})
+    promo_ref = broadcast_sorted_map(
+        part.column("p_partkey").to_numpy(zero_copy_only=False),
+        pc2.cast(pc2.equal(part.column("p_type"), "PROMO"), pa.int64()))
 
     pred = ((pds.field("l_shipdate") >= pd.Timestamp("1996-09-01"))
             & (pds.field("l_shipdate") < pd.Timestamp("1996-10-01")))
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"],
                predicate=pred)
-    li = broadcast_lookup(li, promo_ref, "l_partkey", "is_promo",
-                          out_type=pa.int64())
+    li = lookup_sorted(li, promo_ref, "l_partkey", "is_promo")
 
     def prep(b: pa.Table) -> pa.Table:
         price = b.column("l_extendedprice").to_numpy()
@@ -3967,10 +3994,6 @@ def q_top_supplier(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.aggregate import (
         grouped_sums,
     )
-    from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_lookup,
-    )
-
     lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
     li = _read(sf_dir, "lineitem",
                columns=["l_suppkey", "l_extendedprice", "l_discount"],
@@ -3995,16 +4018,16 @@ def q_top_supplier(sf_dir: str) -> Any:
         batch_format="pyarrow")
     best = max(r["m"] for r in partial_max.take_all() if r["m"] is not None)
 
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_name"])
-    name_ref = _ray.put(dict(zip(supp.column("s_suppkey").to_pylist(),
-                                 supp.column("s_name").to_pylist())))
+    from calendar_event_entity_extraction_ray.stages.broadcast import (
+        broadcast_sorted_map_local, lookup_sorted,
+    )
+    name_ref = broadcast_sorted_map_local(
+        f"{sf_dir}/supplier.parquet", "s_suppkey", "s_name")
     winners = rev.map_batches(
         lambda b: b.filter(pc.equal(b.column("total_rev_e4"),
                                     pa.scalar(best, pa.int64()))),
         batch_format="pyarrow")
-    named = broadcast_lookup(winners, name_ref, "l_suppkey", "s_name",
-                             out_type=pa.string())
+    named = lookup_sorted(winners, name_ref, "l_suppkey", "s_name")
     df = named.to_pandas().rename(columns={"l_suppkey": "s_suppkey"})
     return _int64(df[["s_suppkey", "s_name", "total_rev_e4"]],
                   ["s_suppkey", "total_rev_e4"])
@@ -4013,44 +4036,50 @@ def q_top_supplier(sf_dir: str) -> Any:
 def q_profit_by_nation_year(sf_dir: str) -> Any:
     """TPC-H Q9 shape — multi-join profit rollup by (nation, year): the
     part predicate (name contains a token) compiles to a broadcast
-    partkey set that prunes lineitem BEFORE the only large-large edge
+    partkey SET that prunes lineitem BEFORE the only large-large edge
     (lineitem |X| orders on orderkey, for the order year); supplier ->
     nation rides a broadcast dim; the (25 nations x 7 years) final
-    aggregate stream-reduces. Date-part extraction is vectorized
+    aggregate stream-reduces. Both broadcasts ship as SORTED ARRAYS
+    (stages/broadcast.py:broadcast_keyset / broadcast_sorted_map) —
+    zero-copy from the object store with one searchsorted per batch; a
+    dict of part-scale (~2e8 keys at 100x) would re-unpickle per task
+    (the lmfilter lesson). Date-part extraction is vectorized
     (pyarrow.compute.year on the timestamp column)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-
-    import ray as _ray
 
     from calendar_event_entity_extraction_ray.stages.aggregate import (
         grouped_sums,
     )
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_lookup,
+        broadcast_keyset,
+        broadcast_sorted_map,
+        lookup_sorted,
+        semi_filter_sorted,
     )
     from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_name"])
-    red_ref = _ray.put({k: 1 for k, nm in zip(
-        part.column("p_partkey").to_pylist(),
-        part.column("p_name").to_pylist()) if "red" in nm})
+    red_mask = pc.match_substring(part.column("p_name"), "red")
+    red_ref = broadcast_keyset(
+        part.filter(red_mask).column("p_partkey").to_numpy(
+            zero_copy_only=False))
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
     nat_name = dict(zip(nation.column("n_nationkey").to_pylist(),
                         nation.column("n_name").to_pylist()))
-    s_nat_ref = _ray.put({s: nat_name[n] for s, n in zip(
-        supp.column("s_suppkey").to_pylist(),
-        supp.column("s_nationkey").to_pylist())})
+    s_nat_ref = broadcast_sorted_map(
+        supp.column("s_suppkey").to_numpy(zero_copy_only=False),
+        pa.array([nat_name[n] for n in
+                  supp.column("s_nationkey").to_pylist()], pa.string()))
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_partkey", "l_suppkey",
                         "l_extendedprice", "l_discount"])
-    li = broadcast_lookup(li, red_ref, "l_partkey", "_p",
-                          out_type=pa.int64())
+    li = semi_filter_sorted(li, red_ref, "l_partkey")
 
     def prep(b: pa.Table) -> pa.Table:
         price = b.column("l_extendedprice").to_numpy()
@@ -4060,9 +4089,8 @@ def q_profit_by_nation_year(sf_dir: str) -> Any:
                          "l_suppkey": b.column("l_suppkey"),
                          "amount_e4": pa.array(amt)})
 
-    li = broadcast_lookup(li.map_batches(prep, batch_format="pyarrow"),
-                          s_nat_ref, "l_suppkey", "nation",
-                          out_type=pa.string())
+    li = lookup_sorted(li.map_batches(prep, batch_format="pyarrow"),
+                       s_nat_ref, "l_suppkey", "nation")
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderdate"]).map_batches(
@@ -4111,7 +4139,8 @@ def q_market_share(sf_dir: str) -> Any:
         grouped_sums,
     )
     from calendar_event_entity_extraction_ray.stages.broadcast import (
-        broadcast_lookup,
+        broadcast_keyset, broadcast_sorted_map, lookup_sorted,
+        semi_filter_sorted,
     )
     from calendar_event_entity_extraction_ray.stages.joins import hash_join
 
@@ -4122,24 +4151,27 @@ def q_market_share(sf_dir: str) -> Any:
     region_nations = {n["n_nationkey"] for n in nation
                       if n["n_regionkey"] in rkeys}
     nat_name = {n["n_nationkey"]: n["n_name"] for n in nation}
+    # customer/supplier grow with the data: sorted-array broadcasts
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
-    c_ref = _ray.put({c: 1 for c, n in zip(
-        cust.column("c_custkey").to_pylist(),
-        cust.column("c_nationkey").to_pylist()) if n in region_nations})
+    ckeep = np.isin(cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False), np.array(sorted(region_nations)))
+    c_ref = broadcast_keyset(
+        cust.filter(pa.array(ckeep)).column("c_custkey").to_numpy(
+            zero_copy_only=False))
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"])
-    s_ref = _ray.put({s: nat_name[n] for s, n in zip(
-        supp.column("s_suppkey").to_pylist(),
-        supp.column("s_nationkey").to_pylist())})
+    s_ref = broadcast_sorted_map(
+        supp.column("s_suppkey").to_numpy(zero_copy_only=False),
+        pa.array([nat_name[n] for n in
+                  supp.column("s_nationkey").to_pylist()], pa.string()))
 
     lo, hi = datetime(1995, 1, 1), datetime(1997, 1, 1)
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"],
                    predicate=((pds.field("o_orderdate") >= lo)
                               & (pds.field("o_orderdate") < hi)))
-    orders = broadcast_lookup(orders, c_ref, "o_custkey", "_c",
-                              out_type=pa.int64()).map_batches(
+    orders = semi_filter_sorted(orders, c_ref, "o_custkey").map_batches(
         lambda b: pa.table({
             "o_orderkey": b.column("o_orderkey"),
             "o_year": pc.cast(pc.year(b.column("o_orderdate")),
@@ -4158,9 +4190,8 @@ def q_market_share(sf_dir: str) -> Any:
                          "l_suppkey": b.column("l_suppkey"),
                          "rev_e4": pa.array(rev)})
 
-    li = broadcast_lookup(li.map_batches(prep, batch_format="pyarrow"),
-                          s_ref, "l_suppkey", "s_nat",
-                          out_type=pa.string())
+    li = lookup_sorted(li.map_batches(prep, batch_format="pyarrow"),
+                       s_ref, "l_suppkey", "s_nat")
 
     joined = hash_join(
         orders, li.map_batches(

@@ -67,3 +67,108 @@ def broadcast_lookup(
         return b
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy array broadcasts (the at-scale form of the dict broadcast)
+# ---------------------------------------------------------------------------
+#
+# ray.get() of a large dict RE-UNPICKLES it in every task (measured
+# unusable at ~10^7 entries — CLAUDE.md round-3, stages/lmfilter.py);
+# numpy arrays and pyarrow arrays come out of the object store zero-copy
+# and the lookup vectorizes as one searchsorted per batch. Use these for
+# any dimension that can grow with the data (part, supplier, customer);
+# the plain dict stays fine for enum-sized dims (region, nation).
+
+
+def broadcast_sorted_map(keys, values: "pa.Array"):
+    """(int keys, arrow values) -> one ray.put of (sorted int64 key
+    array, value array in key order). Duplicate keys: last wins."""
+    import numpy as np
+
+    k = np.asarray(keys, dtype=np.int64)
+    order = np.argsort(k, kind="stable")
+    ks = k[order]
+    # last-wins on duplicates (dict-comprehension semantics): keep the
+    # final element of each equal-key run, so left-searchsorted in
+    # lookup_sorted lands on it
+    if len(ks):
+        keep = np.r_[ks[1:] != ks[:-1], True]
+        order, ks = order[keep], ks[keep]
+    vals = values.take(pa.array(order)) if not isinstance(
+        values, pa.ChunkedArray) else values.combine_chunks().take(
+            pa.array(order))
+    return ray.put((ks, vals))
+
+
+def broadcast_sorted_map_local(parquet_path: str, key_col: str,
+                               val_col: str):
+    """Dim fast path: ONE driver-side column-pruned read (a Ray plan
+    costs ~0.5-1 s flat), shipped as sorted arrays. Same driver-memory
+    contract as broadcast_dict_local; at dimension sizes where even two
+    columns strain the driver, use joins.auto_join instead."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[key_col, val_col])
+    return broadcast_sorted_map(
+        t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64),
+        t.column(val_col).combine_chunks())
+
+
+def broadcast_keyset(keys):
+    """Membership set as ONE sorted int64 numpy array (zero-copy)."""
+    import numpy as np
+
+    return ray.put(np.unique(np.asarray(keys, dtype=np.int64)))
+
+
+def lookup_sorted(ds: "ray.data.Dataset", map_ref, key_col: str,
+                  out_col: str, inner: bool = True) -> "ray.data.Dataset":
+    """broadcast_lookup over a broadcast_sorted_map ref: one
+    searchsorted + one arrow take per batch; misses become nulls
+    (dropped under inner=True, the SQL INNER JOIN pairing)."""
+    import pyarrow.compute as pc
+
+    def lookup(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s_keys, s_vals = ray.get(map_ref)   # zero-copy arrays
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        k = np.asarray(k, dtype=np.int64)
+        if len(s_keys) == 0:
+            hit = np.zeros(len(k), dtype=bool)
+            pos = np.zeros(len(k), dtype=np.int64)
+        else:
+            pos = np.clip(np.searchsorted(s_keys, k), 0, len(s_keys) - 1)
+            hit = s_keys[pos] == k
+        vals = s_vals.take(pa.array(pos, mask=~hit))   # nulls on miss
+        b = b.append_column(out_col, vals)
+        if inner:
+            b = b.filter(pa.array(hit))
+        return b
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def semi_filter_sorted(ds: "ray.data.Dataset", keyset_ref,
+                       key_col: str, keep: bool = True
+                       ) -> "ray.data.Dataset":
+    """Map-side semi (keep=True) / anti (keep=False) join against a
+    broadcast_keyset ref — one searchsorted per batch."""
+
+    def filt(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s_keys = ray.get(keyset_ref)
+        k = np.asarray(
+            b.column(key_col).to_numpy(zero_copy_only=False),
+            dtype=np.int64)
+        if len(s_keys) == 0:
+            hit = np.zeros(len(k), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(s_keys, k), 0, len(s_keys) - 1)
+            hit = s_keys[pos] == k
+        return b.filter(pa.array(hit if keep else ~hit))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -131,3 +131,73 @@ class TestDeferCleanup:
         defer_cleanup(str(d))
         assert cleanup_pending_spill() >= 1
         assert not os.path.exists(str(d))
+
+
+class TestSortedArrayBroadcast:
+    """Zero-copy sorted-array broadcasts (stages/broadcast.py) — the
+    at-scale replacement for dict broadcasts on data-scaled dims."""
+
+    def test_lookup_sorted_matches_dict_semantics(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.broadcast import (
+            broadcast_sorted_map, lookup_sorted,
+        )
+
+        ref = broadcast_sorted_map(
+            np.array([30, 10, 20]), pa.array(["c", "a", "b"]))
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([10, 20, 99, 30, 10], pa.int64())}))
+        out = lookup_sorted(ds, ref, "k", "v").to_pandas()
+        # INNER: the miss (99) is dropped; hits map in order
+        assert list(out["k"]) == [10, 20, 30, 10]
+        assert list(out["v"]) == ["a", "b", "c", "a"]
+
+    def test_duplicate_keys_last_wins(self, ray_session):
+        """Dict-comprehension parity: {k: v for ...} keeps the LAST
+        value of a duplicated key."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.broadcast import (
+            broadcast_sorted_map, lookup_sorted,
+        )
+
+        ref = broadcast_sorted_map(
+            np.array([5, 5, 7]), pa.array(["first", "second", "x"]))
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([5, 7], pa.int64())}))
+        out = lookup_sorted(ds, ref, "k", "v").to_pandas()
+        assert list(out["v"]) == ["second", "x"]
+
+    def test_semi_and_anti_filter(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.broadcast import (
+            broadcast_keyset, semi_filter_sorted,
+        )
+
+        ref = broadcast_keyset(np.array([2, 4, 4, 6]))
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "v": pa.array(list("abcdef"))}))
+        semi = semi_filter_sorted(ds, ref, "k").to_pandas()
+        anti = semi_filter_sorted(ds, ref, "k", keep=False).to_pandas()
+        assert list(semi["v"]) == ["b", "d", "f"]
+        assert list(anti["v"]) == ["a", "c", "e"]
+
+    def test_empty_keyset_and_empty_map(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.broadcast import (
+            broadcast_keyset, broadcast_sorted_map, lookup_sorted,
+            semi_filter_sorted,
+        )
+
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64())}))
+        kref = broadcast_keyset(np.array([], dtype=np.int64))
+        assert semi_filter_sorted(ds, kref, "k").count() == 0
+        assert semi_filter_sorted(ds, kref, "k", keep=False).count() == 2
+        mref = broadcast_sorted_map(
+            np.array([], dtype=np.int64), pa.array([], pa.string()))
+        assert lookup_sorted(ds, mref, "k", "v").count() == 0
