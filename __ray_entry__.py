@@ -297,29 +297,36 @@ def q_token_counts(sf_dir: str) -> Any:
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(token_count_batch, batch_format="pandas")
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
 def q_quality(sf_dir: str) -> Any:
     """Quality features as exact integer ppm ratios."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        s = b["text"].fillna("")
-        n = s.str.len().astype("int64")
-        alpha = s.str.count(r"[A-Za-z]").astype("int64")
-        digit = s.str.count(r"[0-9]").astype("int64")
-        punct = s.str.count(r"[^A-Za-z0-9\s]").astype("int64")
-        out = pd.DataFrame()
-        out["doc_id"] = b["doc_id"]
-        out["n_chars"] = n
-        nz = n.replace(0, 1)
-        out["alpha_ppm"] = (alpha * 1_000_000) // nz
-        out["digit_ppm"] = (digit * 1_000_000) // nz
-        out["punct_ppm"] = (punct * 1_000_000) // nz
-        return out
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return ds.map_batches(prep, batch_format="pandas")
+        from calendar_event_entity_extraction_ray.stages.text_analysis import (
+            _count_re,
+        )
+
+        text = b.column("text")
+        n = pc.cast(pc.fill_null(pc.utf8_length(text), 0),
+                    pa.int64()).to_numpy()
+        alpha = _count_re(text, r"[A-Za-z]").to_numpy()
+        digit = _count_re(text, r"[0-9]").to_numpy()
+        punct = _count_re(text, r"[^A-Za-z0-9\s]").to_numpy()
+        nz = np.maximum(n, 1)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": pa.array(n),
+            "alpha_ppm": pa.array((alpha * 1_000_000) // nz),
+            "digit_ppm": pa.array((digit * 1_000_000) // nz),
+            "punct_ppm": pa.array((punct * 1_000_000) // nz),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow")
 
 
 def q_customer_order_totals(sf_dir: str) -> Any:
@@ -829,7 +836,7 @@ def q_langid(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.text_analysis import langid_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(langid_batch, batch_format="pandas")
+    return ds.map_batches(langid_batch, batch_format="pyarrow")
 
 
 def q_fingerprint(sf_dir: str) -> Any:
@@ -838,7 +845,7 @@ def q_fingerprint(sf_dir: str) -> Any:
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pandas")
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
 def q_knn_lsh(sf_dir: str) -> Any:
@@ -4624,7 +4631,7 @@ def q_doc_repetition(sf_dir: str) -> Any:
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(repetition_batch, batch_format="pandas")
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
 
 
 def q_segment_nation_orders(sf_dir: str) -> Any:

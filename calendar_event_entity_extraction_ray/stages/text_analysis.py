@@ -1,17 +1,21 @@
 """Text-analysis operators over a documents table: token counting, quality
 scoring, language-ID, fingerprinting.
 
-Vectorized pandas/pyarrow kernels inside ``map_batches``. The token/quality
-kernels use explicit regex definitions (not Python ``str`` semantics) so the
-same computation is expressible as the DuckDB oracle SQL in
-``__ray_entry__.oracle_sql`` — names and formulas must stay in sync with
-those SQL strings.
+Arrow-native kernels inside ``map_batches`` (``batch_format="pyarrow"``,
+zero-copy out of the object store). The token/quality kernels use explicit
+regex definitions evaluated by Arrow's RE2 — the same engine DuckDB uses —
+so the oracle SQL in ``__ray_entry__.oracle_sql`` is bit-identical by
+construction; names and formulas must stay in sync with those SQL strings.
+langid/fingerprint/repetition wrap per-row Python functions (documented
+cold-path loops); their wrappers still take/return Arrow so the non-text
+columns never round-trip through pandas.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from calendar_event_entity_extraction_ray.functions.textstats import (
     detect_lang,
@@ -21,48 +25,63 @@ from calendar_event_entity_extraction_ray.functions.textstats import (
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
-def token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """whitespace tokens + BPE-ish tokens per doc (vectorized str ops)."""
-    s = batch[text_col].fillna("")
-    out = pd.DataFrame()
-    out["doc_id"] = batch["doc_id"]
-    out["n_tokens_ws"] = s.str.strip().str.split().str.len().fillna(0).astype("int64")
-    out["n_tokens_bpe"] = s.str.count(_BPE_PATTERN).astype("int64")
-    return out
+def _count_re(text: "pa.ChunkedArray | pa.Array", pattern: str) -> pa.Array:
+    """count_substring_regex with nulls -> 0, widened to int64."""
+    c = pc.count_substring_regex(text, pattern)
+    return pc.cast(pc.fill_null(c, 0), pa.int64())
 
 
-def quality_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """whitespace tokens + BPE-ish tokens per doc — two RE2 count kernels
+    per batch; ``\S+`` match count == trim+split-on-whitespace length."""
+    text = batch.column(text_col)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens_ws": _count_re(text, r"\S+"),
+        "n_tokens_bpe": _count_re(text, _BPE_PATTERN),
+    })
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality features; formulas mirror the oracle SQL exactly."""
-    s = batch[text_col].fillna("")
-    n = s.str.len().astype("float64")
-    alpha = s.str.count(r"[A-Za-z]").astype("float64")
-    digit = s.str.count(r"[0-9]").astype("float64")
-    punct = s.str.count(r"[^A-Za-z0-9\s]").astype("float64")
-    out = pd.DataFrame()
-    out["doc_id"] = batch["doc_id"]
-    out["n_chars"] = n.astype("int64")
-    out["alpha_ratio"] = (alpha / n).where(n > 0, 0.0)
-    out["digit_ratio"] = (digit / n).where(n > 0, 0.0)
-    out["punct_ratio"] = (punct / n).where(n > 0, 0.0)
-    return out
+    import numpy as np
+
+    text = batch.column(text_col)
+    n = pc.cast(pc.fill_null(pc.utf8_length(text), 0),
+                pa.int64()).to_numpy().astype(np.float64)
+    alpha = _count_re(text, r"[A-Za-z]").to_numpy().astype(np.float64)
+    digit = _count_re(text, r"[0-9]").to_numpy().astype(np.float64)
+    punct = _count_re(text, r"[^A-Za-z0-9\s]").to_numpy().astype(np.float64)
+    nz = np.maximum(n, 1.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(n.astype(np.int64)),
+        "alpha_ratio": pa.array(np.where(n > 0, alpha / nz, 0.0)),
+        "digit_ratio": pa.array(np.where(n > 0, digit / nz, 0.0)),
+        "punct_ratio": pa.array(np.where(n > 0, punct / nz, 0.0)),
+    })
 
 
-def langid_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    out = pd.DataFrame()
-    out["doc_id"] = batch["doc_id"]
-    out["pred_lang"] = batch[text_col].map(detect_lang)
-    return out
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(
+            [detect_lang(t) for t in batch.column(text_col).to_pylist()],
+            pa.string()),
+    })
 
 
-def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    out = pd.DataFrame()
-    out["doc_id"] = batch["doc_id"]
-    out["fingerprint"] = batch[text_col].map(rolling_fingerprint)
-    return out
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(
+            [rolling_fingerprint(t)
+             for t in batch.column(text_col).to_pylist()]),
+    })
 
 
-def repetition_batch(batch: pd.DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> pd.DataFrame:
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
     """Gopher-style INTRA-document repetition signals per doc: the count of
     the most frequent word bigram, total bigrams, and distinct bigrams —
     exact integers (the fractions top/total and 1 - distinct/total are left
@@ -74,7 +93,8 @@ def repetition_batch(batch: pd.DataFrame, text_col: str = "text",
     from collections import Counter
 
     ids, tops, tots, dists = [], [], [], []
-    for i, txt in zip(batch[id_col], batch[text_col]):
+    for i, txt in zip(batch.column(id_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
         if not isinstance(txt, str):
             continue
         ws = txt.split(" ")
@@ -85,11 +105,11 @@ def repetition_batch(batch: pd.DataFrame, text_col: str = "text",
         tops.append(max(c.values()))
         tots.append(len(ws) - 1)
         dists.append(len(c))
-    return pd.DataFrame({
-        id_col: pd.Series(ids, dtype="int64"),
-        "top_bigram_n": pd.Series(tops, dtype="int64"),
-        "n_bigrams": pd.Series(tots, dtype="int64"),
-        "n_distinct_bigrams": pd.Series(dists, dtype="int64"),
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "top_bigram_n": pa.array(tops, pa.int64()),
+        "n_bigrams": pa.array(tots, pa.int64()),
+        "n_distinct_bigrams": pa.array(dists, pa.int64()),
     })
 
 

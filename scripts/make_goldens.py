@@ -86,7 +86,8 @@ def golden_langid_docs() -> pa.Table:
         langid_batch,
     )
 
-    return pa.Table.from_pandas(langid_batch(_documents()), preserve_index=False)
+    return langid_batch(
+        pa.Table.from_pandas(_documents(), preserve_index=False))
 
 
 def golden_fingerprint_docs() -> pa.Table:
@@ -94,8 +95,8 @@ def golden_fingerprint_docs() -> pa.Table:
         fingerprint_batch,
     )
 
-    return pa.Table.from_pandas(
-        fingerprint_batch(_documents()), preserve_index=False)
+    return fingerprint_batch(
+        pa.Table.from_pandas(_documents(), preserve_index=False))
 
 
 def _minhash_drop_ids(ids, texts, threshold: float = 0.8,

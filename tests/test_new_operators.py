@@ -728,14 +728,14 @@ class TestRepetitionSignals:
             repetition_batch,
         )
 
-        df = pd.DataFrame({
-            "doc_id": [1, 2, 3, 4],
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
             "text": ["a b a b a",      # bigrams: ab,ba,ab,ba -> top 2 of 4, 2 distinct
                      "solo",            # < 2 tokens: no row
                      None,              # null text: no row
                      "x x x x"],        # xx,xx,xx -> top 3 of 3, 1 distinct
         })
-        out = repetition_batch(df)
+        out = repetition_batch(t).to_pandas()
         rows = {int(r["doc_id"]): (int(r["top_bigram_n"]), int(r["n_bigrams"]),
                                    int(r["n_distinct_bigrams"]))
                 for _, r in out.iterrows()}
