@@ -5248,6 +5248,36 @@ def q_knn_stored(sf_dir: str) -> Any:
                   ["query_id", "rank", "vec_id", "score_e6"])
 
 
+def q_knn_stored_pq(sf_dir: str) -> Any:
+    """PQ-coded persisted IVF (build_ivf_store(pq_m=8)): the candidate
+    scan reads only (vec_id, pq_code) — 8 bytes/vector instead of 512 —
+    shortlists rerank*k by the ADC approximation, then re-ranks the
+    shortlist EXACTLY from the raw embedding column (id-filtered read,
+    row-group prune on the id-sorted cells). Output schema and the
+    cut orders match q_knn_stored; the golden replays both stages
+    single-process (make_goldens.py:golden_knn_stored_pq)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from calendar_event_entity_extraction_ray.stages.vecstore import (
+        build_ivf_store,
+        query_ivf_store,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = ds.take(3)
+    queries = np.asarray([r["embedding"] for r in qrows],
+                         dtype=np.float64)
+    store = _tf.mkdtemp(prefix="cee_vstore_pq_")
+    try:
+        build_ivf_store(ds, store, n_cells=16, sample_size=4096, pq_m=8)
+        out = query_ivf_store(store, queries, k=10, n_probe=4, rerank=4)
+    finally:
+        _sh.rmtree(store, ignore_errors=True)  # result is eager
+    return _int64(out.to_pandas(),
+                  ["query_id", "rank", "vec_id", "score_e6"])
+
+
 def q_user_active_coverage(sf_dir: str) -> Any:
     """Per-user active time: total milliseconds covered by the UNION of
     5-minute windows opened at each event (overlaps collapse — the
@@ -5453,6 +5483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_attendee_communities": q_kg_attendee_communities,
         "user_event_patterns": q_user_event_patterns,
         "knn_stored": q_knn_stored,
+        "knn_stored_pq": q_knn_stored_pq,
     }
 
 
@@ -6993,6 +7024,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_stored":
             f"SELECT query_id, rank, vec_id, score_e6 "
             f"FROM {_golden('knn_stored')}",
+        "knn_stored_pq":
+            f"SELECT query_id, rank, vec_id, score_e6 "
+            f"FROM {_golden('knn_stored_pq')}",
         "kg_bfs_hops": f"""
             WITH RECURSIVE e AS (
                 SELECT DISTINCT a.obj AS a1, b.obj AS a2

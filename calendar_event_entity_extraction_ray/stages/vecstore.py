@@ -38,6 +38,23 @@ import ray.data
 MANIFEST = "_MANIFEST.json"
 
 
+def _encode_pq_residual(mat: np.ndarray, centroid: np.ndarray,
+                        cb: np.ndarray) -> np.ndarray:
+    """L2-normalize rows, subtract the cell centroid, nearest-sub-centroid
+    codes per subspace (the _IvfPqEncode kernel for a known cell)."""
+    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                        1e-12, None)
+    res = mat - centroid
+    m, _, sub_d = cb.shape
+    half_sq = 0.5 * (cb ** 2).sum(axis=2)
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        sub = res[:, j * sub_d:(j + 1) * sub_d]
+        codes[:, j] = np.argmax(sub @ cb[j].T - half_sq[j],
+                                axis=1).astype(np.uint8)
+    return codes
+
+
 def build_ivf_store(
     ds: "ray.data.Dataset",
     out_dir: str,
@@ -46,15 +63,27 @@ def build_ivf_store(
     vec_col: str = "embedding",
     sample_size: int = 4096,
     seed: int = 13,
+    pq_m: Optional[int] = None,
+    pq_codes: int = 256,
 ) -> dict:
     """Build the store; returns the manifest dict. Re-running overwrites
-    (the build is deterministic for a given input + seed)."""
+    (the build is deterministic for a given input + seed).
+
+    ``pq_m`` adds a PQ-coded column per cell (the 100-TB scan path): each
+    row stores ``pq_code`` — ``pq_m`` uint8 residual codes (Jegou et al.
+    IVF-PQ, stages/knn.py:train_pq_codebook / _IvfPqEncode semantics) —
+    ALONGSIDE the raw vector. Parquet is columnar, so the candidate scan
+    in query_ivf_store reads only (id, pq_code) — m bytes/vector instead
+    of d*4 — and the exact re-rank reads the embedding column of probed
+    cells with an id-set row filter (cells are id-sorted, so row-group
+    stats prune). Codebooks train driver-side on the bounded sample."""
     from calendar_event_entity_extraction_ray.stages.exchange import (
         hash_partition_map,
     )
     from calendar_event_entity_extraction_ray.stages.knn import (
         _IvfAssign,
         train_ivf_codebook,
+        train_pq_codebook,
     )
     from calendar_event_entity_extraction_ray.stages.taskform import (
         run_stage,
@@ -66,6 +95,17 @@ def build_ivf_store(
     cents = train_ivf_codebook(sample, n_cells=n_cells, seed=seed)
     n_cells = len(cents)          # may clamp on tiny inputs
     cents_ref = ray.put(cents)
+
+    pq_cb = None
+    if pq_m is not None:
+        # residual PQ codebook on the sample (normalize=False: residuals
+        # must not be re-normalized — knn.py:_IvfPqEncode)
+        sn = sample / np.clip(
+            np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+        res = sn - cents[np.argmax(sn @ cents.T, axis=1)]
+        pq_cb = train_pq_codebook(res, m=pq_m, n_codes=pq_codes,
+                                  seed=seed, normalize=False)
+    pq_ref = ray.put(pq_cb)
 
     assigned = ds.map_batches(
         run_stage,
@@ -85,6 +125,16 @@ def build_ivf_store(
                              "file": pa.array([], pa.string())})
         cell = int(t.column("ivf_cell")[0].as_py())
         body = t.select([id_col, vec_col]).sort_by(id_col)
+        cb = ray.get(pq_ref)
+        if cb is not None:
+            mat = np.asarray(
+                [np.asarray(v) for v in body.column(vec_col).to_pylist()],
+                dtype=np.float64)
+            codes = _encode_pq_residual(
+                mat, ray.get(cents_ref)[cell], cb)
+            body = body.append_column(
+                "pq_code", pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), cb.shape[0]))
         cdir = os.path.join(out_dir, f"cell={cell}")
         os.makedirs(cdir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
@@ -110,6 +160,13 @@ def build_ivf_store(
         "cells": {str(int(r.cell)): {"rows": int(r.rows), "file": r.file}
                   for r in summary.itertuples()},
     }
+    if pq_cb is not None:
+        manifest["pq"] = {
+            "m": int(pq_cb.shape[0]),
+            "n_codes": int(pq_cb.shape[1]),
+            "codebook": [[[float(x) for x in c] for c in sub]
+                         for sub in pq_cb],
+        }
     tmpm = os.path.join(out_dir, MANIFEST + ".tmp")
     with open(tmpm, "w") as f:
         json.dump(manifest, f)
@@ -161,13 +218,27 @@ def query_ivf_store(
     queries: np.ndarray,
     k: int = 10,
     n_probe: int = 4,
+    rerank: int = 4,
+    use_pq: bool = True,
 ) -> pa.Table:
     """Top-k per query reading ONLY probed cells. Output
     (query_id, rank, id, score_e6) — scores floor-scaled like the knn
     family. Returns include the files-read count in Python attribute
-    form via ``query_ivf_store.last_files_read`` for prune assertions."""
+    form via ``query_ivf_store.last_files_read`` for prune assertions.
+
+    On a PQ-coded store (build_ivf_store(pq_m=...)) and ``use_pq=True``
+    the scan reads only (id, pq_code) — m bytes/vector — shortlists
+    ``rerank * k`` candidates per query by the asymmetric-distance
+    approximation, then re-ranks the shortlist EXACTLY from the raw
+    embedding column (id-filtered read; cells are id-sorted so row
+    groups prune). Scores in the output are exact; results match the
+    uncompressed store whenever the true top-k survives the shortlist
+    (measured in tests; raise ``rerank`` to trade IO for recall)."""
     with open(os.path.join(out_dir, MANIFEST)) as f:
         manifest = json.load(f)
+    if use_pq and manifest.get("pq"):
+        return _query_pq_store(out_dir, manifest, queries, k, n_probe,
+                               rerank)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     q = np.asarray(queries, dtype=np.float64)
     qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
@@ -293,6 +364,172 @@ def query_ivf_store(
         preserve_index=False)
 
 
+def _query_pq_store(out_dir: str, manifest: dict, queries: np.ndarray,
+                    k: int, n_probe: int, rerank: int) -> pa.Table:
+    """PQ candidate scan + exact re-rank (see query_ivf_store).
+
+    Stage 1 streams (id, pq_code) of the probed cells' files — the
+    32x-smaller columns — scoring each row by ADC: one (m, n_codes)
+    lookup table per (query, cell) pair, one gather-sum per batch;
+    per-batch partial top-R cut on (approx_e6 desc, id asc). Stage 2
+    reads ONLY the shortlisted ids' raw vectors (is_in row filter;
+    row-group stats prune on the id-sorted cells) and finishes with the
+    exact cosine top-k. Shadow masking (delta last-epoch-wins) applies
+    in BOTH stages, same as the raw path."""
+    import re as _re
+
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pds
+
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    cb = np.asarray(manifest["pq"]["codebook"], dtype=np.float64)
+    m, n_codes, sub_d = cb.shape
+    cents = np.asarray(manifest["centroids"], dtype=np.float64)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    probes = probed_cells(manifest, q, n_probe)
+    cell_to_queries: dict = {}
+    for qi, cells in enumerate(probes):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    files = []
+    for c in sorted(cell_to_queries):
+        e = manifest["cells"].get(str(c))
+        if not e:
+            continue
+        if e.get("file"):
+            files.append(os.path.join(out_dir, e["file"]))
+        for d in e.get("deltas", []):
+            files.append(os.path.join(out_dir, d["file"]))
+    query_ivf_store.last_files_read = len(files)
+    query_ivf_store.total_cells = len(manifest["cells"])
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "score_e6": pa.array([], pa.int64())})
+    if not files:
+        return empty
+
+    epoch_ord, shadow = _delta_shadow(out_dir, manifest)
+    R = max(int(rerank) * k, k)
+    # per-(query, cell) ADC tables, driver-built: n_queries * n_probe
+    # LUTs of m*n_codes floats — kilobytes; ship once
+    luts: dict = {}
+    for c, qids in cell_to_queries.items():
+        for qi in qids:
+            qsub = qn[qi].reshape(m, sub_d)
+            luts[(qi, c)] = (float(qn[qi] @ cents[c]),
+                             np.einsum("jd,jcd->jc", qsub, cb))
+    lut_ref = ray.put(luts)
+    c2q_ref = ray.put({c: np.asarray(v, dtype=np.int64)
+                       for c, v in cell_to_queries.items()})
+    shadow_ref = ray.put((epoch_ord, shadow))
+
+    ds = ray.data.read_parquet(files, columns=[id_col, "pq_code"],
+                               include_paths=True)
+
+    def partial(b: pa.Table, _R=R) -> pa.Table:
+        out0 = pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "approx_e6": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return out0
+        _luts = ray.get(lut_ref)
+        _c2q = ray.get(c2q_ref)
+        _eord, (_sids, _sord) = ray.get(shadow_ref)
+        outs = [out0]
+        for path in _pc.unique(b.column("path")).to_pylist():
+            sub = b.filter(_pc.equal(b.column("path"), path))
+            cell = int(_re.search(r"cell=(\d+)", path).group(1))
+            qids = _c2q.get(cell)
+            if qids is None or sub.num_rows == 0:
+                continue
+            ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+            if len(_sids):
+                mm = _re.search(r"delta-([^/]+)\.parquet$", path)
+                file_ord = _eord.get(mm.group(1), -1) if mm else -1
+                pos = np.clip(np.searchsorted(_sids, ids),
+                              0, len(_sids) - 1)
+                stale = (_sids[pos] == ids) & (_sord[pos] > file_ord)
+                if stale.any():
+                    sub = sub.filter(pa.array(~stale))
+                    ids = ids[~stale]
+                if sub.num_rows == 0:
+                    continue
+            codes = np.asarray(
+                sub.column("pq_code").combine_chunks().values
+            ).reshape(-1, m).astype(np.int64)
+            gather = np.arange(m)
+            top = min(_R, len(ids))
+            for qi in qids:
+                base, lut = _luts[(int(qi), cell)]
+                approx = base + lut[gather[:, None], codes.T].sum(axis=0)
+                a_e6 = np.floor(approx * 1e6 + 0.5).astype(np.int64)
+                sel = np.lexsort((ids, -a_e6))[:top]
+                outs.append(pa.table({
+                    "query_id": pa.array(
+                        np.full(top, qi, np.int64)),
+                    id_col: pa.array(ids[sel].astype(np.int64)),
+                    "approx_e6": pa.array(a_e6[sel])}))
+        return pa.concat_tables(outs)
+
+    import pandas as pd
+
+    cand = ds.map_batches(partial, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return empty
+    short: dict = {}
+    for qi, grp in cand.groupby("query_id", sort=True):
+        g = grp.sort_values(["approx_e6", id_col],
+                            ascending=[False, True]).head(R)
+        short[int(qi)] = set(int(i) for i in g[id_col])
+    union_ids = sorted(set().union(*short.values()))
+
+    # stage 2: exact re-rank — raw vectors of ONLY the shortlisted ids
+    flt = _pds.field(id_col).isin(union_ids)
+    rr = ray.data.read_parquet(files, columns=[id_col, vec_col],
+                               include_paths=True, filter=flt)
+    rows = rr.take_all()
+    # shadow again (a shortlisted id may also sit stale in another file)
+    best: dict = {}
+    _, (s_ids, s_ord) = epoch_ord, shadow
+    for r in rows:
+        rid = int(r[id_col])
+        mm = _re.search(r"delta-([^/]+)\.parquet$", r["path"])
+        file_ord = epoch_ord.get(mm.group(1), -1) if mm else -1
+        if len(s_ids):
+            pos = min(np.searchsorted(s_ids, rid), len(s_ids) - 1)
+            if s_ids[pos] == rid and s_ord[pos] > file_ord:
+                continue
+        prev = best.get(rid)
+        if prev is None or file_ord >= prev[0]:
+            best[rid] = (file_ord, np.asarray(r[vec_col],
+                                              dtype=np.float64))
+    out_parts = []
+    for qi in sorted(short):
+        ids = np.array([i for i in sorted(short[qi]) if i in best],
+                       dtype=np.int64)
+        if not len(ids):
+            continue
+        mat = np.stack([best[int(i)][1] for i in ids])
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-12, None)
+        s_e6 = np.floor(mat @ qn[qi] * 1e6 + 0.5).astype(np.int64)
+        sel = np.lexsort((ids, -s_e6))[:k]
+        out_parts.append(pd.DataFrame({
+            "query_id": np.full(len(sel), qi, np.int64),
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+            id_col: ids[sel],
+            "score_e6": s_e6[sel]}))
+    if not out_parts:
+        return empty
+    res = pd.concat(out_parts, ignore_index=True)
+    return pa.Table.from_pandas(
+        res[["query_id", "rank", id_col, "score_e6"]],
+        preserve_index=False)
+
+
 def append_ivf_store(
     ds: "ray.data.Dataset",
     out_dir: str,
@@ -327,6 +564,11 @@ def append_ivf_store(
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     cents_ref = ray.put(cents)
     n_cells = int(manifest["n_cells"])
+    # PQ-coded store: deltas carry codes too (stored codebook — the
+    # index geometry, coarse AND fine, never changes on append)
+    pq_ref = ray.put(
+        np.asarray(manifest["pq"]["codebook"], dtype=np.float64)
+        if manifest.get("pq") else None)
 
     assigned = ds.map_batches(
         run_stage,
@@ -342,6 +584,16 @@ def append_ivf_store(
                              "file": pa.array([], pa.string())})
         cell = int(t.column("ivf_cell")[0].as_py())
         body = t.select([id_col, vec_col]).sort_by(id_col)
+        cb = ray.get(pq_ref)
+        if cb is not None:
+            mat = np.asarray(
+                [np.asarray(v) for v in body.column(vec_col).to_pylist()],
+                dtype=np.float64)
+            codes = _encode_pq_residual(
+                mat, ray.get(cents_ref)[cell], cb)
+            body = body.append_column(
+                "pq_code", pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), cb.shape[0]))
         cdir = os.path.join(out_dir, f"cell={cell}")
         os.makedirs(cdir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")

@@ -712,6 +712,83 @@ def golden_knn_stored() -> pa.Table:
     })
 
 
+def golden_knn_stored_pq() -> pa.Table:
+    """Single-process mirror of the PQ-coded store query
+    (q_knn_stored_pq): same seeded coarse + residual-PQ codebooks, same
+    per-cell residual encoding (_encode_pq_residual), the same ADC
+    shortlist cut on (approx_e6 DESC, vec_id ASC), then the exact
+    re-rank on (score_e6 DESC, vec_id ASC) — both total orders the
+    distributed partial cuts equal by the knn_stored argument."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.knn import (
+        train_ivf_codebook,
+        train_pq_codebook,
+    )
+    from calendar_event_entity_extraction_ray.stages.vecstore import (
+        _encode_pq_residual,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.asarray([np.asarray(v) for v in
+                       t.column("embedding").to_pylist()],
+                      dtype=np.float64)
+    cents = train_ivf_codebook(vecs[:4096], n_cells=16, seed=13)
+    sn = vecs[:4096] / np.clip(
+        np.linalg.norm(vecs[:4096], axis=1, keepdims=True), 1e-12, None)
+    res = sn - cents[np.argmax(sn @ cents.T, axis=1)]
+    cb = train_pq_codebook(res, m=8, n_codes=256, seed=13,
+                           normalize=False)
+    m, _, sub_d = cb.shape
+    norm = vecs / np.clip(np.linalg.norm(vecs, axis=1, keepdims=True),
+                          1e-12, None)
+    assign = np.argmax(norm @ cents.T, axis=1)
+    codes = np.vstack([
+        _encode_pq_residual(vecs[assign == c], cents[c], cb)
+        if (assign == c).any() else np.empty((0, m), np.uint8)
+        for c in range(len(cents))])
+    order_by_cell = np.concatenate(
+        [np.flatnonzero(assign == c) for c in range(len(cents))])
+    k, n_probe, rerank = 10, 4, 4
+    queries = vecs[:3]
+    qn = queries / np.clip(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-12, None)
+    rows = []
+    gather = np.arange(m)
+    for qi in range(3):
+        probes = np.argsort(-(qn[qi] @ cents.T))[:n_probe]
+        qsub = qn[qi].reshape(m, sub_d)
+        lut = np.einsum("jd,jcd->jc", qsub, cb)
+        a_parts, i_parts = [], []
+        for c in probes:
+            sel = np.flatnonzero(assign[order_by_cell] == c)
+            if not len(sel):
+                continue
+            cc = codes[sel].astype(np.int64)
+            base = float(qn[qi] @ cents[c])
+            approx = base + lut[gather[:, None], cc.T].sum(axis=0)
+            a_parts.append(np.floor(approx * 1e6 + 0.5).astype(np.int64))
+            i_parts.append(ids[order_by_cell][sel])
+        a_all = np.concatenate(a_parts)
+        i_all = np.concatenate(i_parts)
+        short = np.lexsort((i_all, -a_all))[:rerank * k]
+        sids = i_all[short]
+        pos = {int(v): j for j, v in enumerate(ids)}
+        mat = norm[[pos[int(s)] for s in sids]]
+        s_e6 = np.floor(mat @ qn[qi] * 1e6 + 0.5).astype(np.int64)
+        cut = np.lexsort((sids, -s_e6))[:k]
+        for r, j in enumerate(cut, 1):
+            rows.append((qi, r, int(sids[j]), int(s_e6[j])))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score_e6": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def golden_pagerank_dups() -> pa.Table:
     """Single-process mirror of q_pagerank: brute-force cosine>=0.3 pair
     graph (same float64 normalization + matmul as _embedding_pairs_ds),
@@ -1236,6 +1313,7 @@ GOLDENS = {
     "kg_attendee_walks": golden_kg_attendee_walks,
     "kg_attendee_communities": golden_kg_attendee_communities,
     "knn_stored": golden_knn_stored,
+    "knn_stored_pq": golden_knn_stored_pq,
     "media_resampled": golden_media_resampled,
 }
 

@@ -189,3 +189,122 @@ class TestIvfStoreAppend:
         check("post-compact")
         # one row per id store-wide after compaction
         assert sum(e["rows"] for e in cm["cells"].values()) == len(vecs)
+
+
+class TestPqStore:
+    """PQ-coded cells + exact re-rank (build_ivf_store(pq_m=...)).
+
+    Own corpus: wider intra-cluster spread (sigma=1.0) so cosine gaps
+    exceed quantization noise, and a FULL-coverage codebook sample —
+    build_ivf_store samples via ds.limit(), so a clustered id-ordered
+    corpus needs sample_size >= corpus for unbiased codebooks at test
+    scale (at real scale the sample is a shuffled prefix by contract)."""
+
+    @pytest.fixture(scope="class")
+    def pq_store(self, ray_session, tmp_path_factory):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            build_ivf_store,
+        )
+
+        rng = np.random.default_rng(4)
+        centers = rng.normal(size=(8, 16)) * 5
+        vecs = np.concatenate(
+            [c + rng.normal(size=(400, 16)) * 1.0 for c in centers])
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(list(vecs.astype(np.float64)),
+                                  pa.list_(pa.float64())),
+        })).repartition(6)
+        root = tmp_path_factory.mktemp("vstore_pq")
+        raw, pqd = str(root / "raw"), str(root / "ivfpq")
+        build_ivf_store(ds, raw, n_cells=8, sample_size=3200)
+        manifest = build_ivf_store(ds, pqd, n_cells=8, sample_size=3200,
+                                   pq_m=8)
+        return raw, pqd, manifest, vecs
+
+    def test_layout_has_codes(self, pq_store):
+        import os
+
+        import pyarrow.parquet as pq
+
+        _, out, manifest, vecs = pq_store
+        assert manifest["pq"]["m"] == 8
+        e = next(iter(manifest["cells"].values()))
+        t = pq.read_table(os.path.join(out, e["file"]))
+        assert "pq_code" in t.schema.names
+        # the scan columns (id + codes) are a fraction of the raw bytes
+        code_bytes = 8 * t.num_rows
+        vec_bytes = 16 * 8 * t.num_rows
+        assert code_bytes * 8 <= vec_bytes
+
+    def test_matches_uncompressed_store(self, pq_store):
+        """Exact re-rank: results equal the raw store's whenever the
+        true top-k survives the shortlist — generous rerank pins it."""
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            query_ivf_store,
+        )
+
+        raw_out, pq_out, _, vecs = pq_store
+        q = vecs[[5, 700, 2100]]
+        want = query_ivf_store(raw_out, q, k=5, n_probe=3).to_pandas()
+        got = query_ivf_store(pq_out, q, k=5, n_probe=3,
+                              rerank=8).to_pandas()
+        assert want.values.tolist() == got.values.tolist()
+        # exact scores: the query vector's own id at rank 1, score 1e6
+        assert got[got["rank"] == 1]["score_e6"].tolist() == [10**6] * 3
+
+    def test_raw_path_still_works_on_pq_store(self, pq_store):
+        """use_pq=False scans raw vectors of a PQ store — same result."""
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            query_ivf_store,
+        )
+
+        _, pq_out, _, vecs = pq_store
+        q = vecs[[42]]
+        a = query_ivf_store(pq_out, q, k=5, n_probe=3,
+                            rerank=8).to_pandas()
+        b = query_ivf_store(pq_out, q, k=5, n_probe=3,
+                            use_pq=False).to_pandas()
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_append_compact_cycle_keeps_codes(self, ray_session, pq_store,
+                                              tmp_path):
+        import os
+        import shutil
+
+        import pyarrow.parquet as pqt
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            append_ivf_store,
+            compact_ivf_store,
+            query_ivf_store,
+        )
+
+        _, src, manifest, vecs = pq_store
+        out = str(tmp_path / "pqcycle")
+        shutil.copytree(src, out)
+        new = np.tile(vecs[7], (3, 1)) + 0.001
+        delta = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([90001, 90002, 90003], pa.int64()),
+            "embedding": pa.array(list(new), pa.list_(pa.float64())),
+        }))
+        append_ivf_store(delta, out, epoch="day1")
+        q = vecs[[7]]
+        before = query_ivf_store(out, q, k=4, n_probe=3,
+                                 rerank=8).to_pandas()
+        assert {90001, 90002, 90003} <= set(before["vec_id"])
+        compact_ivf_store(out)
+        after = query_ivf_store(out, q, k=4, n_probe=3,
+                                rerank=8).to_pandas()
+        assert before.values.tolist() == after.values.tolist()
+        # compacted cells keep the code column
+        with open(os.path.join(out, "_MANIFEST.json")) as f:
+            import json
+
+            man = json.load(f)
+        for e in man["cells"].values():
+            t = pqt.read_table(os.path.join(out, e["file"]))
+            assert "pq_code" in t.schema.names
