@@ -5278,6 +5278,45 @@ def q_knn_stored_pq(sf_dir: str) -> Any:
                   ["query_id", "rank", "vec_id", "score_e6"])
 
 
+def q_late_data_windows(sf_dir: str) -> Any:
+    """Watermarked incremental windowing (stages/watermark.py): the
+    events table arrives as two epochs (event_id parity — deterministic
+    in both engines), each advancing the event-time watermark to
+    max(ts) - 2h; tumbling 1-h windows seal once fully below the
+    watermark, and epoch-2 rows targeting already-sealed windows are
+    LATE (side-output, excluded from the sealed counts). Returns the
+    final+open window state; the DuckDB oracle replays the two-epoch
+    watermark protocol as CTEs."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.watermark import (
+        read_window_state,
+        tumbling_window_epoch,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def _half(parity: int):
+        return ds.map_batches(
+            lambda b, _p=parity: b.filter(pc.equal(
+                pc.bit_wise_and(b.column("event_id"), 1), _p)),
+            batch_format="pyarrow")
+
+    sd = _tf.mkdtemp(prefix="cee_wm_")
+    try:
+        tumbling_window_epoch(_half(0), sd, "e0", window_minutes=60,
+                              allowed_lateness_minutes=120)
+        tumbling_window_epoch(_half(1), sd, "e1", window_minutes=60,
+                              allowed_lateness_minutes=120)
+        out = read_window_state(sd).to_pandas()
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)  # result is eager
+    return _int64(out, ["window_start_us", "n"])
+
+
 def q_user_active_coverage(sf_dir: str) -> Any:
     """Per-user active time: total milliseconds covered by the UNION of
     5-minute windows opened at each event (overlaps collapse — the
@@ -5484,6 +5523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_patterns": q_user_event_patterns,
         "knn_stored": q_knn_stored,
         "knn_stored_pq": q_knn_stored_pq,
+        "late_data_windows": q_late_data_windows,
     }
 
 
@@ -7027,6 +7067,39 @@ def oracle_sql() -> dict[str, str]:
         "knn_stored_pq":
             f"SELECT query_id, rank, vec_id, score_e6 "
             f"FROM {_golden('knn_stored_pq')}",
+        "late_data_windows": """
+            WITH ev AS (
+              SELECT event_type, epoch_us(ts) AS tus,
+                     (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+                     event_id FROM events),
+            e0 AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+            e1 AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+            wm0 AS (SELECT max(tus) - 7200000000 AS w FROM e0),
+            c0 AS (SELECT event_type, ws, COUNT(*) AS n
+                   FROM e0 GROUP BY 1, 2),
+            final0 AS (SELECT * FROM c0
+                       WHERE ws + 3600000000 <= (SELECT w FROM wm0)),
+            open0 AS (SELECT * FROM c0
+                      WHERE ws + 3600000000 > (SELECT w FROM wm0)),
+            c1 AS (SELECT event_type, ws, COUNT(*) AS n FROM e1
+                   WHERE ws + 3600000000 > (SELECT w FROM wm0)
+                   GROUP BY 1, 2),
+            wm1 AS (SELECT greatest((SELECT w FROM wm0),
+                        (SELECT max(tus) FROM e1) - 7200000000) AS w),
+            merged AS (SELECT event_type, ws, SUM(n) AS n FROM
+                       (SELECT * FROM open0 UNION ALL SELECT * FROM c1)
+                       GROUP BY 1, 2),
+            final1 AS (SELECT * FROM merged
+                       WHERE ws + 3600000000 <= (SELECT w FROM wm1)),
+            openf AS (SELECT * FROM merged
+                      WHERE ws + 3600000000 > (SELECT w FROM wm1))
+            SELECT event_type, ws AS window_start_us,
+                   CAST(n AS BIGINT) AS n, 'final' AS status FROM final0
+            UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'final'
+            FROM final1
+            UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'open'
+            FROM openf
+        """,
         "kg_bfs_hops": f"""
             WITH RECURSIVE e AS (
                 SELECT DISTINCT a.obj AS a1, b.obj AS a2

@@ -1,0 +1,228 @@
+"""Event-time watermarks + late-data policy for incremental window
+aggregation — the piece that makes the engine's streaming-shaped window
+ops real for epoch-delivered input (incremental crawls, log shipping):
+
+- each epoch of events advances the watermark to
+  ``max(event_time seen so far) - allowed_lateness``;
+- tumbling windows whose END is at or below the watermark FINALIZE —
+  their counts are sealed into an epoch-stamped parquet and never change;
+- rows arriving for an already-final window are LATE and follow a
+  declared policy: ``"drop"`` (counted, discarded) or ``"side_output"``
+  (sealed into ``late/epoch=<e>.parquet`` for reconciliation).
+
+Scale shape: the per-epoch pass is ONE distributed partial aggregation
+(grouped_sums — the shuffle moves (key, window) partials, never the
+event stream); everything the driver holds is the OPEN-window table,
+which the watermark bounds by construction (keys x windows inside the
+lateness horizon) — the same bounded-state argument as Flink's windowed
+operators. Epochs are idempotent: re-running a recorded epoch is a
+no-op, so crash recovery is "re-run the job" (the fpstore/delta-ingest
+discipline). Single-writer state: one job owns a state dir; the
+manifest is written last, atomically, so a crash mid-epoch re-runs that
+epoch cleanly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+WMSTATE = "_WMSTATE.json"
+
+
+def _load_state(state_dir: str) -> dict:
+    p = os.path.join(state_dir, WMSTATE)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"epochs": [], "watermark_us": None}
+
+
+def _write_state(state_dir: str, state: dict) -> None:
+    p = os.path.join(state_dir, WMSTATE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, p)
+
+
+def _open_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "open.parquet")
+
+
+def _empty_counts(key_col: str) -> pa.Table:
+    return pa.table({key_col: pa.array([], pa.string()),
+                     "window_start_us": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())})
+
+
+def tumbling_window_epoch(
+    ds: "ray.data.Dataset",
+    state_dir: str,
+    epoch: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_minutes: int = 60,
+    allowed_lateness_minutes: int = 60,
+    late_policy: str = "side_output",
+) -> dict:
+    """Ingest one epoch of events into the windowed-count state.
+
+    Returns a summary dict: ``watermark_us`` (after this epoch),
+    ``n_late`` (rows targeting already-final windows), ``n_finalized``
+    (windows sealed this epoch), ``noop`` (epoch already recorded).
+
+    Window assignment is ``floor(ts / window)``; a window
+    ``[start, start+window)`` finalizes once
+    ``start + window <= watermark``. Late = a row whose window had
+    already finalized BEFORE this epoch (the watermark only moves
+    forward, so "late" is well-defined per epoch)."""
+    if late_policy not in ("drop", "side_output"):
+        raise ValueError(f"unknown late_policy {late_policy!r}")
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = _load_state(state_dir)
+    if epoch in state["epochs"]:
+        return {"watermark_us": state["watermark_us"], "n_late": 0,
+                "n_finalized": 0, "noop": True}
+
+    win_us = window_minutes * 60_000_000
+    late_us = allowed_lateness_minutes * 60_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = b.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            key_col: b.column(key_col),
+            "window_start_us": pa.array(ts_us // win_us * win_us),
+            "ts_us": pa.array(ts_us),
+        })
+
+    # ONE distributed pass: (key, window) partial counts + max event
+    # time per group; the max of maxes is the epoch's high-water mark
+    agg = grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_cols=[key_col, "window_start_us"], sum_cols=[],
+        count_alias="n", max_cols=["ts_us"]).to_pandas()
+
+    old_wm = state["watermark_us"]
+    if agg.empty:
+        new_counts = pd.DataFrame(
+            {key_col: [], "window_start_us": [], "n": []})
+        late = new_counts
+        epoch_max = None
+    else:
+        epoch_max = int(agg["max_ts_us"].max())
+        counts = agg[[key_col, "window_start_us", "n"]]
+        is_late = ((counts["window_start_us"] + win_us <= old_wm)
+                   if old_wm is not None
+                   else pd.Series(False, index=counts.index))
+        late = counts[is_late]
+        new_counts = counts[~is_late]
+
+    n_late = int(late["n"].sum()) if len(late) else 0
+    if n_late and late_policy == "side_output":
+        ldir = os.path.join(state_dir, "late")
+        os.makedirs(ldir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(
+            late.reset_index(drop=True), preserve_index=False),
+            os.path.join(ldir, f"epoch={epoch}.parquet"))
+
+    # merge into the open-window table (bounded by the lateness horizon)
+    opath = _open_path(state_dir)
+    if os.path.exists(opath):
+        prev = pq.read_table(opath).to_pandas()
+    else:
+        prev = pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "window_start_us": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    merged = (pd.concat([prev, new_counts], ignore_index=True)
+              .groupby([key_col, "window_start_us"], dropna=False,
+                       as_index=False)["n"].sum())
+    merged["n"] = merged["n"].astype("int64")
+    merged["window_start_us"] = merged["window_start_us"].astype("int64")
+
+    new_wm = old_wm
+    if epoch_max is not None:
+        cand = epoch_max - late_us
+        new_wm = cand if old_wm is None else max(old_wm, cand)
+
+    n_finalized = 0
+    if new_wm is not None and len(merged):
+        seal = merged["window_start_us"] + win_us <= new_wm
+        final = merged[seal].sort_values(
+            [key_col, "window_start_us"], kind="stable")
+        merged = merged[~seal]
+        n_finalized = len(final)
+        if n_finalized:
+            fdir = os.path.join(state_dir, "final")
+            os.makedirs(fdir, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(
+                final.reset_index(drop=True), preserve_index=False),
+                os.path.join(fdir, f"epoch={epoch}.parquet"))
+
+    tmp = opath + ".tmp"
+    pq.write_table(pa.Table.from_pandas(
+        merged.reset_index(drop=True), preserve_index=False), tmp)
+    os.replace(tmp, opath)
+
+    state["epochs"].append(epoch)
+    state["watermark_us"] = new_wm
+    _write_state(state_dir, state)
+    return {"watermark_us": new_wm, "n_late": n_late,
+            "n_finalized": n_finalized, "noop": False}
+
+
+def read_window_state(state_dir: str, key_col: str = "event_type"
+                      ) -> pa.Table:
+    """Current view: finalized windows (status="final") + open windows
+    (status="open"), sorted (key, window_start_us)."""
+    parts = []
+    fdir = os.path.join(state_dir, "final")
+    if os.path.isdir(fdir):
+        for f in sorted(os.listdir(fdir)):
+            parts.append(pq.read_table(os.path.join(fdir, f)))
+    final = (pa.concat_tables(parts) if parts
+             else _empty_counts(key_col))
+    opath = _open_path(state_dir)
+    opened = (pq.read_table(opath) if os.path.exists(opath)
+              else _empty_counts(key_col))
+    df_f = final.to_pandas()
+    df_f["status"] = "final"
+    df_o = opened.to_pandas()
+    df_o["status"] = "open"
+    out = pd.concat([df_f, df_o], ignore_index=True).sort_values(
+        [key_col, "window_start_us"], kind="stable")
+    out["n"] = out["n"].astype("int64")
+    out["window_start_us"] = out["window_start_us"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def read_late_rows(state_dir: str, key_col: str = "event_type"
+                   ) -> pa.Table:
+    """The side-output stream: per-epoch late (key, window, n) rows."""
+    ldir = os.path.join(state_dir, "late")
+    parts = []
+    if os.path.isdir(ldir):
+        for f in sorted(os.listdir(ldir)):
+            t = pq.read_table(os.path.join(ldir, f))
+            epoch = f[len("epoch="):-len(".parquet")]
+            parts.append(t.append_column(
+                "epoch", pa.array([epoch] * t.num_rows, pa.string())))
+    if not parts:
+        e = _empty_counts(key_col)
+        return e.append_column("epoch", pa.array([], pa.string()))
+    return pa.concat_tables(parts)

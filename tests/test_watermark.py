@@ -1,0 +1,139 @@
+"""stages/watermark.py — event-time watermark + late-data policy."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+WIN = 60  # minutes
+LATE = 60
+
+
+def _events(ts_minutes, types=None):
+    import ray
+
+    ts = pd.to_datetime(
+        [pd.Timestamp("2025-01-01") + pd.Timedelta(minutes=m)
+         for m in ts_minutes])
+    return ray.data.from_arrow(pa.table({
+        "event_type": types or ["a"] * len(ts_minutes),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+
+
+def _us(minutes):
+    base = int(pd.Timestamp("2025-01-01").value // 1000)
+    return base + minutes * 60_000_000
+
+
+class TestWatermark:
+    def test_finalize_and_late_side_output(self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_late_rows,
+            read_window_state,
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "wm")
+        # epoch 0: events at minute 10, 20, 70, 200 -> max=200,
+        # watermark = 200-60 = 140 -> window [0,60) finalizes (2 rows),
+        # [60,120) finalizes (1), [180,240) stays open
+        s0 = tumbling_window_epoch(
+            _events([10, 20, 70, 200]), sd, "e0",
+            window_minutes=WIN, allowed_lateness_minutes=LATE)
+        assert s0["watermark_us"] == _us(140)
+        assert s0["n_finalized"] == 2 and s0["n_late"] == 0
+
+        # epoch 1: minute 30 targets the FINAL [0,60) window -> late;
+        # minute 150 lands in open [120,180); minute 260 advances the
+        # watermark to 200 -> [120,180) finalizes too
+        s1 = tumbling_window_epoch(
+            _events([30, 150, 260]), sd, "e1",
+            window_minutes=WIN, allowed_lateness_minutes=LATE)
+        assert s1["n_late"] == 1
+        assert s1["watermark_us"] == _us(200)
+        assert s1["n_finalized"] == 1  # [120,180)
+
+        state = read_window_state(sd).to_pandas()
+        got = {(r["window_start_us"], r["status"]): int(r["n"])
+               for _, r in state.iterrows()}
+        assert got == {
+            (_us(0), "final"): 2,     # late row NOT added
+            (_us(60), "final"): 1,
+            (_us(120), "final"): 1,
+            (_us(180), "open"): 1,
+            (_us(240), "open"): 1,
+        }
+        late = read_late_rows(sd).to_pandas()
+        assert late[["window_start_us", "n", "epoch"]].values.tolist() \
+            == [[_us(0), 1, "e1"]]
+
+    def test_epoch_idempotent(self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_window_state,
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "wm2")
+        tumbling_window_epoch(_events([10, 70]), sd, "e0",
+                              window_minutes=WIN,
+                              allowed_lateness_minutes=LATE)
+        before = read_window_state(sd).to_pandas().values.tolist()
+        again = tumbling_window_epoch(_events([10, 70]), sd, "e0",
+                                      window_minutes=WIN,
+                                      allowed_lateness_minutes=LATE)
+        assert again["noop"] is True
+        assert read_window_state(sd).to_pandas().values.tolist() == before
+
+    def test_drop_policy_counts_but_writes_nothing(self, ray_session,
+                                                   tmp_path):
+        import os
+
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_late_rows,
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "wm3")
+        tumbling_window_epoch(_events([10, 200]), sd, "e0",
+                              window_minutes=WIN,
+                              allowed_lateness_minutes=LATE,
+                              late_policy="drop")
+        s1 = tumbling_window_epoch(_events([5]), sd, "e1",
+                                   window_minutes=WIN,
+                                   allowed_lateness_minutes=LATE,
+                                   late_policy="drop")
+        assert s1["n_late"] == 1
+        assert not os.path.isdir(os.path.join(sd, "late"))
+        assert read_late_rows(sd).num_rows == 0
+
+    def test_watermark_never_regresses(self, ray_session, tmp_path):
+        """An epoch whose max ts is OLDER than the current watermark
+        must not move it backwards (late epochs happen)."""
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "wm4")
+        s0 = tumbling_window_epoch(_events([500]), sd, "e0",
+                                   window_minutes=WIN,
+                                   allowed_lateness_minutes=LATE)
+        s1 = tumbling_window_epoch(_events([450]), sd, "e1",
+                                   window_minutes=WIN,
+                                   allowed_lateness_minutes=LATE)
+        assert s1["watermark_us"] == s0["watermark_us"]
+
+    def test_multi_key_windows(self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_window_state,
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "wm5")
+        tumbling_window_epoch(
+            _events([10, 10, 200], types=["a", "b", "a"]), sd, "e0",
+            window_minutes=WIN, allowed_lateness_minutes=LATE)
+        state = read_window_state(sd).to_pandas()
+        final = state[state["status"] == "final"]
+        assert {(r["event_type"], int(r["n"]))
+                for _, r in final.iterrows()} == {("a", 1), ("b", 1)}
