@@ -3317,8 +3317,8 @@ def q_dominant_part_supplier(sf_dir: str) -> Any:
     join ships each total back onto its suppliers, and the dominance
     predicate 2*q > total (exact in int64 — integer quantities) keeps
     suppliers that shipped more than half of a part's volume. The
-    supplier name attaches via a broadcast dict; DISTINCT collapses a
-    supplier dominating several parts to one output row."""
+    supplier name attaches via a sorted-array broadcast lookup; DISTINCT
+    collapses a supplier dominating several parts to one output row."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq

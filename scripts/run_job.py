@@ -81,7 +81,10 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
+        # CEE_RAY_ADDRESS: connect to an existing cluster (multi-node —
+        # see RUNBOOK.md); default "local" starts a private session
+        ray.init(address=_os.environ.get("CEE_RAY_ADDRESS", "local"),
+                 include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
