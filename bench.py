@@ -128,7 +128,9 @@ def run_bench() -> dict:
         "kg_attendee_kcore", "kg_bfs_hops", "bm25_topk_docs",
         "user_active_coverage", "value_mad_outliers",
         "kg_attendee_walks", "kg_attendee_communities",
-        "user_event_patterns", "knn_stored"]
+        "user_event_patterns", "knn_stored",
+        # round-4: PQ-coded store scan + watermarked late-data windows
+        "knn_stored_pq", "late_data_windows"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()
