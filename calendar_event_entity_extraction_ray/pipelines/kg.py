@@ -189,9 +189,12 @@ def materialize_graph(
         its spill files, sorts by (subj, pred, obj) for deterministic
         output, and writes ``part_key=K/data.parquet``.
 
-    The driver records the manifest once at the end — workers never touch
-    shared state. The hash key is uniform, so partitions stay balanced
-    regardless of hub-entity skew.
+    The driver records the manifest incrementally — one merge per
+    ``ray.wait`` drain, each completed partition durable the moment its
+    data file lands (per-partition checkpointing: a mid-run crash leaves
+    a valid partial manifest and the re-run completes only the rest).
+    Workers never touch shared state. The hash key is uniform, so
+    partitions stay balanced regardless of hub-entity skew.
 
     Resume semantics: a re-run with the same fingerprint skips the WRITE of
     completed partitions (and their spill+merge I/O). Upstream recompute is
@@ -279,22 +282,30 @@ def materialize_graph(
         return part_id, t.num_rows
 
     if spilled.empty or "part_id" not in spilled.columns:
-        results = []
+        pending = []
     else:
         by_part = spilled.groupby("part_id")["file"].apply(list)
-        results = ray.get(
-            [merge.remote(int(p), files) for p, files in by_part.items()])
-    _shutil.rmtree(spill_dir, ignore_errors=True)
+        pending = [merge.remote(int(p), files) for p, files in by_part.items()]
 
-    entries = {
-        part_id: {
-            "file": os.path.join(f"part_key={part_id}", "data.parquet"),
-            "rows": rows,
-            "lineage": {"rows_out": rows},
-        }
-        for part_id, rows in results
-    }
-    return M.record_partitions(out_dir, fingerprint, entries,
+    # per-partition checkpointing: record every completed merge as soon as
+    # it lands (manifest saves are tiny driver-side JSON writes — the
+    # partition count is bounded per shard, see the adaptive-partitioning
+    # note in run_job). A crash mid-loop leaves a valid manifest holding
+    # exactly the durable partitions; the re-run's ``done`` filter skips
+    # them and completes the rest.
+    while pending:
+        ready, pending = ray.wait(pending, num_returns=1)
+        done_now = ray.get(ready)
+        M.record_partitions(out_dir, fingerprint, {
+            part_id: {
+                "file": os.path.join(f"part_key={part_id}", "data.parquet"),
+                "rows": rows,
+                "lineage": {"rows_out": rows},
+            }
+            for part_id, rows in done_now
+        }, num_partitions=num_partitions)
+    _shutil.rmtree(spill_dir, ignore_errors=True)
+    return M.record_partitions(out_dir, fingerprint, {},
                                num_partitions=num_partitions)
 
 

@@ -113,6 +113,101 @@ class TestKgPipeline:
         assert m3["fingerprint"] == "fp2"
 
 
+class TestCrashRecovery:
+    """Per-partition checkpointing: materialize_graph records each
+    partition the moment its merge lands, so a mid-run crash leaves a
+    valid PARTIAL manifest. These tests plant both crash shapes and
+    verify the re-run converges to the byte-identical clean result."""
+
+    def _clean_run(self, tmp_path, name):
+        from calendar_event_entity_extraction_ray.pipelines.kg import (
+            kg_triples,
+            materialize_graph,
+            synth_pages_dataset,
+        )
+
+        out_dir = str(tmp_path / name)
+        pages = synth_pages_dataset(80, seed=11)
+        materialize_graph(kg_triples(pages), out_dir,
+                          fingerprint="crashfp", num_partitions=4)
+        return out_dir
+
+    @staticmethod
+    def _snapshot(out_dir):
+        from calendar_event_entity_extraction_ray.state.manifest import read_output
+
+        t = read_output(out_dir)
+        return t.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                          ("obj", "ascending"), ("url", "ascending")])
+
+    def test_mid_run_crash_partial_manifest(self, ray_session, tmp_path):
+        """Crash AFTER some partitions were recorded: manifest holds a
+        strict subset (exactly what the incremental ray.wait recording
+        leaves). Re-run completes only the missing partitions."""
+        import json
+        import os
+
+        from calendar_event_entity_extraction_ray.pipelines.kg import (
+            kg_triples,
+            materialize_graph,
+            synth_pages_dataset,
+        )
+        from calendar_event_entity_extraction_ray.state.manifest import (
+            MANIFEST_NAME,
+            load_manifest,
+        )
+
+        out_dir = self._clean_run(tmp_path, "crash_partial")
+        clean = self._snapshot(out_dir)
+
+        # plant the crash state: partitions 2,3 never became durable
+        m = load_manifest(out_dir)
+        assert set(m["partitions"]) == {"0", "1", "2", "3"}
+        survivors = {"0", "1"}
+        stamps_before = {p: m["partitions"][p]["written_at"]
+                         for p in survivors}
+        for p in ("2", "3"):
+            del m["partitions"][p]
+            shutil.rmtree(os.path.join(out_dir, f"part_key={p}"))
+        with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+            json.dump(m, f)
+
+        pages = synth_pages_dataset(80, seed=11)
+        materialize_graph(kg_triples(pages), out_dir,
+                          fingerprint="crashfp", num_partitions=4)
+        m2 = load_manifest(out_dir)
+        assert set(m2["partitions"]) == {"0", "1", "2", "3"}
+        # recorded partitions were skipped, not rewritten
+        for p in survivors:
+            assert m2["partitions"][p]["written_at"] == stamps_before[p]
+        assert self._snapshot(out_dir).equals(clean)
+
+    def test_crash_before_any_record(self, ray_session, tmp_path):
+        """Crash BEFORE the first manifest record (data files may exist,
+        manifest does not): re-run rebuilds everything idempotently."""
+        import os
+
+        from calendar_event_entity_extraction_ray.pipelines.kg import (
+            kg_triples,
+            materialize_graph,
+            synth_pages_dataset,
+        )
+        from calendar_event_entity_extraction_ray.state.manifest import (
+            MANIFEST_NAME,
+        )
+
+        out_dir = self._clean_run(tmp_path, "crash_norecord")
+        clean = self._snapshot(out_dir)
+        os.remove(os.path.join(out_dir, MANIFEST_NAME))
+        # stale spill files from the crashed attempt must not duplicate
+        os.makedirs(os.path.join(out_dir, "_spill", "part=0"), exist_ok=True)
+
+        pages = synth_pages_dataset(80, seed=11)
+        materialize_graph(kg_triples(pages), out_dir,
+                          fingerprint="crashfp", num_partitions=4)
+        assert self._snapshot(out_dir).equals(clean)
+
+
 class TestExactDedup:
     def test_hash_bucket_collision_keeps_distinct_keys(self):
         """Two DIFFERENT keys landing in one hash bucket (certain at
