@@ -17,9 +17,11 @@ which the watermark bounds by construction (keys x windows inside the
 lateness horizon) — the same bounded-state argument as Flink's windowed
 operators. Epochs are idempotent: re-running a recorded epoch is a
 no-op, so crash recovery is "re-run the job" (the fpstore/delta-ingest
-discipline). Single-writer state: one job owns a state dir; the
-manifest is written last, atomically, so a crash mid-epoch re-runs that
-epoch cleanly.
+discipline). Single-writer state: one job owns a state dir; the open
+table is versioned per epoch and the state JSON is the commit point
+(written last, atomically), so a crash ANYWHERE mid-epoch leaves the
+previous open table untouched and the re-run recomputes final/late
+files byte-identically — no double counting (see `_open_path`).
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ def _load_state(state_dir: str) -> dict:
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
-    return {"epochs": [], "watermark_us": None}
+    return {"epochs": [], "watermark_us": None, "open_file": None}
 
 
 def _write_state(state_dir: str, state: dict) -> None:
@@ -55,8 +57,17 @@ def _write_state(state_dir: str, state: dict) -> None:
     os.replace(tmp, p)
 
 
-def _open_path(state_dir: str) -> str:
-    return os.path.join(state_dir, "open.parquet")
+def _open_path(state_dir: str, state: dict) -> Optional[str]:
+    """Current committed open-window table, or None before the first
+    epoch. The file is VERSIONED per epoch (``open.epoch=<e>.parquet``)
+    and the state JSON is the commit point: an epoch's merge becomes
+    visible only when ``_write_state`` lands, so a crash anywhere before
+    that re-runs the epoch against the UNCHANGED previous table —
+    final/late files are recomputed byte-identically (they are a pure
+    function of (previous state, epoch input)) and nothing double-counts.
+    The superseded file is deleted only after the commit."""
+    f = state.get("open_file")
+    return os.path.join(state_dir, f) if f else None
 
 
 def _empty_counts(key_col: str) -> pa.Table:
@@ -141,8 +152,8 @@ def tumbling_window_epoch(
             os.path.join(ldir, f"epoch={epoch}.parquet"))
 
     # merge into the open-window table (bounded by the lateness horizon)
-    opath = _open_path(state_dir)
-    if os.path.exists(opath):
+    opath = _open_path(state_dir, state)
+    if opath is not None and os.path.exists(opath):
         prev = pq.read_table(opath).to_pandas()
     else:
         prev = pd.DataFrame({key_col: pd.Series([], dtype="object"),
@@ -173,14 +184,22 @@ def tumbling_window_epoch(
                 final.reset_index(drop=True), preserve_index=False),
                 os.path.join(fdir, f"epoch={epoch}.parquet"))
 
-    tmp = opath + ".tmp"
+    new_open = f"open.epoch={epoch}.parquet"
+    npath = os.path.join(state_dir, new_open)
+    tmp = npath + ".tmp"
     pq.write_table(pa.Table.from_pandas(
         merged.reset_index(drop=True), preserve_index=False), tmp)
-    os.replace(tmp, opath)
+    os.replace(tmp, npath)
 
     state["epochs"].append(epoch)
     state["watermark_us"] = new_wm
-    _write_state(state_dir, state)
+    state["open_file"] = new_open
+    _write_state(state_dir, state)  # the commit point
+    if opath is not None and opath != npath:
+        try:
+            os.remove(opath)
+        except OSError:
+            pass
     return {"watermark_us": new_wm, "n_late": n_late,
             "n_finalized": n_finalized, "noop": False}
 
@@ -196,8 +215,9 @@ def read_window_state(state_dir: str, key_col: str = "event_type"
             parts.append(pq.read_table(os.path.join(fdir, f)))
     final = (pa.concat_tables(parts) if parts
              else _empty_counts(key_col))
-    opath = _open_path(state_dir)
-    opened = (pq.read_table(opath) if os.path.exists(opath)
+    opath = _open_path(state_dir, _load_state(state_dir))
+    opened = (pq.read_table(opath)
+              if opath is not None and os.path.exists(opath)
               else _empty_counts(key_col))
     df_f = final.to_pandas()
     df_f["status"] = "final"

@@ -85,6 +85,43 @@ class TestWatermark:
         assert again["noop"] is True
         assert read_window_state(sd).to_pandas().values.tolist() == before
 
+    def test_crash_mid_epoch_rerun_is_exact(self, ray_session, tmp_path,
+                                            monkeypatch):
+        """A crash AFTER the epoch's data files land but BEFORE the
+        state-JSON commit must re-run cleanly: the open table is
+        versioned per epoch, so the merge source is untouched and the
+        re-run double-counts nothing."""
+        from calendar_event_entity_extraction_ray.stages import watermark
+
+        def run(sd, crash_on_e1):
+            watermark.tumbling_window_epoch(
+                _events([10, 20, 70, 200]), sd, "e0",
+                window_minutes=WIN, allowed_lateness_minutes=LATE)
+            if crash_on_e1:
+                real = watermark._write_state
+
+                def boom(state_dir, state):
+                    raise RuntimeError("injected crash before commit")
+
+                monkeypatch.setattr(watermark, "_write_state", boom)
+                with pytest.raises(RuntimeError):
+                    watermark.tumbling_window_epoch(
+                        _events([30, 150, 260]), sd, "e1",
+                        window_minutes=WIN,
+                        allowed_lateness_minutes=LATE)
+                monkeypatch.setattr(watermark, "_write_state", real)
+            s1 = watermark.tumbling_window_epoch(
+                _events([30, 150, 260]), sd, "e1",
+                window_minutes=WIN, allowed_lateness_minutes=LATE)
+            return s1, watermark.read_window_state(sd).to_pandas()
+
+        s_ok, state_ok = run(str(tmp_path / "ctl"), crash_on_e1=False)
+        s_cr, state_cr = run(str(tmp_path / "crash"), crash_on_e1=True)
+        assert s_cr == s_ok
+        assert state_cr.values.tolist() == state_ok.values.tolist()
+        late = watermark.read_late_rows(str(tmp_path / "crash"))
+        assert late.num_rows == 1  # the epoch=e1 file overwritten, not doubled
+
     def test_drop_policy_counts_but_writes_nothing(self, ray_session,
                                                    tmp_path):
         import os
