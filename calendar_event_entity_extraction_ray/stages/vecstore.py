@@ -213,6 +213,42 @@ def _delta_shadow(out_dir: str, manifest: dict):
     return epoch_ord, (ids_s[last], ord_s[last])
 
 
+def _manifest_as_of(manifest: dict, as_of: Optional[str]) -> dict:
+    """Time-travel view of the store manifest (the vecstore analog of
+    state/manifest.py:read_output(as_of=...)): prune every cell's delta
+    list to epochs at or before ``as_of`` (``"base"`` = the pre-append
+    build) and truncate the epoch history to match, so the shadow map
+    and the file scan both see exactly that epoch's world. Raises on an
+    unknown epoch or on a view behind a compacted epoch (compaction
+    folds delta rows into cell bases — irreversible by design)."""
+    if as_of is None:
+        return manifest
+    epochs = manifest.get("epochs", [])
+    if as_of == "base":
+        keep = []
+    elif as_of in epochs:
+        keep = epochs[:epochs.index(as_of) + 1]
+    else:
+        raise ValueError(f"unknown epoch {as_of!r}; "
+                         f"manifest has {epochs!r}")
+    later = set(epochs) - set(keep)
+    view = dict(manifest)
+    view["epochs"] = keep
+    cells = {}
+    for c, e in manifest["cells"].items():
+        folded = later & set(e.get("compacted_epochs", []))
+        if folded:
+            raise ValueError(
+                f"epoch(s) {sorted(folded)} were compacted into cell "
+                f"{c}'s base — as_of={as_of!r} is unreadable")
+        e2 = dict(e)
+        e2["deltas"] = [d for d in e.get("deltas", [])
+                        if d["epoch"] in keep]
+        cells[c] = e2
+    view["cells"] = cells
+    return view
+
+
 def query_ivf_store(
     out_dir: str,
     queries: np.ndarray,
@@ -220,6 +256,7 @@ def query_ivf_store(
     n_probe: int = 4,
     rerank: int = 4,
     use_pq: bool = True,
+    as_of: Optional[str] = None,
 ) -> pa.Table:
     """Top-k per query reading ONLY probed cells. Output
     (query_id, rank, id, score_e6) — scores floor-scaled like the knn
@@ -233,9 +270,15 @@ def query_ivf_store(
     embedding column (id-filtered read; cells are id-sorted so row
     groups prune). Scores in the output are exact; results match the
     uncompressed store whenever the true top-k survives the shortlist
-    (measured in tests; raise ``rerank`` to trade IO for recall)."""
+    (measured in tests; raise ``rerank`` to trade IO for recall).
+
+    ``as_of`` time-travels over the LSM append history: pass an epoch
+    name for top-k as of that epoch (later deltas are not read and
+    their shadowing does not apply), or ``"base"`` for the pre-append
+    build; raises behind a compacted epoch (see ``_manifest_as_of``)."""
     with open(os.path.join(out_dir, MANIFEST)) as f:
         manifest = json.load(f)
+    manifest = _manifest_as_of(manifest, as_of)
     if use_pq and manifest.get("pq"):
         return _query_pq_store(out_dir, manifest, queries, k, n_probe,
                                rerank)

@@ -308,3 +308,89 @@ class TestPqStore:
         for e in man["cells"].values():
             t = pqt.read_table(os.path.join(out, e["file"]))
             assert "pq_code" in t.schema.names
+
+
+class TestTimeTravel:
+    """query_ivf_store(as_of=...) — the vecstore analog of the graph
+    store's read_output(as_of=...)."""
+
+    def _mk(self, vecs, ids):
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(vecs.astype(np.float64)),
+                                  pa.list_(pa.float64())),
+        }))
+
+    @pytest.fixture(scope="class")
+    def lsm_store(self, ray_session, tmp_path_factory, request):
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            append_ivf_store,
+            build_ivf_store,
+            query_ivf_store,
+        )
+
+        rng = np.random.default_rng(4)
+        centers = rng.normal(size=(8, 16)) * 5
+        vecs = np.concatenate(
+            [c + rng.normal(size=(400, 16)) * 0.1 for c in centers])
+        out = str(tmp_path_factory.mktemp("vstore_tt") / "ivf")
+        build_ivf_store(self._mk(vecs, np.arange(len(vecs))), out,
+                        n_cells=8, sample_size=1600)
+        q = vecs[:2]
+        snap_base = query_ivf_store(out, q, k=5, n_probe=2).to_pandas()
+        # day2: new ids near cluster 0; day3 RE-INGESTS id 0 moved far
+        # away (shadowing must NOT apply in views before day3)
+        append_ivf_store(self._mk(vecs[:30] + 0.01,
+                                  np.arange(10_000, 10_030)),
+                         out, epoch="day2")
+        snap_d2 = query_ivf_store(out, q, k=5, n_probe=2).to_pandas()
+        append_ivf_store(self._mk(vecs[-1:], np.array([0])),
+                         out, epoch="day3")
+        snap_d3 = query_ivf_store(out, q, k=5, n_probe=2).to_pandas()
+        return out, q, snap_base, snap_d2, snap_d3
+
+    def test_as_of_reconstructs_each_epoch(self, lsm_store):
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            query_ivf_store,
+        )
+
+        out, q, snap_base, snap_d2, snap_d3 = lsm_store
+        for as_of, want in (("base", snap_base), ("day2", snap_d2),
+                            ("day3", snap_d3)):
+            got = query_ivf_store(out, q, k=5, n_probe=2,
+                                  as_of=as_of).to_pandas()
+            assert got.values.tolist() == want.values.tolist(), as_of
+        # the day3 re-ingest actually changed something (id 0 moved out
+        # of the probed neighborhood), so the snapshots differ
+        assert snap_d2.values.tolist() != snap_d3.values.tolist()
+        assert (snap_d2["vec_id"] == 0).any()
+        assert not (snap_d3["vec_id"] == 0).any()
+
+    def test_unknown_epoch_raises(self, lsm_store):
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            query_ivf_store,
+        )
+
+        out, q, *_ = lsm_store
+        with pytest.raises(ValueError, match="unknown epoch"):
+            query_ivf_store(out, q, k=5, n_probe=2, as_of="day9")
+
+    def test_compacted_view_rejected(self, lsm_store, tmp_path):
+        import shutil
+
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            compact_ivf_store,
+            query_ivf_store,
+        )
+
+        out, q, _, snap_d2, snap_d3 = lsm_store
+        out2 = str(tmp_path / "ivf_c")
+        shutil.copytree(out, out2)
+        compact_ivf_store(out2)
+        with pytest.raises(ValueError, match="compacted"):
+            query_ivf_store(out2, q, k=5, n_probe=2, as_of="day2")
+        # the current view still answers, identical to pre-compaction
+        got = query_ivf_store(out2, q, k=5, n_probe=2).to_pandas()
+        assert got.values.tolist() == snap_d3.values.tolist()
