@@ -5317,6 +5317,44 @@ def q_late_data_windows(sf_dir: str) -> Any:
     return _int64(out, ["window_start_us", "n"])
 
 
+def q_late_data_sessions(sf_dir: str) -> Any:
+    """Watermarked SESSION windows (stages/watermark.py:
+    session_window_epoch): the genuinely-streaming window shape, since
+    sessions MERGE across epochs — an epoch-2 event inside the 30-min
+    gap of an epoch-1 open session extends or fuses it. Two epochs by
+    event_id parity, lateness 2 h; epoch-2 rows at or below the epoch-1
+    watermark are LATE (side-output, excluded). Returns sealed + open
+    sessions; the oracle replays the protocol as gaps-and-islands CTEs."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.watermark import (
+        read_session_state,
+        session_window_epoch,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def _half(parity: int):
+        return ds.map_batches(
+            lambda b, _p=parity: b.filter(pc.equal(
+                pc.bit_wise_and(b.column("event_id"), 1), _p)),
+            batch_format="pyarrow")
+
+    sd = _tf.mkdtemp(prefix="cee_swm_")
+    try:
+        session_window_epoch(_half(0), sd, "e0", gap_minutes=30,
+                             allowed_lateness_minutes=120)
+        session_window_epoch(_half(1), sd, "e1", gap_minutes=30,
+                             allowed_lateness_minutes=120)
+        out = read_session_state(sd).to_pandas()
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)  # result is eager
+    return _int64(out, ["start_us", "end_us", "n"])
+
+
 def q_user_active_coverage(sf_dir: str) -> Any:
     """Per-user active time: total milliseconds covered by the UNION of
     5-minute windows opened at each event (overlaps collapse — the
@@ -5524,6 +5562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_stored": q_knn_stored,
         "knn_stored_pq": q_knn_stored_pq,
         "late_data_windows": q_late_data_windows,
+        "late_data_sessions": q_late_data_sessions,
     }
 
 
@@ -7098,6 +7137,59 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'final'
             FROM final1
             UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'open'
+            FROM openf
+        """,
+        "late_data_sessions": """
+            WITH ev AS (
+              SELECT event_type AS k, epoch_us(ts) AS tus, event_id
+              FROM events),
+            e0 AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+            e1 AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+            b0 AS (SELECT k, tus,
+                     CASE WHEN tus - lag(tus) OVER
+                            (PARTITION BY k ORDER BY tus)
+                          > 1800000000 THEN 1 ELSE 0 END AS brk
+                   FROM e0),
+            i0 AS (SELECT k, tus, SUM(brk) OVER
+                     (PARTITION BY k ORDER BY tus
+                      ROWS UNBOUNDED PRECEDING) AS sid FROM b0),
+            s0 AS (SELECT k, MIN(tus) AS s, MAX(tus) AS e,
+                          COUNT(*) AS n FROM i0 GROUP BY k, sid),
+            wm0 AS (SELECT MAX(tus) - 7200000000 AS w FROM e0),
+            final0 AS (SELECT * FROM s0
+                       WHERE e + 1800000000 <= (SELECT w FROM wm0)),
+            open0 AS (SELECT * FROM s0
+                      WHERE e + 1800000000 > (SELECT w FROM wm0)),
+            on1 AS (SELECT k, tus FROM e1
+                    WHERE tus > (SELECT w FROM wm0)),
+            u AS (SELECT k, s, e, n FROM open0
+                  UNION ALL
+                  SELECT k, tus AS s, tus AS e, 1 AS n FROM on1),
+            r1 AS (SELECT k, s, e, n,
+                     MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS runmax
+                   FROM u),
+            r2 AS (SELECT k, s, e, n,
+                     CASE WHEN s > lag(runmax) OVER
+                            (PARTITION BY k ORDER BY s, e)
+                          + 1800000000 THEN 1 ELSE 0 END AS brk
+                   FROM r1),
+            i1 AS (SELECT k, s, e, n, SUM(brk) OVER
+                     (PARTITION BY k ORDER BY s, e
+                      ROWS UNBOUNDED PRECEDING) AS sid FROM r2),
+            m1 AS (SELECT k, MIN(s) AS s, MAX(e) AS e, SUM(n) AS n
+                   FROM i1 GROUP BY k, sid),
+            wm1 AS (SELECT greatest((SELECT w FROM wm0),
+                      (SELECT MAX(e) FROM m1) - 7200000000) AS w),
+            final1 AS (SELECT * FROM m1
+                       WHERE e + 1800000000 <= (SELECT w FROM wm1)),
+            openf AS (SELECT * FROM m1
+                      WHERE e + 1800000000 > (SELECT w FROM wm1))
+            SELECT k AS event_type, s AS start_us, e AS end_us,
+                   CAST(n AS BIGINT) AS n, 'final' AS status FROM final0
+            UNION ALL SELECT k, s, e, CAST(n AS BIGINT), 'final'
+            FROM final1
+            UNION ALL SELECT k, s, e, CAST(n AS BIGINT), 'open'
             FROM openf
         """,
         "kg_bfs_hops": f"""

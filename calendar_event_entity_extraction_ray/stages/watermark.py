@@ -105,6 +105,9 @@ def tumbling_window_epoch(
 
     os.makedirs(state_dir, exist_ok=True)
     state = _load_state(state_dir)
+    if state.setdefault("kind", "tumbling") != "tumbling":
+        raise ValueError(
+            f"state dir {state_dir!r} holds {state['kind']!r} windows")
     if epoch in state["epochs"]:
         return {"watermark_us": state["watermark_us"], "n_late": 0,
                 "n_finalized": 0, "noop": True}
@@ -202,6 +205,259 @@ def tumbling_window_epoch(
             pass
     return {"watermark_us": new_wm, "n_late": n_late,
             "n_finalized": n_finalized, "noop": False}
+
+
+def _merge_intervals(df: pd.DataFrame, key_col: str,
+                     gap_us: int) -> pd.DataFrame:
+    """(key, start_us, end_us, n) rows -> maximal gap-merged sessions
+    per key, one vectorized pass (sort, per-key running-max end, break
+    where the next start exceeds it by more than the gap). Merging
+    locally-merged intervals re-merges exactly like merging the raw
+    points (gap-closure of a union == union of gap-closures), so this
+    one kernel serves the per-batch pre-merge AND the exchange fold."""
+    if not len(df):
+        return df.reset_index(drop=True)
+    df = df.sort_values([key_col, "start_us", "end_us"],
+                        kind="stable").reset_index(drop=True)
+    k = df[key_col]
+    prev = k.shift()
+    newkey = ~(k.eq(prev) | (k.isna() & prev.isna()))
+    newkey.iloc[0] = True
+    runmax = df.groupby(k, sort=False, dropna=False)["end_us"].cummax()
+    boundary = newkey | (df["start_us"] > runmax.shift() + gap_us)
+    sid = boundary.cumsum()
+    g = df.groupby(sid, sort=True)
+    return pd.DataFrame({
+        key_col: g[key_col].first(),
+        "start_us": g["start_us"].min().astype("int64"),
+        "end_us": g["end_us"].max().astype("int64"),
+        "n": g["n"].sum().astype("int64"),
+    }).reset_index(drop=True)
+
+
+def session_window_epoch(
+    ds: "ray.data.Dataset",
+    state_dir: str,
+    epoch: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    allowed_lateness_minutes: int = 60,
+    late_policy: str = "side_output",
+) -> dict:
+    """Session windows (gap-based) under the same watermark protocol as
+    ``tumbling_window_epoch`` — the genuinely-streaming case, because
+    sessions MERGE across epochs: an epoch-2 event inside the gap of an
+    epoch-1 open session extends it (or fuses two of them).
+
+    Semantics per epoch:
+
+    - LATE = event with ``ts <= watermark-before-this-epoch`` (the only
+      rows that could touch a sealed session: merging needs
+      ``ts <= end + gap`` and sealing needs ``end + gap <= wm``);
+      policy ``drop`` (counted) or ``side_output``.
+    - on-time events pre-merge per batch, union with the open-session
+      table, and ONE hash exchange on the key re-merges per key — the
+      shuffle moves (key, start, end, n) intervals, never the event
+      stream.
+    - watermark advances to ``max(open-session end) - lateness``: the
+      max-end session is never sealed (``end + gap > wm`` by
+      construction), so the open table always carries the true
+      max-event-time — no separate stats pass.
+    - sessions with ``end + gap <= watermark`` SEAL (no future on-time
+      event can extend them: it would need ``ts <= end + gap <= wm``,
+      i.e. be late) into ``final/epoch=<e>.parquet``.
+
+    Crash-safe exactly like the tumbling form: versioned open table,
+    state JSON as the commit point. Returns {watermark_us, n_late,
+    n_finalized, noop}."""
+    if late_policy not in ("drop", "side_output"):
+        raise ValueError(f"unknown late_policy {late_policy!r}")
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = _load_state(state_dir)
+    if state.setdefault("kind", "session") != "session":
+        raise ValueError(
+            f"state dir {state_dir!r} holds {state['kind']!r} windows")
+    if epoch in state["epochs"]:
+        return {"watermark_us": state["watermark_us"], "n_late": 0,
+                "n_finalized": 0, "noop": True}
+
+    gap_us = gap_minutes * 60_000_000
+    late_us = allowed_lateness_minutes * 60_000_000
+    old_wm = state["watermark_us"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = b.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({key_col: b.column(key_col).to_pandas(),
+                           "start_us": ts_us.astype("int64"),
+                           "end_us": ts_us.astype("int64"),
+                           "n": np.ones(len(ts_us), dtype="int64")})
+        is_late = (df["start_us"] <= old_wm if old_wm is not None
+                   else pd.Series(False, index=df.index))
+        late = df[is_late]
+        if len(late):
+            late = late.groupby([key_col, "start_us"], as_index=False,
+                                dropna=False).agg(
+                end_us=("end_us", "first"), n=("n", "sum"))
+        on = _merge_intervals(df[~is_late], key_col, gap_us)
+        late["late"] = True
+        on["late"] = False
+        out = pd.concat([on, late], ignore_index=True)
+        # explicit schema: an all-late or empty batch must not let the
+        # pandas round-trip erase the key dtype (CLAUDE.md round-3 fact)
+        schema = pa.schema([
+            pa.field(key_col, b.schema.field(key_col).type),
+            pa.field("start_us", pa.int64()),
+            pa.field("end_us", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("late", pa.bool_())])
+        return add_hash_column(
+            pa.Table.from_pandas(out[[key_col, "start_us", "end_us",
+                                      "n", "late"]], schema=schema,
+                                 preserve_index=False),
+            [key_col], out_col="_kh")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, "start_us", "end_us", "n",
+                       "late"]).to_pandas()
+        late = df[df["late"]]
+        if len(late):
+            late = late.groupby([key_col, "start_us"], as_index=False,
+                                dropna=False).agg(
+                end_us=("end_us", "first"), n=("n", "sum"))
+        merged = _merge_intervals(df[~df["late"]], key_col, gap_us)
+        late["late"] = True
+        merged["late"] = False
+        out = pd.concat([merged, late], ignore_index=True)
+        schema = pa.schema([
+            t.schema.field(key_col),
+            pa.field("start_us", pa.int64()),
+            pa.field("end_us", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("late", pa.bool_())])
+        return pa.Table.from_pandas(
+            out[[key_col, "start_us", "end_us", "n", "late"]],
+            schema=schema, preserve_index=False)
+
+    parts = [ds.map_batches(prep, batch_format="pyarrow")]
+    opath = _open_path(state_dir, state)
+    if opath is not None and os.path.exists(opath):
+        # stay in Arrow: an empty open table (everything sealed) must
+        # keep its key dtype through the union
+        pt = pq.read_table(opath)
+        pt = pt.append_column(
+            "late", pa.array(np.zeros(pt.num_rows, bool)))
+        parts.append(ray.data.from_arrow(
+            add_hash_column(pt, [key_col], out_col="_kh")))
+    exch = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    out_ds = hash_partition_map(exch, "_kh", fold)
+    batches = list(out_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    result_t = (pa.concat_tables(batches, promote_options="default")
+                if batches else None)
+    key_field = (result_t.schema.field(key_col) if result_t is not None
+                 else pa.field(key_col, pa.string()))
+    open_schema = pa.schema([key_field, pa.field("start_us", pa.int64()),
+                             pa.field("end_us", pa.int64()),
+                             pa.field("n", pa.int64())])
+    result = (result_t.to_pandas() if result_t is not None
+              else pd.DataFrame({key_col: [], "start_us": [],
+                                 "end_us": [], "n": [], "late": []}))
+
+    late = result[result["late"] == True] if len(result) else result  # noqa: E712
+    on = result[result["late"] == False] if len(result) else result   # noqa: E712
+    n_late = int(late["n"].sum()) if len(late) else 0
+    if n_late and late_policy == "side_output":
+        ldir = os.path.join(state_dir, "late")
+        os.makedirs(ldir, exist_ok=True)
+        side = late.rename(columns={"start_us": "ts_us"})[
+            [key_col, "ts_us", "n"]].sort_values(
+            [key_col, "ts_us"], kind="stable")
+        pq.write_table(pa.Table.from_pandas(
+            side.reset_index(drop=True), preserve_index=False),
+            os.path.join(ldir, f"epoch={epoch}.parquet"))
+
+    new_wm = old_wm
+    if len(on):
+        cand = int(on["end_us"].max()) - late_us
+        new_wm = cand if old_wm is None else max(old_wm, cand)
+
+    n_finalized = 0
+    open_rows = (on[[key_col, "start_us", "end_us", "n"]]
+                 if len(on) else on.reindex(
+                     columns=[key_col, "start_us", "end_us", "n"]))
+    if new_wm is not None and len(open_rows):
+        seal = open_rows["end_us"] + gap_us <= new_wm
+        final = open_rows[seal].sort_values(
+            [key_col, "start_us"], kind="stable")
+        open_rows = open_rows[~seal]
+        n_finalized = len(final)
+        if n_finalized:
+            fdir = os.path.join(state_dir, "final")
+            os.makedirs(fdir, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(
+                final.reset_index(drop=True), schema=open_schema,
+                preserve_index=False),
+                os.path.join(fdir, f"epoch={epoch}.parquet"))
+
+    new_open = f"open.epoch={epoch}.parquet"
+    npath = os.path.join(state_dir, new_open)
+    tmp = npath + ".tmp"
+    pq.write_table(pa.Table.from_pandas(
+        open_rows.reset_index(drop=True), schema=open_schema,
+        preserve_index=False), tmp)
+    os.replace(tmp, npath)
+
+    state["epochs"].append(epoch)
+    state["watermark_us"] = new_wm
+    state["open_file"] = new_open
+    _write_state(state_dir, state)  # the commit point
+    if opath is not None and opath != npath:
+        try:
+            os.remove(opath)
+        except OSError:
+            pass
+    return {"watermark_us": new_wm, "n_late": n_late,
+            "n_finalized": n_finalized, "noop": False}
+
+
+def read_session_state(state_dir: str, key_col: str = "event_type"
+                       ) -> pa.Table:
+    """Current session view: sealed sessions (status="final") + open
+    ones (status="open"), sorted (key, start_us)."""
+    def empty():
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "start_us": pa.array([], pa.int64()),
+                         "end_us": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    parts = []
+    fdir = os.path.join(state_dir, "final")
+    if os.path.isdir(fdir):
+        for f in sorted(os.listdir(fdir)):
+            parts.append(pq.read_table(os.path.join(fdir, f)))
+    final = pa.concat_tables(parts) if parts else empty()
+    opath = _open_path(state_dir, _load_state(state_dir))
+    opened = (pq.read_table(opath)
+              if opath is not None and os.path.exists(opath)
+              else empty())
+    df_f = final.to_pandas()
+    df_f["status"] = "final"
+    df_o = opened.to_pandas()
+    df_o["status"] = "open"
+    out = pd.concat([df_f, df_o], ignore_index=True).sort_values(
+        [key_col, "start_us"], kind="stable")
+    for c in ("start_us", "end_us", "n"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
 
 
 def read_window_state(state_dir: str, key_col: str = "event_type"

@@ -174,3 +174,118 @@ class TestWatermark:
         final = state[state["status"] == "final"]
         assert {(r["event_type"], int(r["n"]))
                 for _, r in final.iterrows()} == {("a", 1), ("b", 1)}
+
+
+class TestSessionWatermark:
+    """session_window_epoch — gap sessions under the watermark protocol."""
+
+    def _run(self, sd, ts, epoch, **kw):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            session_window_epoch,
+        )
+
+        kw.setdefault("gap_minutes", 30)
+        kw.setdefault("allowed_lateness_minutes", 60)
+        return session_window_epoch(_events(ts[0], types=ts[1]), sd,
+                                    epoch, **kw)
+
+    def test_seal_extend_and_late(self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_late_rows,
+            read_session_state,
+        )
+
+        sd = str(tmp_path / "sw")
+        # e0: sessions [0,10] n2, [100] n1, [300] n1; wm=240;
+        # [0,10] and [100] seal, [300] stays open
+        s0 = self._run(sd, ([0, 10, 100, 300], None), "e0")
+        assert s0["watermark_us"] == _us(240)
+        assert s0["n_finalized"] == 2 and s0["n_late"] == 0
+
+        # e1: 200 and 50 are late (<= wm); 320 extends the open [300]
+        # session; wm advances to 260; [300,320] stays open
+        s1 = self._run(sd, ([320, 200, 50], None), "e1")
+        assert s1["n_late"] == 2
+        assert s1["watermark_us"] == _us(260)
+        assert s1["n_finalized"] == 0
+
+        st = read_session_state(sd).to_pandas()
+        got = [(int(r["start_us"]), int(r["end_us"]), int(r["n"]),
+                r["status"]) for _, r in st.iterrows()]
+        assert got == [
+            (_us(0), _us(10), 2, "final"),
+            (_us(100), _us(100), 1, "final"),
+            (_us(300), _us(320), 2, "open"),
+        ]
+        late = read_late_rows(sd).to_pandas()
+        assert sorted((int(r["ts_us"]), int(r["n"]), r["epoch"])
+                      for _, r in late.iterrows()) == [
+            (_us(50), 1, "e1"), (_us(200), 1, "e1")]
+
+    def test_bridge_event_fuses_two_open_sessions(self, ray_session,
+                                                  tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_session_state,
+        )
+
+        sd = str(tmp_path / "sw2")
+        # e0: [100] and [160] both open (wm=100, neither end+30 <= wm)
+        s0 = self._run(sd, ([100, 160], None), "e0")
+        assert s0["n_finalized"] == 0
+        # e1: 130 bridges them (30 <= gap on both sides) -> ONE session
+        self._run(sd, ([130], None), "e1")
+        st = read_session_state(sd).to_pandas()
+        assert [(int(r["start_us"]), int(r["end_us"]), int(r["n"]),
+                 r["status"]) for _, r in st.iterrows()] == [
+            (_us(100), _us(160), 3, "open")]
+
+    def test_multi_key_and_idempotent(self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_session_state,
+        )
+
+        sd = str(tmp_path / "sw3")
+        s0 = self._run(sd, ([10, 20, 10, 300],
+                            ["a", "a", "b", "a"]), "e0")
+        assert s0["n_finalized"] == 2  # a:[10,20] and b:[10]
+        before = read_session_state(sd).to_pandas().values.tolist()
+        again = self._run(sd, ([10, 20, 10, 300],
+                               ["a", "a", "b", "a"]), "e0")
+        assert again["noop"] is True
+        assert read_session_state(sd).to_pandas().values.tolist() \
+            == before
+
+    def test_crash_mid_epoch_rerun_is_exact(self, ray_session, tmp_path,
+                                            monkeypatch):
+        from calendar_event_entity_extraction_ray.stages import watermark
+
+        def run(sd, crash):
+            self._run(sd, ([0, 10, 100, 300], None), "e0")
+            if crash:
+                real = watermark._write_state
+                monkeypatch.setattr(
+                    watermark, "_write_state",
+                    lambda d, s: (_ for _ in ()).throw(
+                        RuntimeError("boom")))
+                with pytest.raises(RuntimeError):
+                    self._run(sd, ([320, 200, 50], None), "e1")
+                monkeypatch.setattr(watermark, "_write_state", real)
+            s1 = self._run(sd, ([320, 200, 50], None), "e1")
+            return s1, watermark.read_session_state(sd).to_pandas()
+
+        s_ok, st_ok = run(str(tmp_path / "ctl"), False)
+        s_cr, st_cr = run(str(tmp_path / "cr"), True)
+        assert s_cr == s_ok
+        assert st_cr.values.tolist() == st_ok.values.tolist()
+
+    def test_kind_marker_rejects_mixing(self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "sw4")
+        self._run(sd, ([10, 300], None), "e0")
+        with pytest.raises(ValueError, match="session"):
+            tumbling_window_epoch(_events([10]), sd, "e1",
+                                  window_minutes=60,
+                                  allowed_lateness_minutes=60)
