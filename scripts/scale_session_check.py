@@ -1,0 +1,106 @@
+"""Scale check for watermarked session windows with planted truth.
+
+Synthesizes K keys x NB bursts x B events (burst span 18 min < 30-min
+gap; bursts 1 h apart), splits every burst's events across two epochs by
+index parity — so EVERY session must merge across the epoch boundary —
+and verifies the final session table against the closed form exactly:
+K*NB sessions, each n == B, each (start, end) == the planted burst.
+
+Usage:
+    python scripts/scale_session_check.py --keys 100000 --bursts 10 \
+        --per-burst 10          # = 10M events
+
+The exchange moves one pre-merged interval per (burst, epoch) — ~2 rows
+per planted session — never the event stream; the driver holds only the
+final session table (bounded by keys x bursts here because lateness is
+infinite; in production the lateness horizon bounds it).
+"""
+
+import argparse
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import pyarrow as pa
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", type=int, default=100_000)
+    ap.add_argument("--bursts", type=int, default=10)
+    ap.add_argument("--per-burst", type=int, default=10)
+    ap.add_argument("--num-cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    import ray.data
+
+    from calendar_event_entity_extraction_ray.stages.watermark import (
+        read_session_state,
+        session_window_epoch,
+    )
+
+    K, NB, B = args.keys, args.bursts, args.per_burst
+    rows = K * NB * B
+    hour_us, step_us = 3_600_000_000, 120_000_000
+
+    def synth(b: pa.Table, parity: int) -> pa.Table:
+        i = b.column("id").to_numpy()
+        k = i % K
+        r = i // K
+        burst, j = r // B, r % B
+        keep = (j % 2) == parity
+        ts = burst * hour_us + j * step_us + k
+        return pa.table({"event_type": pa.array(k[keep], pa.int64()),
+                         "ts": pa.array(ts[keep], pa.int64())})
+
+    import shutil
+    import tempfile
+
+    sd = tempfile.mkdtemp(prefix="swm_scale_")
+    t0 = time.time()
+    try:
+        for parity, epoch in ((0, "e0"), (1, "e1")):
+            ds = ray.data.range(rows, override_num_blocks=128).map_batches(
+                synth, fn_kwargs={"parity": parity},
+                batch_format="pyarrow")
+            s = session_window_epoch(
+                ds, sd, epoch, key_col="event_type", ts_col="ts",
+                gap_minutes=30, allowed_lateness_minutes=10**9,
+                late_policy="drop")
+            assert s["n_late"] == 0, s
+        wall = time.time() - t0
+        st = read_session_state(sd, key_col="event_type").to_pandas()
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+    assert len(st) == K * NB, (len(st), K * NB)
+    assert (st["n"] == B).all()
+    st = st.sort_values(["event_type", "start_us"], kind="stable")
+    k = st["event_type"].to_numpy()
+    burst = np.tile(np.arange(NB, dtype=np.int64), K)
+    want_k = np.repeat(np.arange(K, dtype=np.int64), NB)
+    assert (k == want_k).all()
+    want_start = burst * hour_us + want_k
+    assert (st["start_us"].to_numpy() == want_start).all()
+    assert (st["end_us"].to_numpy()
+            == want_start + (B - 1) * step_us).all()
+
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    print({"rows": rows, "sessions": K * NB, "wall_sec": round(wall, 1),
+           "events_per_sec": int(rows / wall), "driver_maxrss_mb": rss,
+           "verified": "exact planted sessions, all merged cross-epoch"})
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
