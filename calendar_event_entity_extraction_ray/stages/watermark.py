@@ -489,7 +489,10 @@ def read_window_state(state_dir: str, key_col: str = "event_type"
 
 def read_late_rows(state_dir: str, key_col: str = "event_type"
                    ) -> pa.Table:
-    """The side-output stream: per-epoch late (key, window, n) rows."""
+    """The side-output stream: per-epoch late rows —
+    (key, window_start_us, n) for tumbling state dirs,
+    (key, ts_us, n) for session ones (the empty shape follows the
+    dir's kind marker)."""
     ldir = os.path.join(state_dir, "late")
     parts = []
     if os.path.isdir(ldir):
@@ -499,6 +502,11 @@ def read_late_rows(state_dir: str, key_col: str = "event_type"
             parts.append(t.append_column(
                 "epoch", pa.array([epoch] * t.num_rows, pa.string())))
     if not parts:
-        e = _empty_counts(key_col)
+        if _load_state(state_dir).get("kind") == "session":
+            e = pa.table({key_col: pa.array([], pa.string()),
+                          "ts_us": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        else:
+            e = _empty_counts(key_col)
         return e.append_column("epoch", pa.array([], pa.string()))
     return pa.concat_tables(parts)
