@@ -5317,6 +5317,43 @@ def q_late_data_windows(sf_dir: str) -> Any:
     return _int64(out, ["window_start_us", "n"])
 
 
+def q_late_data_sliding(sf_dir: str) -> Any:
+    """Watermarked SLIDING windows (tumbling_window_epoch(slide_minutes=
+    ...)): every event lands in window/slide = 2 overlapping 1-h windows
+    on a 30-min slide; lateness is judged per TARGET window, so an
+    epoch-2 event's older assignment can be late while its newer one
+    proceeds. Two epochs by event_id parity, lateness 2 h; oracle =
+    the tumbling CTE protocol over the doubled assignment relation."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.watermark import (
+        read_window_state,
+        tumbling_window_epoch,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def _half(parity: int):
+        return ds.map_batches(
+            lambda b, _p=parity: b.filter(pc.equal(
+                pc.bit_wise_and(b.column("event_id"), 1), _p)),
+            batch_format="pyarrow")
+
+    sd = _tf.mkdtemp(prefix="cee_slw_")
+    try:
+        for parity, epoch in ((0, "e0"), (1, "e1")):
+            tumbling_window_epoch(
+                _half(parity), sd, epoch, window_minutes=60,
+                slide_minutes=30, allowed_lateness_minutes=120)
+        out = read_window_state(sd).to_pandas()
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)  # result is eager
+    return _int64(out, ["window_start_us", "n"])
+
+
 def q_late_data_sessions(sf_dir: str) -> Any:
     """Watermarked SESSION windows (stages/watermark.py:
     session_window_epoch): the genuinely-streaming window shape, since
@@ -5563,6 +5600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_stored_pq": q_knn_stored_pq,
         "late_data_windows": q_late_data_windows,
         "late_data_sessions": q_late_data_sessions,
+        "late_data_sliding": q_late_data_sliding,
     }
 
 
@@ -7113,6 +7151,47 @@ def oracle_sql() -> dict[str, str]:
                      event_id FROM events),
             e0 AS (SELECT * FROM ev WHERE event_id % 2 = 0),
             e1 AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+            wm0 AS (SELECT max(tus) - 7200000000 AS w FROM e0),
+            c0 AS (SELECT event_type, ws, COUNT(*) AS n
+                   FROM e0 GROUP BY 1, 2),
+            final0 AS (SELECT * FROM c0
+                       WHERE ws + 3600000000 <= (SELECT w FROM wm0)),
+            open0 AS (SELECT * FROM c0
+                      WHERE ws + 3600000000 > (SELECT w FROM wm0)),
+            c1 AS (SELECT event_type, ws, COUNT(*) AS n FROM e1
+                   WHERE ws + 3600000000 > (SELECT w FROM wm0)
+                   GROUP BY 1, 2),
+            wm1 AS (SELECT greatest((SELECT w FROM wm0),
+                        (SELECT max(tus) FROM e1) - 7200000000) AS w),
+            merged AS (SELECT event_type, ws, SUM(n) AS n FROM
+                       (SELECT * FROM open0 UNION ALL SELECT * FROM c1)
+                       GROUP BY 1, 2),
+            final1 AS (SELECT * FROM merged
+                       WHERE ws + 3600000000 <= (SELECT w FROM wm1)),
+            openf AS (SELECT * FROM merged
+                      WHERE ws + 3600000000 > (SELECT w FROM wm1))
+            SELECT event_type, ws AS window_start_us,
+                   CAST(n AS BIGINT) AS n, 'final' AS status FROM final0
+            UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'final'
+            FROM final1
+            UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'open'
+            FROM openf
+        """,
+        "late_data_sliding": """
+            WITH ev AS (
+              SELECT event_type, epoch_us(ts) AS tus, event_id
+              FROM events),
+            asn AS (
+              SELECT event_type, tus,
+                     (tus // 1800000000) * 1800000000 AS ws, event_id
+              FROM ev
+              UNION ALL
+              SELECT event_type, tus,
+                     (tus // 1800000000) * 1800000000 - 1800000000,
+                     event_id
+              FROM ev),
+            e0 AS (SELECT * FROM asn WHERE event_id % 2 = 0),
+            e1 AS (SELECT * FROM asn WHERE event_id % 2 = 1),
             wm0 AS (SELECT max(tus) - 7200000000 AS w FROM e0),
             c0 AS (SELECT event_type, ws, COUNT(*) AS n
                    FROM e0 GROUP BY 1, 2),

@@ -130,7 +130,8 @@ def run_bench() -> dict:
         "kg_attendee_walks", "kg_attendee_communities",
         "user_event_patterns", "knn_stored",
         # round-4: PQ-coded store scan + watermarked late-data windows
-        "knn_stored_pq", "late_data_windows", "late_data_sessions"]
+        "knn_stored_pq", "late_data_windows", "late_data_sessions",
+        "late_data_sliding"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

@@ -85,6 +85,7 @@ def tumbling_window_epoch(
     window_minutes: int = 60,
     allowed_lateness_minutes: int = 60,
     late_policy: str = "side_output",
+    slide_minutes: Optional[int] = None,
 ) -> dict:
     """Ingest one epoch of events into the windowed-count state.
 
@@ -96,32 +97,70 @@ def tumbling_window_epoch(
     ``[start, start+window)`` finalizes once
     ``start + window <= watermark``. Late = a row whose window had
     already finalized BEFORE this epoch (the watermark only moves
-    forward, so "late" is well-defined per epoch)."""
+    forward, so "late" is well-defined per epoch).
+
+    ``slide_minutes`` (must divide ``window_minutes``) turns the form
+    into SLIDING windows: each event lands in ``window/slide``
+    overlapping windows whose starts are multiples of the slide.
+    Everything downstream is per (key, window-start) and unchanged —
+    sealing, lateness (judged per target window, so one event's oldest
+    assignments can be late while its newest proceed) and the state
+    layout; ``n_late`` counts late ASSIGNMENTS. Window geometry is
+    pinned in the state JSON — an epoch run with different parameters
+    is rejected."""
     if late_policy not in ("drop", "side_output"):
         raise ValueError(f"unknown late_policy {late_policy!r}")
     from calendar_event_entity_extraction_ray.stages.aggregate import (
         grouped_sums,
     )
 
+    slide = window_minutes if slide_minutes is None else slide_minutes
+    if window_minutes % slide:
+        raise ValueError(
+            f"slide_minutes={slide} must divide window_minutes"
+            f"={window_minutes}")
+    kind = "tumbling" if slide == window_minutes else "sliding"
     os.makedirs(state_dir, exist_ok=True)
     state = _load_state(state_dir)
-    if state.setdefault("kind", "tumbling") != "tumbling":
+    if state.setdefault("kind", kind) != kind:
         raise ValueError(
             f"state dir {state_dir!r} holds {state['kind']!r} windows")
+    params = {"window_minutes": window_minutes, "slide_minutes": slide,
+              "allowed_lateness_minutes": allowed_lateness_minutes,
+              "key_col": key_col, "ts_col": ts_col}
+    if state.setdefault("params", params) != params:
+        raise ValueError(
+            f"state dir {state_dir!r} was built with "
+            f"{state['params']!r}, got {params!r}")
     if epoch in state["epochs"]:
         return {"watermark_us": state["watermark_us"], "n_late": 0,
                 "n_finalized": 0, "noop": True}
 
     win_us = window_minutes * 60_000_000
+    slide_us = slide * 60_000_000
+    n_asn = win_us // slide_us
     late_us = allowed_lateness_minutes * 60_000_000
 
     def prep(b: pa.Table) -> pa.Table:
         ts_us = b.column(ts_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
+        base = ts_us // slide_us * slide_us
+        if n_asn == 1:
+            keys = b.column(key_col)
+            starts, ts_rep = base, ts_us
+        else:
+            # each event -> window/slide overlapping windows; arrow
+            # take keeps the key dtype through the expansion
+            idx = np.repeat(np.arange(len(ts_us)), n_asn)
+            keys = b.column(key_col).take(pa.array(idx))
+            starts = (np.repeat(base, n_asn)
+                      - np.tile(np.arange(n_asn) * slide_us,
+                                len(ts_us)))
+            ts_rep = np.repeat(ts_us, n_asn)
         return pa.table({
-            key_col: b.column(key_col),
-            "window_start_us": pa.array(ts_us // win_us * win_us),
-            "ts_us": pa.array(ts_us),
+            key_col: keys,
+            "window_start_us": pa.array(starts),
+            "ts_us": pa.array(ts_rep),
         })
 
     # ONE distributed pass: (key, window) partial counts + max event
@@ -285,6 +324,13 @@ def session_window_epoch(
     if state.setdefault("kind", "session") != "session":
         raise ValueError(
             f"state dir {state_dir!r} holds {state['kind']!r} windows")
+    params = {"gap_minutes": gap_minutes,
+              "allowed_lateness_minutes": allowed_lateness_minutes,
+              "key_col": key_col, "ts_col": ts_col}
+    if state.setdefault("params", params) != params:
+        raise ValueError(
+            f"state dir {state_dir!r} was built with "
+            f"{state['params']!r}, got {params!r}")
     if epoch in state["epochs"]:
         return {"watermark_us": state["watermark_us"], "n_late": 0,
                 "n_finalized": 0, "noop": True}

@@ -289,3 +289,75 @@ class TestSessionWatermark:
             tumbling_window_epoch(_events([10]), sd, "e1",
                                   window_minutes=60,
                                   allowed_lateness_minutes=60)
+
+
+class TestSlidingWatermark:
+    """tumbling_window_epoch(slide_minutes=...) — overlapping windows
+    under the same watermark/seal protocol; lateness is per target
+    window, so one event's assignments can split late/on-time."""
+
+    def test_multi_assign_seal_and_partial_late(self, ray_session,
+                                                tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_late_rows,
+            read_window_state,
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "sl")
+        # e0: ev@10 -> windows -30 and 0; ev@200 -> 150 and 180;
+        # wm = 140 -> -30 and 0 seal
+        s0 = tumbling_window_epoch(
+            _events([10, 200]), sd, "e0", window_minutes=60,
+            slide_minutes=30, allowed_lateness_minutes=60)
+        assert s0["watermark_us"] == _us(140)
+        assert s0["n_finalized"] == 2 and s0["n_late"] == 0
+
+        # e1: ev@115 -> windows 90 (on-time: 90+60 > 140) and 60
+        # (LATE: 120 <= 140); ev@260 -> 210 and 240; wm -> 200 seals 90
+        s1 = tumbling_window_epoch(
+            _events([115, 260]), sd, "e1", window_minutes=60,
+            slide_minutes=30, allowed_lateness_minutes=60)
+        assert s1["n_late"] == 1
+        assert s1["watermark_us"] == _us(200)
+        assert s1["n_finalized"] == 1  # window 90
+
+        st = read_window_state(sd).to_pandas()
+        got = [(int(r["window_start_us"]), int(r["n"]), r["status"])
+               for _, r in st.iterrows()]
+        assert got == [
+            (_us(-30), 1, "final"), (_us(0), 1, "final"),
+            (_us(90), 1, "final"), (_us(150), 1, "open"),
+            (_us(180), 1, "open"), (_us(210), 1, "open"),
+            (_us(240), 1, "open")]
+        late = read_late_rows(sd).to_pandas()
+        assert late[["window_start_us", "n", "epoch"]].values.tolist() \
+            == [[_us(60), 1, "e1"]]
+
+    def test_geometry_pinned(self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "sl2")
+        tumbling_window_epoch(_events([10]), sd, "e0",
+                              window_minutes=60, slide_minutes=30,
+                              allowed_lateness_minutes=60)
+        with pytest.raises(ValueError, match="was built with"):
+            tumbling_window_epoch(_events([70]), sd, "e1",
+                                  window_minutes=120, slide_minutes=30,
+                                  allowed_lateness_minutes=60)
+        with pytest.raises(ValueError, match="holds"):
+            tumbling_window_epoch(_events([70]), sd, "e1",
+                                  window_minutes=60,
+                                  allowed_lateness_minutes=60)
+
+    def test_slide_must_divide(self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            tumbling_window_epoch,
+        )
+
+        with pytest.raises(ValueError, match="must divide"):
+            tumbling_window_epoch(_events([10]),
+                                  str(tmp_path / "sl3"), "e0",
+                                  window_minutes=60, slide_minutes=45)
