@@ -405,6 +405,31 @@ def q_sessionize(sf_dir: str) -> Any:
     return _int64(sessionize(ds), ["user_id", "n_sessions", "n_events"])
 
 
+def q_count_windows(sf_dir: str) -> Any:
+    """Tumbling COUNT windows per user (every 16 events, ordered by
+    ts then event_id) — the row-count analogue of events_hourly
+    (stages/windows.py:count_windows)."""
+    from calendar_event_entity_extraction_ray.stages.windows import count_windows
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return _int64(count_windows(ds, n=16),
+                  ["user_id", "window_id", "n_events", "sum_cents"])
+
+
+def q_count_windows_sliding(sf_dir: str) -> Any:
+    """Sliding COUNT windows per user (size 16, slide 4): each event joins
+    every window covering its per-key sequence number; the fold explodes
+    rows into windows with one np.repeat ramp
+    (stages/windows.py:count_windows)."""
+    from calendar_event_entity_extraction_ray.stages.windows import count_windows
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return _int64(count_windows(ds, n=16, slide=4),
+                  ["user_id", "window_id", "n_events", "sum_cents"])
+
+
 def q_orders_priority(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
 
@@ -5439,6 +5464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customers": q_nation_customers,
         "knn_topk": q_knn,
         "sessionize": q_sessionize,
+        "count_windows": q_count_windows,
+        "count_windows_sliding": q_count_windows_sliding,
         "orders_priority": q_orders_priority,
         "brand_revenue": q_brand_revenue,
         "supplier_balance": q_supplier_balance,
@@ -5751,6 +5778,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM d GROUP BY user_id
+        """,
+        "count_windows": """
+            WITH seq AS (
+              SELECT user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS rn
+              FROM events)
+            SELECT user_id, rn // 16 AS window_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM seq GROUP BY user_id, rn // 16
+        """,
+        "count_windows_sliding": """
+            WITH seq AS (
+              SELECT user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS rn
+              FROM events),
+            ex AS (
+              SELECT user_id, cents,
+                     unnest(generate_series(
+                         greatest(0, CAST(ceil((rn - 15) / 4.0) AS BIGINT)),
+                         rn // 4)) AS window_id
+              FROM seq)
+            SELECT user_id, window_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM ex GROUP BY user_id, window_id
         """,
         "orders_priority": """
             SELECT o_orderpriority,

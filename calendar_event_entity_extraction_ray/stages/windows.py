@@ -317,6 +317,95 @@ def resample_fill(
                               num_partitions=default_num_partitions())
 
 
+def count_windows(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    n: int = 16,
+    slide: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Per-key COUNT-based windows (the row-count analogue of the time
+    windows — Flink's ``countWindow``): order each key's events by
+    (ts, tiebreak), number them 0..k-1, and aggregate windows of ``n``
+    consecutive events. ``slide=None`` (or ``slide == n``) gives tumbling
+    count windows (window_id = rn // n); ``slide < n`` gives sliding
+    count windows — event rn belongs to every window w with
+    ``w*slide <= rn < w*slide + n`` (windows start at rn 0, slide, 2*slide,
+    ...; the trailing partial windows at each key's end are emitted, like
+    the time-sliding form).
+
+    Plan: the row numbering needs each key's total order, so rows ship
+    through ONE exchange on the key hash; the fold is a single vectorized
+    pass — sort, cumcount, (for sliding) an np.repeat/arange ramp explodes
+    each row into its <= ceil(n/slide) windows, then a grouped sum in C.
+    Values publish as exact cents. NULL keys form one group (SQL
+    PARTITION BY semantics); NULL ts sort last (pandas == DuckDB ASC
+    NULLS LAST).
+
+    Output: (key, window_id, n_events, sum_cents)."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
+    )
+
+    s = n if slide is None else int(slide)
+    if s <= 0 or n <= 0 or s > n:
+        raise ValueError("need 0 < slide <= n")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(b.column(value_col), pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        t = pa.table({key_col: b.column(key_col),
+                      ts_col: b.column(ts_col),
+                      tiebreak_col: b.column(tiebreak_col),
+                      "_cents": v})
+        return add_hash_column(t, [key_col], out_col="_kh")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, ts_col, tiebreak_col, "_cents"]).to_pandas()
+        df = df.sort_values([key_col, ts_col, tiebreak_col],
+                            kind="mergesort")
+        rn = df.groupby(key_col, sort=False, dropna=False).cumcount() \
+               .to_numpy(np.int64)
+        keys = df[key_col].to_numpy()
+        cents = df["_cents"].to_numpy(np.int64)
+        if s == n:
+            wid = rn // n
+        else:
+            # window range per row: ceil((rn-n+1)/s) .. rn//s, clipped at 0
+            lo = np.maximum(0, -((rn - n + 1) // -s))
+            hi = rn // s
+            reps = hi - lo + 1
+            total = int(reps.sum())
+            starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            ramp = (np.arange(total, dtype=np.int64)
+                    - np.repeat(starts, reps) + np.repeat(lo, reps))
+            keys = np.repeat(keys, reps)
+            cents = np.repeat(cents, reps)
+            wid = ramp
+        out = pd.DataFrame({key_col: keys, "window_id": wid,
+                            "_cents": cents})
+        g = out.groupby([key_col, "window_id"], sort=False, dropna=False)
+        res = pd.DataFrame({"n_events": g.size(),
+                            "sum_cents": g["_cents"].sum()}).reset_index()
+        res["window_id"] = res["window_id"].astype(np.int64)
+        res["n_events"] = res["n_events"].astype(np.int64)
+        res["sum_cents"] = res["sum_cents"].astype(np.int64)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    return hash_partition_map(
+        ds.map_batches(prep, batch_format="pyarrow"), "_kh", fold)
+
+
 def interval_coverage(
     ds: "ray.data.Dataset",
     key_col: str,

@@ -1053,3 +1053,115 @@ class TestWriteSorted:
                      num_partitions=6)
         for f, t in mtimes.items():
             assert os.path.getmtime(f) == t
+
+
+class TestCountWindows:
+    def _mirror(self, df, n, s):
+        import numpy as np
+        import pandas as pd
+
+        d = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort").copy()
+        d["cents"] = np.floor(d["value"] * 100 + 0.5).astype(np.int64)
+        d["rn"] = d.groupby("user_id", dropna=False).cumcount()
+        rows = []
+        for _, r in d.iterrows():
+            rn = int(r["rn"])
+            lo = max(0, -((rn - n + 1) // -s))
+            for w in range(lo, rn // s + 1):
+                rows.append((r["user_id"], w, int(r["cents"])))
+        e = pd.DataFrame(rows, columns=["user_id", "window_id", "cents"])
+        g = e.groupby(["user_id", "window_id"], dropna=False)
+        return (pd.DataFrame({"n_events": g.size(),
+                              "sum_cents": g["cents"].sum()})
+                .reset_index())
+
+    def _input(self, seed=3, n=500, users=12):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame({
+            "user_id": rng.randint(0, users, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 3600, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.uniform(-20, 20, n).round(2),
+        })
+
+    def _run(self, df, **kw):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            count_windows,
+        )
+
+        return (count_windows(ray.data.from_pandas(df).repartition(5), **kw)
+                .to_pandas()
+                .sort_values(["user_id", "window_id"])
+                .reset_index(drop=True)
+                .astype({"user_id": "int64"}))
+
+    def test_tumbling_matches_mirror(self, ray_session):
+        import pandas as pd
+
+        df = self._input()
+        want = (self._mirror(df, 16, 16)
+                .sort_values(["user_id", "window_id"])
+                .reset_index(drop=True))
+        got = self._run(df, n=16)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_sliding_matches_mirror(self, ray_session):
+        import pandas as pd
+
+        df = self._input(seed=7)
+        want = (self._mirror(df, 16, 4)
+                .sort_values(["user_id", "window_id"])
+                .reset_index(drop=True))
+        got = self._run(df, n=16, slide=4)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_ts_ties_break_on_tiebreak_col(self, ray_session):
+        import pandas as pd
+
+        # every ts identical: ordering must follow event_id, so the first
+        # tumbling window of 2 holds cents (100, 200), the second (300,)
+        df = pd.DataFrame({
+            "user_id": pd.array([1, 1, 1], dtype="int64"),
+            "ts": pd.to_datetime([5, 5, 5], unit="s"),
+            "event_id": pd.array([10, 11, 12], dtype="int64"),
+            "value": [1.0, 2.0, 3.0],
+        })
+        got = self._run(df, n=2)
+        assert got["n_events"].tolist() == [2, 1]
+        assert got["sum_cents"].tolist() == [300, 300]
+
+    def test_trailing_partial_windows_emitted(self, ray_session):
+        # 5 events, size 4 slide 2 -> windows at rn 0 (4 events),
+        # 2 (3 events), 4 (1 event)
+        import numpy as np
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "user_id": pd.array([1] * 5, dtype="int64"),
+            "ts": pd.to_datetime(np.arange(5), unit="s"),
+            "event_id": np.arange(5, dtype=np.int64),
+            "value": [1.0] * 5,
+        })
+        got = self._run(df, n=4, slide=2)
+        assert got["window_id"].tolist() == [0, 1, 2]
+        assert got["n_events"].tolist() == [4, 3, 1]
+
+    def test_bad_slide_raises(self, ray_session):
+        import pytest
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            count_windows,
+        )
+
+        ds = ray.data.from_pandas(self._input(n=4))
+        with pytest.raises(ValueError):
+            count_windows(ds, n=4, slide=8)
+        with pytest.raises(ValueError):
+            count_windows(ds, n=4, slide=0)
