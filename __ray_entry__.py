@@ -430,6 +430,22 @@ def q_count_windows_sliding(sf_dir: str) -> Any:
                   ["user_id", "window_id", "n_events", "sum_cents"])
 
 
+def q_decayed_user_counts(sf_dir: str) -> Any:
+    """Per-user exponentially time-decayed activity counter (48 h
+    half-life, referenced at the corpus max ts) — exact integer
+    numerator, so the distributed partial sums are bit-identical to SQL
+    (stages/windows.py:decayed_counts)."""
+    import pandas as pd
+
+    from calendar_event_entity_extraction_ray.stages.windows import decayed_counts
+
+    ref = _read(sf_dir, "events", columns=["ts"]).max("ts")
+    ref_us = pd.Timestamp(ref).value // 1_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return _int64(decayed_counts(ds, "user_id", "ts", ref_us),
+                  ["user_id", "n_events", "decayed_num"])
+
+
 def q_orders_priority(sf_dir: str) -> Any:
     from calendar_event_entity_extraction_ray.stages.aggregate import grouped_sums
 
@@ -5465,6 +5481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": q_knn,
         "sessionize": q_sessionize,
         "count_windows": q_count_windows,
+        "decayed_user_counts": q_decayed_user_counts,
         "count_windows_sliding": q_count_windows_sliding,
         "orders_priority": q_orders_priority,
         "brand_revenue": q_brand_revenue,
@@ -5778,6 +5795,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM d GROUP BY user_id
+        """,
+        "decayed_user_counts": """
+            WITH mx AS (SELECT epoch_us(max(ts)) AS t FROM events)
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(
+                       CAST(1 AS BIGINT) << CAST(
+                           30 - least((t - epoch_us(ts))
+                                      // (48 * 3600 * CAST(1000000 AS BIGINT)), 30)
+                           AS INTEGER)
+                   ) AS BIGINT) AS decayed_num
+            FROM events, mx GROUP BY user_id
         """,
         "count_windows": """
             WITH seq AS (

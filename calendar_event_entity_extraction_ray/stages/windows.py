@@ -406,6 +406,52 @@ def count_windows(
         ds.map_batches(prep, batch_format="pyarrow"), "_kh", fold)
 
 
+def decayed_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    ref_ts_us: int,
+    half_life_hours: int = 48,
+    cap: int = 30,
+) -> "ray.data.Dataset":
+    """Per-key exponentially time-decayed event counter (the feature-store
+    "recency-weighted activity" signal): each event contributes
+    ``0.5 ** k`` where ``k = floor((ref - ts) / half_life)`` in whole
+    half-lives, capped at ``cap``. The score publishes as the EXACT
+    integer numerator ``decayed_num = sum(2 ** (cap - k))`` — the true
+    decayed count times ``2**cap`` — so distributed partial sums are
+    order-independent and bit-identical to a SQL oracle (``1::BIGINT <<
+    (cap - k)`` on the DuckDB side); no float accumulation anywhere.
+
+    The weight is associative, so per-batch partials collapse rows before
+    the shuffle (grouped_sums' pre-agg: a hot key ships one row per
+    batch). int64 bound: decayed_num <= n_events_per_key * 2**cap — at
+    cap=30, safe to ~8.6e9 events per key.
+
+    Output (key, n_events, decayed_num)."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    hl_us = int(half_life_hours) * 3_600_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        col = b.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.minimum((int(ref_ts_us) - ts) // hl_us, cap)
+        w = np.left_shift(np.int64(1), (cap - k).astype(np.int64))
+        return pa.table({key_col: b.column(key_col),
+                         "decayed_num": pa.array(w, pa.int64())})
+
+    return grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                        key_cols=[key_col], sum_cols=["decayed_num"],
+                        count_alias="n_events")
+
+
 def interval_coverage(
     ds: "ray.data.Dataset",
     key_col: str,

@@ -1165,3 +1165,65 @@ class TestCountWindows:
             count_windows(ds, n=4, slide=8)
         with pytest.raises(ValueError):
             count_windows(ds, n=4, slide=0)
+
+
+class TestDecayedCounts:
+    def test_matches_mirror_and_cap(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            decayed_counts,
+        )
+
+        rng = np.random.RandomState(4)
+        n = 1_000
+        # spread far enough back that some events hit the cap (k > 30
+        # at 1 h half-life needs > 30 h of history)
+        secs = rng.randint(0, 3600 * 200, n)
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 9, n).astype(np.int64),
+            "ts": pd.to_datetime(secs, unit="s"),
+        })
+        ref_us = int(df["ts"].max().value // 1_000)
+        hl_us = 3_600_000_000
+        k = np.minimum((ref_us - df["ts"].astype("int64") // 1_000)
+                       // hl_us, 30)
+        assert (k == 30).any()  # the cap actually engages
+        w = np.left_shift(np.int64(1),
+                          (30 - k).to_numpy(np.int64)).astype(np.int64)
+        want = (pd.DataFrame({"user_id": df["user_id"], "w": w})
+                .groupby("user_id")
+                .agg(n_events=("w", "size"), decayed_num=("w", "sum"))
+                .reset_index())
+        for nblocks in (1, 7):
+            ds = ray.data.from_pandas(df).repartition(nblocks)
+            got = (decayed_counts(ds, "user_id", "ts", ref_us,
+                                  half_life_hours=1)
+                   .to_pandas()
+                   .sort_values("user_id").reset_index(drop=True)
+                   .astype({"user_id": "int64"})
+                   [["user_id", "n_events", "decayed_num"]])
+            pd.testing.assert_frame_equal(
+                got, want.sort_values("user_id").reset_index(drop=True),
+                check_dtype=False)
+
+    def test_event_at_ref_weighs_full(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.windows import (
+            decayed_counts,
+        )
+
+        df = pd.DataFrame({
+            "user_id": pd.array([1, 1], dtype="int64"),
+            # one event AT the reference (k=0 -> 2^30), one exactly one
+            # half-life back (k=1 -> 2^29)
+            "ts": pd.to_datetime([48 * 3600, 0], unit="s"),
+        })
+        ref_us = 48 * 3600 * 1_000_000
+        out = decayed_counts(ray.data.from_pandas(df), "user_id", "ts",
+                             ref_us).to_pandas()
+        assert out["decayed_num"].tolist() == [(1 << 30) + (1 << 29)]
