@@ -4985,6 +4985,48 @@ def _bpe_model(sf_dir: str):
     return docs, train_bpe(docs, n_merges=200, top_k=20_000)
 
 
+def _unigram_model(sf_dir: str):
+    """Shared trainer for the unigram-LM queries: the SAME exact
+    distributed word histogram the BPE trainer uses, then the
+    driver-side Viterbi-EM loop (stages/unigramtrain.py). Fixed
+    (vocab_size, top_k) so the queries and goldens agree."""
+    from calendar_event_entity_extraction_ray.stages.unigramtrain import (
+        train_unigram,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs, train_unigram(docs, vocab_size=800, top_k=20_000)
+
+
+def q_unigram_vocab(sf_dir: str) -> Any:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018 / SentencePiece, hard-EM
+    form): corpus-sized work is the one exact word-type histogram
+    exchange; seeding, Viterbi-EM and pruning run over the bounded
+    word-TYPE table driver-side. Output = the trained vocabulary
+    (piece, logp_e6); golden recomputes single-process through the same
+    kernels (functions/unigram.py)."""
+    from calendar_event_entity_extraction_ray.stages.unigramtrain import (
+        vocab_table,
+    )
+
+    _, model = _unigram_model(sf_dir)
+    return vocab_table(model)
+
+
+def q_unigram_tokenized_docs(sf_dir: str) -> Any:
+    """Trained-unigram Viterbi encode of every doc: one broadcast of the
+    piece table + pre-encoded head vocabulary, per-batch distinct-word
+    decode, exact int64 outputs (piece count + siphash fingerprint of
+    the piece stream)."""
+    from calendar_event_entity_extraction_ray.stages.unigramtrain import (
+        unigram_tokenize,
+    )
+
+    docs, model = _unigram_model(sf_dir)
+    out = unigram_tokenize(docs, model)
+    return _int64(out.to_pandas(), ["doc_id", "n_pieces", "pieces_fp"])
+
+
 def q_bpe_merges(sf_dir: str) -> Any:
     """BPE tokenizer TRAINING (Sennrich 2016 / the HF-trainer shape):
     the corpus-sized work is one exact word-type histogram on the
@@ -5624,6 +5666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selected_docs": q_dsir_selected_docs,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenized_docs": q_bpe_tokenized_docs,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_tokenized_docs": q_unigram_tokenized_docs,
         "phash_dup_images": q_phash_dup_images,
         "afp_dup_audio": q_afp_dup_audio,
         "dq_report_events": q_dq_report_events,
@@ -5935,6 +5979,11 @@ def oracle_sql() -> dict[str, str]:
             f" FROM {_golden('semdedup_embeddings')}",
         "bpe_merges":
             f"SELECT rank, lhs, rhs FROM {_golden('bpe_merges')}",
+        "unigram_vocab":
+            f"SELECT piece, logp_e6 FROM {_golden('unigram_vocab')}",
+        "unigram_tokenized_docs":
+            f"SELECT doc_id, n_pieces, pieces_fp"
+            f" FROM {_golden('unigram_tokenized_docs')}",
         "phash_dup_images":
             f"SELECT id_a, id_b, dist"
             f" FROM {_golden('phash_dup_images')}",

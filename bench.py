@@ -131,7 +131,11 @@ def run_bench() -> dict:
         "user_event_patterns", "knn_stored",
         # round-4: PQ-coded store scan + watermarked late-data windows
         "knn_stored_pq", "late_data_windows", "late_data_sessions",
-        "late_data_sliding"]
+        "late_data_sliding",
+        # round-4 continuation: count windows + decayed counters +
+        # unigram-LM tokenizer
+        "count_windows", "count_windows_sliding", "decayed_user_counts",
+        "unigram_tokenized_docs"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

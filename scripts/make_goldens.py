@@ -1080,6 +1080,66 @@ def golden_bpe_tokenized_docs() -> pa.Table:
     })
 
 
+def _unigram_mirror():
+    """Single-process mirror of the unigram-LM trainer: Counter
+    histogram over every text, then the SAME cap/EM kernels
+    (functions/unigram.py) the distributed trainer calls — exact counts
+    + the shared cap rule hand both sides the same word-type table, and
+    everything after is one pure single-process float chain. (vocab_size,
+    top_k) pinned to __ray_entry__._unigram_model's values."""
+    from calendar_event_entity_extraction_ray.functions.bpe import (
+        cap_word_counts,
+        word_counts,
+    )
+    from calendar_event_entity_extraction_ray.functions.unigram import (
+        em_train,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    capped = cap_word_counts(
+        word_counts(t.column("text").to_pylist()), 20_000)
+    logp, unk = em_train(capped, vocab_size=800)
+    return t, logp, unk
+
+
+def golden_unigram_vocab() -> pa.Table:
+    import numpy as np
+
+    _, logp, _ = _unigram_mirror()
+    pieces = sorted(logp)
+    lp = np.array([logp[p] for p in pieces], dtype=np.float64)
+    return pa.table({
+        "piece": pa.array(pieces, pa.string()),
+        "logp_e6": pa.array(np.floor(lp * 1e6 + 0.5).astype(np.int64),
+                            pa.int64()),
+    })
+
+
+def golden_unigram_tokenized_docs() -> pa.Table:
+    """Mirror of q_unigram_tokenized_docs: Viterbi-encode every doc
+    through the same encode_text_unigram kernel + siphash fingerprint
+    in doc file order."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.functions.unigram import (
+        encode_text_unigram,
+    )
+    from calendar_event_entity_extraction_ray.stages.lmfilter import (
+        hash_strs,
+    )
+
+    t, logp, unk = _unigram_mirror()
+    enc = [encode_text_unigram(x, logp, 6, unk)
+           for x in t.column("text").to_pylist()]
+    fp = hash_strs([s for _, s in enc]).view(np.int64)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_pieces": pa.array([n for n, _ in enc], pa.int64()),
+        "pieces_fp": pa.array(fp, pa.int64()),
+    })
+
+
 def _brute_hamming_pairs(ids, hashes, max_dist) -> pa.Table:
     """Independent O(n^2) mirror of the banded hamming join: verifies the
     PLAN (pigeonhole banding + exchange), not just the kernels."""
@@ -1277,6 +1337,8 @@ GOLDENS = {
     "kg_flagship": golden_kg_flagship,
     "bpe_merges": golden_bpe_merges,
     "bpe_tokenized_docs": golden_bpe_tokenized_docs,
+    "unigram_vocab": golden_unigram_vocab,
+    "unigram_tokenized_docs": golden_unigram_tokenized_docs,
     "phash_dup_images": golden_phash_dup_images,
     "afp_dup_audio": golden_afp_dup_audio,
     "simhash_near_docs": golden_simhash_near_docs,
