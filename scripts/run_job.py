@@ -59,6 +59,14 @@ def main() -> int:
                          "--out, then exit — later delta side files are "
                          "not read; errors if a later epoch was "
                          "merge-applied or compacted")
+    ap.add_argument("--diff-epochs", default="",
+                    help="'A,B': print the triple-set diff between the "
+                         "graph as of epoch A and as of epoch B (either "
+                         "may be 'base' or 'head' for the current full "
+                         "view) at --out, then exit. Same readability "
+                         "rules as --read-as-of; driver-side like every "
+                         "read surface here (bounded by the graph view, "
+                         "not the ingest stream)")
     ap.add_argument("--resolve-entities", action="store_true",
                     help="post-linking entity canonicalization: cluster "
                          "person/place surface forms within edit distance "
@@ -108,6 +116,33 @@ def main() -> int:
         t = read_output(args.out, as_of=args.read_as_of)
         df = t.to_pandas().drop_duplicates() if t.num_rows else t.to_pandas()
         print({"as_of": args.read_as_of, "n_triples": len(df),
+               "wall_sec": round(time.time() - t0, 2)})
+        ray.shutdown()
+        return 0
+
+    if args.diff_epochs:
+        from calendar_event_entity_extraction_ray.state.manifest import (
+            read_output,
+        )
+
+        try:
+            a, b = [x.strip() for x in args.diff_epochs.split(",")]
+        except ValueError:
+            ap.error("--diff-epochs wants exactly 'A,B'")
+        t0 = time.time()
+
+        def view(name):
+            t = read_output(args.out,
+                            as_of=(None if name == "head" else name))
+            return t.to_pandas().drop_duplicates()
+
+        da, db = view(a), view(b)
+        cols = list(da.columns)
+        merged = da.merge(db, on=cols, how="outer", indicator=True)
+        removed = int((merged["_merge"] == "left_only").sum())
+        added = int((merged["_merge"] == "right_only").sum())
+        print({"from": a, "to": b, "n_from": len(da), "n_to": len(db),
+               "added": added, "removed": removed,
                "wall_sec": round(time.time() - t0, 2)})
         ray.shutdown()
         return 0
