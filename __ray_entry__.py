@@ -4936,6 +4936,24 @@ def q_bpe_token_batches_seqs(sf_dir: str) -> Any:
                   ["bucket", "bin", "n_ids", "n_pad", "ids_fp"])
 
 
+def q_unigram_token_batches_seqs(sf_dir: str) -> Any:
+    """The unigram-LM tokenizer-training loop closed: train the unigram
+    model on the raw corpus (q_unigram_vocab's trainer), then hand the
+    packed training sequences to token_batches with the TRAINED
+    tokenizer (piece ids = sorted-piece-index + special offset). Golden
+    recomputes both chains single-process through the same kernels."""
+    from calendar_event_entity_extraction_ray.pipelines.traindata import (
+        token_batches,
+        training_sequences,
+    )
+
+    docs, model = _unigram_model(sf_dir)
+    out = token_batches(training_sequences(docs), unigram_model=model)
+    return _int64(out.to_pandas()[["bucket", "bin", "n_ids", "n_pad",
+                                   "ids_fp"]],
+                  ["bucket", "bin", "n_ids", "n_pad", "ids_fp"])
+
+
 def q_simhash_dedup_docs(sf_dir: str) -> Any:
     """Simhash near-dedup with the CLUSTER keeper rule (the corpus_clean
     canonicalization pattern applied to the hamming family): exact banded
@@ -5668,6 +5686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenized_docs": q_bpe_tokenized_docs,
         "unigram_vocab": q_unigram_vocab,
         "unigram_tokenized_docs": q_unigram_tokenized_docs,
+        "unigram_token_batches_seqs": q_unigram_token_batches_seqs,
         "phash_dup_images": q_phash_dup_images,
         "afp_dup_audio": q_afp_dup_audio,
         "dq_report_events": q_dq_report_events,
@@ -6051,6 +6070,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_batches_seqs":
             f"SELECT bucket, bin, n_ids, n_pad, ids_fp"
             f" FROM {_golden('bpe_token_batches_seqs')}",
+        "unigram_token_batches_seqs":
+            f"SELECT bucket, bin, n_ids, n_pad, ids_fp"
+            f" FROM {_golden('unigram_token_batches_seqs')}",
         "bpe_tokenized_docs":
             f"SELECT doc_id, n_tokens, tokens_fp"
             f" FROM {_golden('bpe_tokenized_docs')}",

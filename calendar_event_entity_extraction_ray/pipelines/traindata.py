@@ -127,6 +127,7 @@ def token_batches(
     seq_len: int = 256,
     vocab_size: int = 32768,
     bpe_model=None,
+    unigram_model=None,
 ) -> "ray.data.Dataset":
     """Training-tensor hand-off: encode each packed sequence with the
     deterministic tokenizer (functions/tokenizer.py), pad (id 0) /
@@ -140,7 +141,13 @@ def token_batches(
     hash-vocab stand-in for the CORPUS-TRAINED tokenizer: ids are
     vocab-index + 4 (the ToyTokenizer special-id convention: 0 pad,
     1 bos, 2 eos, 3 unk — only chars absent from the capped training
-    histogram can hit unk)."""
+    histogram can hit unk).
+
+    ``unigram_model`` (a trained ``stages/unigramtrain.py:UnigramModel``,
+    mutually exclusive with ``bpe_model``) does the same with the
+    unigram-LM tokenizer: piece ids are sorted-piece-index + the special
+    offset; only encode-time pieces outside the trained table (unseen
+    single chars) hit unk."""
     import numpy as np
     import pyarrow as pa
 
@@ -151,7 +158,10 @@ def token_batches(
         hash_strs,
     )
 
+    if bpe_model is not None and unigram_model is not None:
+        raise ValueError("pass at most one of bpe_model / unigram_model")
     bpe_ref = None
+    uni_ref = None
     if bpe_model is not None:
         import ray as _ray
 
@@ -160,12 +170,42 @@ def token_batches(
             {t: i + ToyTokenizer.N_SPECIAL
              for i, t in enumerate(bpe_model.vocab)},
         ))
+    elif unigram_model is not None:
+        import ray as _ray
+
+        uni_ref = _ray.put((
+            unigram_model.logp, unigram_model.unk_logp,
+            unigram_model.max_piece_len,
+            {p: i + ToyTokenizer.N_SPECIAL
+             for i, p in enumerate(sorted(unigram_model.logp))},
+        ))
 
     def _encoder():
-        if bpe_ref is None:
+        if bpe_ref is None and uni_ref is None:
             tok = ToyTokenizer(vocab_size)
             return lambda text: tok.encode(text or "")
         import ray as _ray
+
+        if uni_ref is not None:
+            from calendar_event_entity_extraction_ray.functions.unigram import (
+                pretokenize,
+                viterbi_pieces,
+            )
+
+            logp, unk, mpl, id_of = _ray.get(uni_ref)
+            wcache: dict = {}
+
+            def enc_uni(text):
+                out = []
+                for w in pretokenize(text or ""):
+                    hit = wcache.get(w)
+                    if hit is None:
+                        hit = viterbi_pieces(w, logp, mpl, unk)
+                        wcache[w] = hit
+                    out.extend(id_of.get(p, 3) for p in hit)
+                return out
+
+            return enc_uni
 
         from calendar_event_entity_extraction_ray.functions.bpe import (
             encode_text,

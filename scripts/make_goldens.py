@@ -1140,6 +1140,51 @@ def golden_unigram_tokenized_docs() -> pa.Table:
     })
 
 
+def golden_unigram_token_batches_seqs() -> pa.Table:
+    """Mirror of q_unigram_token_batches_seqs: the unigram mirror's
+    trained table feeds the same Viterbi encode / id-map kernels over
+    the sequential training_sequences mirror."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.functions.tokenizer import (
+        ToyTokenizer,
+    )
+    from calendar_event_entity_extraction_ray.functions.unigram import (
+        pretokenize,
+        viterbi_pieces,
+    )
+    from calendar_event_entity_extraction_ray.stages.lmfilter import (
+        hash_strs,
+    )
+
+    _, logp, unk = _unigram_mirror()
+    id_of = {p: i + ToyTokenizer.N_SPECIAL
+             for i, p in enumerate(sorted(logp))}
+    seqs = golden_training_sequences()
+    seq_len = 256
+    wcache: dict = {}
+    n_ids, fps = [], []
+    for text in seqs.column("seq_text").to_pylist():
+        ids = []
+        for w in pretokenize(text or ""):
+            hit = wcache.get(w)
+            if hit is None:
+                hit = viterbi_pieces(w, logp, 6, unk)
+                wcache[w] = hit
+            ids.extend(id_of.get(p, 3) for p in hit)
+        ids = ids[:seq_len]
+        n_ids.append(len(ids))
+        fps.append(" ".join(map(str, ids)))
+    n = np.asarray(n_ids, dtype=np.int64)
+    return pa.table({
+        "bucket": seqs.column("bucket"),
+        "bin": seqs.column("bin"),
+        "n_ids": pa.array(n, pa.int64()),
+        "n_pad": pa.array(seq_len - n, pa.int64()),
+        "ids_fp": pa.array(hash_strs(fps).view(np.int64), pa.int64()),
+    })
+
+
 def _brute_hamming_pairs(ids, hashes, max_dist) -> pa.Table:
     """Independent O(n^2) mirror of the banded hamming join: verifies the
     PLAN (pigeonhole banding + exchange), not just the kernels."""
@@ -1345,6 +1390,7 @@ GOLDENS = {
     "simhash_dedup_docs": golden_simhash_dedup_docs,
     "token_batches_seqs": golden_token_batches_seqs,
     "bpe_token_batches_seqs": golden_bpe_token_batches_seqs,
+    "unigram_token_batches_seqs": golden_unigram_token_batches_seqs,
     "lm_scored_docs": golden_lm_scored_docs,
     "dsir_scored_docs": golden_dsir_scored_docs,
     "dsir_selected_docs": golden_dsir_selected_docs,

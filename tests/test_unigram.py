@@ -181,3 +181,53 @@ class TestDistributedUnigram:
         assert out["n_pieces"].iloc[0] > 0
         # null and empty share the empty-stream fingerprint
         assert out["pieces_fp"].iloc[1] == out["pieces_fp"].iloc[2]
+
+
+class TestTokenBatchesUnigram:
+    def test_mutually_exclusive_models(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray
+
+        from calendar_event_entity_extraction_ray.pipelines.traindata import (
+            token_batches,
+        )
+
+        seqs = ray.data.from_pandas(pd.DataFrame({
+            "bucket": pd.array([0], dtype="int64"),
+            "bin": pd.array([0], dtype="int64"),
+            "seq_text": ["scan table"],
+        }))
+        with pytest.raises(ValueError):
+            token_batches(seqs, bpe_model=object(),
+                          unigram_model=object())
+
+    def test_unigram_ids_offset_and_pad(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from calendar_event_entity_extraction_ray.pipelines.traindata import (
+            token_batches,
+        )
+        from calendar_event_entity_extraction_ray.stages.unigramtrain import (
+            train_unigram,
+        )
+
+        docs = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.array([0, 1], dtype="int64"),
+            "text": ["scan scan table table", "scan table"],
+        }))
+        model = train_unigram(docs, vocab_size=30)
+        seqs = ray.data.from_pandas(pd.DataFrame({
+            "bucket": pd.array([0], dtype="int64"),
+            "bin": pd.array([0], dtype="int64"),
+            "seq_text": ["scan table"],
+        }))
+        out = token_batches(seqs, seq_len=8,
+                            unigram_model=model).to_pandas()
+        assert out["n_ids"].iloc[0] + out["n_pad"].iloc[0] == 8
+        ids = out["input_ids"].iloc[0]
+        n = out["n_ids"].iloc[0]
+        # trained piece ids sit above the special range; padding is 0
+        assert all(i >= 4 for i in ids[:n])
+        assert all(i == 0 for i in ids[n:])
