@@ -717,11 +717,13 @@ def compact_ivf_store(out_dir: str) -> dict:
         pq.write_table(t, tmp)
         final = os.path.join(cdir, "data.parquet")
         os.replace(tmp, final)
-        for d in delta_rels:
-            try:
-                os.remove(os.path.join(out_dir, d))
-            except OSError:
-                pass
+        # delta side files are NOT deleted here: the manifest write is
+        # the commit point, and until it lands the manifest still lists
+        # them — readers in the crash window scan folded-base + deltas,
+        # which stays correct because the delta-shadow masks the base
+        # copies of every delta id (same rows, counted once). The driver
+        # deletes them AFTER the commit (the versioned-open-table rule:
+        # superseded files outlive the commit, never precede it).
         return cell, t.num_rows, os.path.join(f"cell={cell}",
                                               "data.parquet")
 
@@ -746,9 +748,12 @@ def compact_ivf_store(out_dir: str) -> dict:
                 if (s_ids[pos] == base_ids).any():
                     refs.append(fold.remote(int(c), e.get("file"),
                                             [], [], shadow_ref))
+    superseded = []
     for cell, rows, rel in ray.get(refs):
         e = manifest["cells"][str(cell)]
-        folded = [d["epoch"] for d in e.pop("deltas", [])]
+        popped = e.pop("deltas", [])
+        folded = [d["epoch"] for d in popped]
+        superseded += [d["file"] for d in popped]
         e["rows"] = int(rows)
         e["file"] = rel
         e["compacted_epochs"] = sorted(
@@ -757,4 +762,10 @@ def compact_ivf_store(out_dir: str) -> dict:
     with open(tmpm, "w") as f:
         json.dump(manifest, f)
     os.replace(tmpm, mpath)
+    # commit landed — only now are the delta side files unreferenced
+    for rel in superseded:
+        try:
+            os.remove(os.path.join(out_dir, rel))
+        except OSError:
+            pass
     return manifest

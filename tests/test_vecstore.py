@@ -394,3 +394,98 @@ class TestTimeTravel:
         # the current view still answers, identical to pre-compaction
         got = query_ivf_store(out2, q, k=5, n_probe=2).to_pandas()
         assert got.values.tolist() == snap_d3.values.tolist()
+
+
+class TestCompactCrashInjection:
+    """The compaction commit protocol: cell folds rewrite base files and
+    the manifest write is the ONLY commit point; delta side files
+    outlive it (deleted after). A crash between the folds and the
+    commit must leave the store fully READABLE (folded base + still-
+    listed deltas — the delta shadow counts each id once) and a re-run
+    must converge to exactly the no-crash result."""
+
+    def _mk(self, vecs, ids):
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(vecs.astype(np.float64)),
+                                  pa.list_(pa.float64())),
+        }))
+
+    def _build_with_delta(self, root):
+        from calendar_event_entity_extraction_ray.stages.vecstore import (
+            append_ivf_store,
+            build_ivf_store,
+        )
+
+        rng = np.random.default_rng(9)
+        centers = rng.normal(size=(4, 8)) * 5
+        vecs = np.concatenate(
+            [c + rng.normal(size=(200, 8)) * 0.1 for c in centers])
+        build_ivf_store(self._mk(vecs, np.arange(len(vecs))), root,
+                        n_cells=4, sample_size=800)
+        # delta re-ingests ids 0..19 (shadowing engages) + new ids
+        append_ivf_store(
+            self._mk(np.concatenate([vecs[:20] + 0.01, vecs[:10] + 3.0]),
+                     np.concatenate([np.arange(20),
+                                     np.arange(5000, 5010)])),
+            root, epoch="d1")
+        return vecs
+
+    def test_crash_before_manifest_commit(self, ray_session, tmp_path,
+                                          monkeypatch):
+        import json
+        import os
+
+        from calendar_event_entity_extraction_ray.stages import vecstore as vs
+
+        crash_root = str(tmp_path / "crash")
+        ctrl_root = str(tmp_path / "ctrl")
+        vecs = self._build_with_delta(crash_root)
+        self._build_with_delta(ctrl_root)
+        q = vecs[:3]
+        want_pre = vs.query_ivf_store(crash_root, q, k=5,
+                                      n_probe=4).to_pandas()
+
+        real_replace = os.replace
+
+        def boom(src, dst, *a, **kw):
+            if dst.endswith(os.path.basename(vs.MANIFEST)) \
+                    and crash_root in dst:
+                raise RuntimeError("injected crash before commit")
+            return real_replace(src, dst, *a, **kw)
+
+        monkeypatch.setattr(vs.os, "replace", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            vs.compact_ivf_store(crash_root)
+        monkeypatch.setattr(vs.os, "replace", real_replace)
+
+        # crash window: manifest unchanged (epoch NOT compacted), delta
+        # files still on disk, and the store reads correctly
+        m = json.load(open(os.path.join(crash_root, vs.MANIFEST)))
+        assert any(e.get("deltas") for e in m["cells"].values())
+        for e in m["cells"].values():
+            for d in e.get("deltas", []):
+                assert os.path.exists(os.path.join(crash_root, d["file"]))
+        got_window = vs.query_ivf_store(crash_root, q, k=5,
+                                        n_probe=4).to_pandas()
+        assert got_window.equals(want_pre)
+        # no duplicate ids per query despite base already holding the
+        # folded delta rows
+        for qi, g in got_window.groupby("query_id"):
+            assert g["id" if "id" in g else "vec_id"].is_unique
+
+        # recovery: re-run compacts to exactly the no-crash result
+        vs.compact_ivf_store(crash_root)
+        vs.compact_ivf_store(ctrl_root)
+        got = vs.query_ivf_store(crash_root, q, k=5, n_probe=4).to_pandas()
+        want = vs.query_ivf_store(ctrl_root, q, k=5, n_probe=4).to_pandas()
+        assert got.equals(want)
+        mc = json.load(open(os.path.join(crash_root, vs.MANIFEST)))
+        assert all(not e.get("deltas") for e in mc["cells"].values())
+        # superseded delta files are gone after the commit
+        for e in m["cells"].values():
+            for d in e.get("deltas", []):
+                assert not os.path.exists(
+                    os.path.join(crash_root, d["file"]))
