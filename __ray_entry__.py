@@ -5865,8 +5865,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(
                        CAST(1 AS BIGINT) << CAST(
-                           30 - least((t - epoch_us(ts))
-                                      // (48 * 3600 * CAST(1000000 AS BIGINT)), 30)
+                           30 - least(
+                               t // (48 * 3600 * CAST(1000000 AS BIGINT))
+                               - epoch_us(ts)
+                                 // (48 * 3600 * CAST(1000000 AS BIGINT)),
+                               30)
                            AS INTEGER)
                    ) AS BIGINT) AS decayed_num
             FROM events, mx GROUP BY user_id

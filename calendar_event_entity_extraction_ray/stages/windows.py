@@ -416,8 +416,14 @@ def decayed_counts(
 ) -> "ray.data.Dataset":
     """Per-key exponentially time-decayed event counter (the feature-store
     "recency-weighted activity" signal): each event contributes
-    ``0.5 ** k`` where ``k = floor((ref - ts) / half_life)`` in whole
-    half-lives, capped at ``cap``. The score publishes as the EXACT
+    ``0.5 ** k`` where ``k = floor(ref / half_life) - floor(ts /
+    half_life)`` — CALENDAR-ALIGNED half-life buckets (the number of
+    bucket boundaries crossed, not elapsed time divided) — capped at
+    ``cap``. Calendar bucketing is what makes the epoch-incremental
+    state store (stages/featstate.py) exact: absolute bucket indexes
+    are a pure function of ts, so epochs only ever ADD counts and the
+    reference shift is read-time arithmetic. The score publishes as the
+    EXACT
     integer numerator ``decayed_num = sum(2 ** (cap - k))`` — the true
     decayed count times ``2**cap`` — so distributed partial sums are
     order-independent and bit-identical to a SQL oracle (``1::BIGINT <<
@@ -442,7 +448,7 @@ def decayed_counts(
         if pa.types.is_timestamp(col.type):
             col = col.cast(pa.timestamp("us"))
         ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        k = np.minimum((int(ref_ts_us) - ts) // hl_us, cap)
+        k = np.minimum(int(ref_ts_us) // hl_us - ts // hl_us, cap)
         w = np.left_shift(np.int64(1), (cap - k).astype(np.int64))
         return pa.table({key_col: b.column(key_col),
                          "decayed_num": pa.array(w, pa.int64())})

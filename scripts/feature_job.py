@@ -1,0 +1,71 @@
+"""Epoch-driven decayed-counter job — the CLI surface for
+stages/featstate.py (the feature-store serving state of
+stages/windows.py:decayed_counts).
+
+    python scripts/feature_job.py --state /tmp/fstate --epoch day1 \
+        --input /root/testdata/sf0.01/events.parquet
+    python scripts/feature_job.py --state /tmp/fstate --read
+
+Re-running a recorded epoch is a no-op; the epoch commit is atomic
+(versioned count files + state-JSON commit point). Geometry
+(half-life, cap) is pinned by the first epoch.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--state", required=True, help="counter state dir")
+    ap.add_argument("--input", help="events parquet (file or dir)")
+    ap.add_argument("--epoch", help="epoch name for this ingest")
+    ap.add_argument("--key-col", default="user_id")
+    ap.add_argument("--ts-col", default="ts")
+    ap.add_argument("--half-life", type=int, default=48,
+                    help="half-life hours")
+    ap.add_argument("--cap", type=int, default=30,
+                    help="max half-lives of decay (older events weigh 1)")
+    ap.add_argument("--read", action="store_true",
+                    help="print the serving view (key, n_events, "
+                         "decayed_num)")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    import ray.data
+
+    from calendar_event_entity_extraction_ray.stages import featstate as fs
+
+    if args.input:
+        if not args.epoch:
+            ap.error("--epoch is required with --input")
+        ds = ray.data.read_parquet(
+            args.input, columns=[args.key_col, args.ts_col])
+        s = fs.decayed_counter_epoch(
+            ds, args.state, args.epoch, key_col=args.key_col,
+            ts_col=args.ts_col, half_life_hours=args.half_life,
+            cap=args.cap)
+        print({"epoch": args.epoch, **s})
+
+    if args.read:
+        t = fs.read_decayed_counters(args.state).to_pandas()
+        t = t.sort_values("decayed_num", ascending=False)
+        print(t.to_string(index=False, max_rows=30))
+        print({"keys": len(t), "ref_us": fs._load_state(
+            args.state)["ref_us"]})
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1188,8 +1188,9 @@ class TestDecayedCounts:
         })
         ref_us = int(df["ts"].max().value // 1_000)
         hl_us = 3_600_000_000
-        k = np.minimum((ref_us - df["ts"].astype("int64") // 1_000)
-                       // hl_us, 30)
+        # calendar-aligned buckets: floor(ref/hl) - floor(ts/hl)
+        k = np.minimum(ref_us // hl_us
+                       - (df["ts"].astype("int64") // 1_000) // hl_us, 30)
         assert (k == 30).any()  # the cap actually engages
         w = np.left_shift(np.int64(1),
                           (30 - k).to_numpy(np.int64)).astype(np.int64)
