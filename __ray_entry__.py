@@ -5509,6 +5509,29 @@ def q_user_active_coverage(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id", "covered_ms"])
 
 
+_DICT_TAG_PHRASES = tuple(
+    f"{a} {b}"
+    for a in ("fast", "slow", "big", "small")
+    for b in ("table", "query", "scan", "join")
+) + ("spark", "stream key")
+
+
+def q_dict_tag_docs(sf_dir: str) -> Any:
+    """Multi-pattern dictionary tagging (lexicon / blocklist matching,
+    stages/dicttag.py): one (doc_id, tag) row per dictionary phrase
+    occurring as a SUBSTRING of the text — DuckDB contains() semantics.
+    Pure flat-map, no shuffle. This 18-phrase dictionary routes to the
+    vectorized match_substring regime; the per-worker Aho-Corasick
+    automaton regime (dictionary-size-independent scan for 10^6-phrase
+    blocklists) is pinned row-identical by tests/test_dicttag.py."""
+    from calendar_event_entity_extraction_ray.stages.dicttag import (
+        tag_documents,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tag_documents(ds, _DICT_TAG_PHRASES)
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-equivalent)."""
     from calendar_event_entity_extraction_ray.pipelines.kg import (
@@ -5658,6 +5681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journey": q_user_journey,
         "pagerank_dups": q_pagerank,
         "regex_extract_docs": q_regex_extract,
+        "dict_tag_docs": q_dict_tag_docs,
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
         "media_resampled": q_media_resampled,
@@ -7197,6 +7221,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
                        AS first_long_word
             FROM documents
+        """,
+        "dict_tag_docs": """
+            WITH p(tag) AS (
+                SELECT a.w || ' ' || b.w
+                FROM (VALUES ('fast'), ('slow'), ('big'), ('small')) a(w)
+                CROSS JOIN
+                     (VALUES ('table'), ('query'), ('scan'), ('join')) b(w)
+                UNION ALL SELECT 'spark'
+                UNION ALL SELECT 'stream key'
+            )
+            SELECT d.doc_id, p.tag
+            FROM documents d JOIN p ON contains(d.text, p.tag)
         """,
         "approx_value_quantiles": """
             SELECT unnest([5000, 9000]) AS q_e4, 1 AS sketch_ok
