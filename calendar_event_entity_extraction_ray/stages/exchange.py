@@ -104,6 +104,7 @@ def hash_partition_map(
     fold_fn: Callable[[pa.Table], pa.Table],
     num_partitions: Optional[int] = None,
     spill_root: Optional[str] = None,
+    _crash_sentinel: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Partition ``ds`` by ``hash_col % num_partitions`` and apply
     ``fold_fn`` once per whole partition table.
@@ -129,6 +130,15 @@ def hash_partition_map(
     input streams straight into phase-1 spill with backpressure and is
     never pinned in the object store — the path a 100 TB job takes (size
     the partition count from the job's input manifest instead).
+
+    ``_crash_sentinel`` (test-only fault injection): a path; the FIRST
+    spill task to claim it (O_EXCL) hard-kills its worker with
+    ``os._exit`` AFTER writing its spill files but BEFORE returning the
+    attempt commit — simulating the worker-loss window the protocol
+    exists for. Ray retries the task (system failure); the retry writes
+    new unique file names and only those are folded, so the dead
+    attempt's orphaned files are ignored. Pinned by
+    tests/test_exchange.py's crash-injection test.
     """
     if num_partitions is None:
         ds = ds.materialize()
@@ -192,6 +202,15 @@ def hash_partition_map(
                 os.replace(tmp, final)  # atomic: readers never see partials
                 touched.append(int(part_id))
                 names.append(os.path.basename(final))
+        if _crash_sentinel is not None and names:
+            # fault injection (see docstring): die after spilling, before
+            # the attempt commit — exactly the window retries must survive
+            try:
+                os.close(os.open(_crash_sentinel,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                os._exit(1)
+            except FileExistsError:
+                pass
         return pa.table({"part_id": pa.array(touched, pa.int64()),
                          "file": pa.array(names, pa.string())})
 

@@ -123,3 +123,39 @@ class TestHashPartitionMap:
 
         tables = _ray.get(refs)
         assert any(t.schema.names == ["v"] for t in tables)
+
+
+class TestCrashInjection:
+    def test_spill_task_worker_loss_is_exactly_once(self, ray_session,
+                                                    tmp_path):
+        """REAL retry, not a simulation: one spill task hard-kills its
+        worker (os._exit) AFTER writing spill files, BEFORE returning its
+        attempt commit. Ray retries the task; the retry's files are the
+        only ones listed, so the dead attempt's orphans must contribute
+        nothing — result identical to an uninjected control run."""
+        import ray
+
+        n = 40_000
+        tbl = pa.table({
+            "h": pa.array(np.arange(n, dtype=np.int64) % 97),
+            "v": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+        def fold(t: pa.Table) -> pa.Table:
+            ks = pa.TableGroupBy(t, "h").aggregate([("v", "sum")])
+            return ks.rename_columns(["h", "sum_v"])
+
+        control = X.hash_partition_map(
+            ray.data.from_arrow(tbl).repartition(8), "h", fold,
+            num_partitions=8).to_pandas().sort_values("h")
+
+        sentinel = str(tmp_path / "crash_once")
+        out = X.hash_partition_map(
+            ray.data.from_arrow(tbl).repartition(8), "h", fold,
+            num_partitions=8,
+            _crash_sentinel=sentinel).to_pandas().sort_values("h")
+
+        assert os.path.exists(sentinel), "injection never fired"
+        pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                      control.reset_index(drop=True))
+        assert int(out["sum_v"].sum()) == n
