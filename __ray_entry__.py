@@ -5509,6 +5509,21 @@ def q_user_active_coverage(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id", "covered_ms"])
 
 
+def q_cdc_dedup_docs(sf_dir: str) -> Any:
+    """Content-defined-chunking dedup (stages/cdcdedup.py): per-doc
+    chunk-level redundancy via a vectorized gear-style rolling window —
+    byte-level, alignment-free (insertions re-sync, unlike fixed-size or
+    token-n-gram spans). One chunk exchange + one grouped reduce; golden
+    oracle recomputes first-wins on raw chunk BYTES (hash-collision-proof
+    mirror)."""
+    from calendar_event_entity_extraction_ray.stages.cdcdedup import (
+        cdc_dedup_docs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_dedup_docs(ds)
+
+
 _DICT_TAG_PHRASES = tuple(
     f"{a} {b}"
     for a in ("fast", "slow", "big", "small")
@@ -5682,6 +5697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dups": q_pagerank,
         "regex_extract_docs": q_regex_extract,
         "dict_tag_docs": q_dict_tag_docs,
+        "cdc_dedup_docs": q_cdc_dedup_docs,
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
         "media_resampled": q_media_resampled,
@@ -6009,6 +6025,9 @@ def oracle_sql() -> dict[str, str]:
         # reference-semantics emitter (functions/oracle.py) and the derived
         # views are plain SQL over that one emitter output.
         "kg_flagship": f"SELECT subj, pred, obj, url FROM {_golden('kg_flagship')}",
+        "cdc_dedup_docs":
+            f"SELECT doc_id, n_chunks, total_bytes, n_dup_chunks,"
+            f" dup_bytes FROM {_golden('cdc_dedup_docs')}",
         "model_scored_docs":
             f"SELECT doc_id, score_e6 FROM {_golden('model_scored_docs')}",
         "lm_scored_docs":

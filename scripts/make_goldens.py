@@ -1378,8 +1378,47 @@ def golden_simhash_near_docs() -> pa.Table:
     return _brute_hamming_pairs(ids, hs, 3)
 
 
+def golden_cdc_dedup_docs() -> pa.Table:
+    """Sequential exact mirror of stages/cdcdedup.py:cdc_dedup_docs over
+    the sf0.01 documents: same chunker kernel (chunk_doc), but first-wins
+    keyed on the RAW CHUNK BYTES — stronger than the engine's 128-bit
+    hash identity, so a hash collision in the distributed path would
+    surface here as a mismatch."""
+    from calendar_event_entity_extraction_ray.stages.cdcdedup import (
+        chunk_doc,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    docs = sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()))
+    seen = set()
+    rows = []
+    for doc_id, text in docs:
+        chunks = chunk_doc((text or "").encode("utf-8"))
+        if not chunks:
+            continue
+        n_dup = dup_b = 0
+        for c in chunks:
+            if c in seen:
+                n_dup += 1
+                dup_b += len(c)
+            else:
+                seen.add(c)
+        rows.append((doc_id, len(chunks), sum(len(c) for c in chunks),
+                     n_dup, dup_b))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_chunks": pa.array([r[1] for r in rows], pa.int64()),
+        "total_bytes": pa.array([r[2] for r in rows], pa.int64()),
+        "n_dup_chunks": pa.array([r[3] for r in rows], pa.int64()),
+        "dup_bytes": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
+    "cdc_dedup_docs": golden_cdc_dedup_docs,
     "bpe_merges": golden_bpe_merges,
     "bpe_tokenized_docs": golden_bpe_tokenized_docs,
     "unigram_vocab": golden_unigram_vocab,
