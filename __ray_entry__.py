@@ -5509,6 +5509,21 @@ def q_user_active_coverage(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id", "covered_ms"])
 
 
+def q_pmi_term_pairs(sf_dir: str) -> Any:
+    """Term-association mining: PMI between top-30-df term pairs over
+    per-doc distinct terms (stages/text_analysis.py:pmi_term_pairs).
+    Corpus work = one salted df count + one pre-aggregated pair-partial
+    pass (bincount over pair ids, <= C(30,2) rows per batch); PMI math
+    driver-side on the bounded pair table."""
+    from calendar_event_entity_extraction_ray.stages.text_analysis import (
+        pmi_term_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    out = pmi_term_pairs(ds, top_n=30)
+    return _int64(out, ["df_ab", "pmi_e6"])
+
+
 def q_cdc_dedup_docs(sf_dir: str) -> Any:
     """Content-defined-chunking dedup (stages/cdcdedup.py): per-doc
     chunk-level redundancy via a vectorized gear-style rolling window —
@@ -5698,6 +5713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract_docs": q_regex_extract,
         "dict_tag_docs": q_dict_tag_docs,
         "cdc_dedup_docs": q_cdc_dedup_docs,
+        "pmi_term_pairs": q_pmi_term_pairs,
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
         "media_resampled": q_media_resampled,
@@ -7240,6 +7256,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
                        AS first_long_word
             FROM documents
+        """,
+        "pmi_term_pairs": """
+            WITH terms AS (
+                SELECT DISTINCT doc_id, t.term
+                FROM documents, unnest(string_split(text, ' ')) AS t(term)
+            ),
+            df AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+            top AS (SELECT term, df FROM df
+                    ORDER BY df DESC, term LIMIT 30),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            pairs AS (
+                SELECT LEAST(a.term, b.term) AS term_a,
+                       GREATEST(a.term, b.term) AS term_b,
+                       COUNT(*) AS df_ab
+                FROM terms a
+                JOIN terms b ON b.doc_id = a.doc_id AND a.term < b.term
+                JOIN top ta ON ta.term = a.term
+                JOIN top tb ON tb.term = b.term
+                GROUP BY 1, 2
+            )
+            SELECT p.term_a, p.term_b, CAST(p.df_ab AS BIGINT) AS df_ab,
+                   CAST(FLOOR(LN(CAST(p.df_ab AS DOUBLE) * nn.n
+                                 / (CAST(ta.df AS DOUBLE)
+                                    * CAST(tb.df AS DOUBLE)))
+                              * 1000000 + 0.5) AS BIGINT) AS pmi_e6
+            FROM pairs p
+            JOIN top ta ON ta.term = p.term_a
+            JOIN top tb ON tb.term = p.term_b
+            CROSS JOIN nn
         """,
         "dict_tag_docs": """
             WITH p(tag) AS (

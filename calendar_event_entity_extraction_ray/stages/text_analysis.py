@@ -201,3 +201,83 @@ def inverted_index(
 
     ex = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_map(ex, "part_key", fold)
+
+
+def pmi_term_pairs(
+    ds: "ray.data.Dataset", text_col: str = "text", top_n: int = 30,
+) -> pd.DataFrame:
+    """Pointwise mutual information between top-df term pairs — the
+    classic term-association miner (collocation / topic-pair discovery).
+
+    pmi(a, b) = ln(P(a,b) / (P(a) P(b))) = ln(df_ab * n / (df_a * df_b))
+    over per-doc DISTINCT terms (presence, not frequency). The pair space
+    is bounded to the ``top_n`` highest-df terms, so the corpus-sized
+    work is two bounded passes:
+
+      1. ``term_document_frequency`` (salted grouped count) for the
+         top-``top_n`` vocabulary — broadcast as a tiny index dict;
+      2. one explode pass emitting per-batch PRE-AGGREGATED pair
+         partials (a bincount over top_n^2 pair ids — at most
+         C(top_n, 2) rows per batch regardless of batch size), stream-
+         reduced (bounded cardinality; CLAUDE.md's stream_reduce rule).
+
+    The final PMI arithmetic runs driver-side on <= C(top_n, 2) rows.
+    Tokenization is ``str.split(' ')`` and pair order is lexicographic
+    (term_a < term_b), matching the DuckDB string_split / ``<`` oracle
+    byte-for-byte; pmi_e6 uses the oracle's association order
+    ``ln(df_ab * n / (df_a * df_b))`` so the double chain is
+    bit-identical (CLAUDE.md numeric-parity rules)."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+    )
+
+    top = term_document_frequency(ds, text_col, top_n).to_pandas()
+    terms = top["term"].tolist()
+    dfs = top["df"].astype("int64").to_numpy()
+    n_docs = ds.count()
+    n_terms = len(terms)
+    index = {t: i for i, t in enumerate(terms)}   # tiny: <= top_n entries
+
+    def pair_partials(b: pa.Table, *, _index=index, _n=n_terms) -> pa.Table:
+        counts = np.zeros(_n * _n, dtype=np.int64)
+        for t in b.column(text_col).to_pylist():
+            if t is None:
+                continue
+            present = sorted({_index[w] for w in set(t.split(" "))
+                              if w in _index})
+            m = len(present)
+            if m < 2:
+                continue
+            arr = np.asarray(present, dtype=np.int64)
+            ii, jj = np.triu_indices(m, k=1)
+            np.add.at(counts, arr[ii] * _n + arr[jj], 1)
+        nz = np.flatnonzero(counts)
+        return pa.table({"pair_id": pa.array(nz, pa.int64()),
+                         "n_pair": pa.array(counts[nz])})
+
+    partials = ds.map_batches(pair_partials, batch_format="pyarrow",
+                              batch_size=None)
+    pairs = grouped_sums(partials, key_cols=["pair_id"],
+                         sum_cols=["n_pair"],
+                         stream_reduce=True).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"term_a": pd.Series(dtype=object),
+                             "term_b": pd.Series(dtype=object),
+                             "df_ab": pd.Series(dtype="int64"),
+                             "pmi_e6": pd.Series(dtype="int64")})
+    pid = pairs["pair_id"].to_numpy()
+    i, j = pid // n_terms, pid % n_terms
+    df_ab = pairs["n_pair"].astype("int64").to_numpy()
+    # oracle association order: (df_ab * n) / (df_a * df_b)
+    pmi = np.log(df_ab.astype(np.float64) * float(n_docs)
+                 / (dfs[i].astype(np.float64) * dfs[j].astype(np.float64)))
+    pmi_e6 = np.floor(pmi * 1_000_000 + 0.5).astype(np.int64)
+    name_i = np.asarray(terms, dtype=object)[i]
+    name_j = np.asarray(terms, dtype=object)[j]
+    # lexicographic pair order (index order is df-rank order)
+    term_a = np.minimum(name_i, name_j)
+    term_b = np.maximum(name_i, name_j)
+    return pd.DataFrame({"term_a": term_a, "term_b": term_b,
+                         "df_ab": df_ab, "pmi_e6": pmi_e6})

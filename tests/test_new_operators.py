@@ -1228,3 +1228,42 @@ class TestDecayedCounts:
         out = decayed_counts(ray.data.from_pandas(df), "user_id", "ts",
                              ref_us).to_pandas()
         assert out["decayed_num"].tolist() == [(1 << 30) + (1 << 29)]
+
+
+class TestPmiTermPairs:
+    def test_matches_brute_force(self, ray_session):
+        import math
+
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.text_analysis import (
+            pmi_term_pairs,
+        )
+
+        docs = ["a b c", "a b", "a c", "b c", "a", None, "d d a"]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"text": docs})).repartition(3)
+        got = pmi_term_pairs(ds, top_n=3).to_dict("records")
+        # top-3 by (df desc, term): a(5) b(3) c(3)
+        n = len(docs)
+        truth = {}
+        sets = [set(t.split(" ")) for t in docs if t is not None]
+        df = {w: sum(w in s for s in sets) for w in "abc"}
+        for x, y in [("a", "b"), ("a", "c"), ("b", "c")]:
+            dab = sum(x in s and y in s for s in sets)
+            truth[(x, y)] = (dab, math.floor(
+                math.log(dab * n / (df[x] * df[y])) * 1e6 + 0.5))
+        assert {(r["term_a"], r["term_b"]): (r["df_ab"], r["pmi_e6"])
+                for r in got} == truth
+
+    def test_no_pairs_yields_empty_frame_with_schema(self, ray_session):
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages.text_analysis import (
+            pmi_term_pairs,
+        )
+
+        ds = ray.data.from_pandas(pd.DataFrame({"text": ["a", "b"]}))
+        out = pmi_term_pairs(ds, top_n=2)
+        assert list(out.columns) == ["term_a", "term_b", "df_ab", "pmi_e6"]
+        assert len(out) == 0
