@@ -5509,6 +5509,46 @@ def q_user_active_coverage(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id", "covered_ms"])
 
 
+def q_entity_registry(sf_dir: str) -> Any:
+    """Epoch-incremental entity resolution with STABLE canonical ids
+    (stages/entityreg.py): part surfaces arrive as two crawl epochs
+    (split by p_partkey parity); epoch-2 typos adopt epoch-1 canonicals,
+    already-registered surfaces keep their ids, new clusters mint the
+    min member. Store presharded by deletion-variant hash (fpstore
+    pattern); golden oracle replays the same incremental semantics
+    single-process with brute-force distance."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from calendar_event_entity_extraction_ray.stages.entityreg import (
+        lookup_surfaces,
+        register_epoch,
+    )
+
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def epoch_half(parity: int):
+        import pyarrow.compute as pc
+
+        return parts.map_batches(
+            lambda b, _p=parity: pa.table({"surface": b.filter(pc.equal(
+                pc.bit_wise_and(b.column("p_partkey"), 1),
+                _p)).column("p_name")}),
+            batch_format="pyarrow")
+
+    sd = _tf.mkdtemp(prefix="cee_entreg_")
+    try:
+        register_epoch(epoch_half(0), sd, "e1", num_partitions=16)
+        register_epoch(epoch_half(1), sd, "e2", num_partitions=16)
+        all_surfaces = parts.map_batches(
+            lambda b: pa.table({"surface": b.column("p_name")}),
+            batch_format="pyarrow")
+        out = lookup_surfaces(all_surfaces, sd).to_pandas()
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)  # result is eager
+    return out
+
+
 def q_pmi_term_pairs(sf_dir: str) -> Any:
     """Term-association mining: PMI between top-30-df term pairs over
     per-doc distinct terms (stages/text_analysis.py:pmi_term_pairs).
@@ -5714,6 +5754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_tag_docs": q_dict_tag_docs,
         "cdc_dedup_docs": q_cdc_dedup_docs,
         "pmi_term_pairs": q_pmi_term_pairs,
+        "entity_registry": q_entity_registry,
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
         "media_resampled": q_media_resampled,
@@ -6044,6 +6085,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup_docs":
             f"SELECT doc_id, n_chunks, total_bytes, n_dup_chunks,"
             f" dup_bytes FROM {_golden('cdc_dedup_docs')}",
+        "entity_registry":
+            f"SELECT surface, entity_id FROM {_golden('entity_registry')}",
         "model_scored_docs":
             f"SELECT doc_id, score_e6 FROM {_golden('model_scored_docs')}",
         "lm_scored_docs":

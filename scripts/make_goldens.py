@@ -1416,9 +1416,61 @@ def golden_cdc_dedup_docs() -> pa.Table:
     })
 
 
+def golden_entity_registry() -> pa.Table:
+    """Sequential replay of the incremental registry semantics
+    (stages/entityreg.py docstring) over the two p_partkey-parity
+    epochs: brute-force dp_distance pairs (independent of the engine's
+    SymSpell blocking + Myers kernel), union-find components, min-member
+    minting, min-old-canonical adoption, ids frozen once registered."""
+    from calendar_event_entity_extraction_ray.functions.editdist import (
+        dp_distance,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "part.parquet"),
+                      columns=["p_partkey", "p_name"])
+    keys = t.column("p_partkey").to_pylist()
+    names = t.column("p_name").to_pylist()
+    epochs = [sorted({n for k, n in zip(keys, names)
+                      if k % 2 == par and n is not None})
+              for par in (0, 1)]
+    registry: dict = {}
+    for ep in epochs:
+        new = [s for s in ep if s not in registry]
+        parent = {s: s for s in new}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(new)):
+            for j in range(i + 1, len(new)):
+                if dp_distance(new[i], new[j]) <= 1:
+                    ra, rb = find(new[i]), find(new[j])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        clusters: dict = {}
+        for s in new:
+            clusters.setdefault(find(s), []).append(s)
+        old_surfaces = sorted(registry)
+        for members in clusters.values():
+            adj = sorted({registry[o] for m in members
+                          for o in old_surfaces if dp_distance(m, o) <= 1})
+            canon = adj[0] if adj else min(members)
+            for m_ in members:
+                registry[m_] = canon
+    surfs = sorted(registry)
+    return pa.table({
+        "surface": pa.array(surfs, pa.string()),
+        "entity_id": pa.array([registry[s] for s in surfs], pa.string()),
+    })
+
+
 GOLDENS = {
     "kg_flagship": golden_kg_flagship,
     "cdc_dedup_docs": golden_cdc_dedup_docs,
+    "entity_registry": golden_entity_registry,
     "bpe_merges": golden_bpe_merges,
     "bpe_tokenized_docs": golden_bpe_tokenized_docs,
     "unigram_vocab": golden_unigram_vocab,

@@ -1,0 +1,153 @@
+"""Persistent entity registry (stages/entityreg.py): id stability
+across epochs, typo adoption into existing entities, deterministic
+minting for new clusters, idempotent epoch re-runs, crash-safe commit
+order, and partitioning independence."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from calendar_event_entity_extraction_ray.stages import entityreg as ER
+
+
+def _ds(surfs, blocks=2):
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "surface": pa.array(surfs, pa.string())})).repartition(blocks)
+
+
+def _lookup(store, surfs):
+    df = ER.lookup_surfaces(_ds(surfs), store).to_pandas()
+    return dict(zip(df["surface"], df["entity_id"]))
+
+
+@pytest.fixture
+def store(tmp_path):
+    return str(tmp_path / "entreg")
+
+
+class TestRegistry:
+    def test_epoch1_clusters_and_minting(self, ray_session, store):
+        st = ER.register_epoch(
+            _ds(["john smith", "johm smith", "berlin", "john smith"]),
+            store, "e1", num_partitions=8)
+        assert (st["n_surfaces"], st["n_members"], st["n_new"]) == (3, 0, 3)
+        got = _lookup(store, ["john smith", "johm smith", "berlin"])
+        # cluster canonical = lexicographic min member
+        assert got == {"john smith": "johm smith",
+                       "johm smith": "johm smith",
+                       "berlin": "berlin"}
+
+    def test_stability_and_typo_adoption(self, ray_session, store):
+        ER.register_epoch(_ds(["john smith", "berlin"]), store, "e1",
+                          num_partitions=8)
+        before = _lookup(store, ["john smith", "berlin"])
+        # e2: a typo of an old surface, a member re-mention, a new pair
+        st = ER.register_epoch(
+            _ds(["john smith", "john smitt", "paris", "pariz"]),
+            store, "e2", num_partitions=8)
+        assert st["n_members"] == 1 and st["n_new"] == 3
+        after = _lookup(store, ["john smith", "berlin", "john smitt",
+                                "paris", "pariz"])
+        # old ids NEVER change
+        assert {k: after[k] for k in before} == before
+        # typo adopts the EXISTING canonical
+        assert after["john smitt"] == "john smith"
+        # new cluster mints its own min-member canonical
+        assert after["paris"] == "paris" and after["pariz"] == "paris"
+
+    def test_multi_old_adoption_is_min_and_never_merges_old(
+            self, ray_session, store):
+        """A new surface bridging TWO old entities adopts the
+        lexicographic minimum old canonical; the old entities stay
+        distinct (incremental semantics never rewrite the past — a
+        batch re-resolution WOULD merge them; divergence pinned here)."""
+        ER.register_epoch(_ds(["aab", "zzz"]), store, "e1",
+                          num_partitions=8)
+        # "azb"? need one surface within d=1 of both olds: "aab" and
+        # "azb" differ by 1; "azz"/"zzz" differ by 1 — use two typos in
+        # one new cluster chain: azb ~ aab (d1), azz ~ zzz (d1),
+        # azb ~ azz (d1) chains them
+        ER.register_epoch(_ds(["azb", "azz"]), store, "e2",
+                          num_partitions=8)
+        got = _lookup(store, ["aab", "zzz", "azb", "azz"])
+        assert got["aab"] == "aab" and got["zzz"] == "zzz"  # unmerged
+        assert got["azb"] == "aab" and got["azz"] == "aab"  # min old
+
+    def test_unregistered_lookup_is_null(self, ray_session, store):
+        ER.register_epoch(_ds(["alpha"]), store, "e1", num_partitions=8)
+        df = ER.lookup_surfaces(_ds(["alpha", "never seen"]),
+                                store).to_pandas()
+        m = dict(zip(df["surface"], df["entity_id"]))
+        assert m["alpha"] == "alpha"
+        assert pd.isna(m["never seen"])
+
+    def test_empty_store_lookup(self, ray_session, store):
+        df = ER.lookup_surfaces(_ds(["a", "b"]), store).to_pandas()
+        assert df["entity_id"].isna().all()
+
+    def test_rerun_is_noop(self, ray_session, store):
+        s1 = ER.register_epoch(_ds(["x1", "x2"]), store, "e1",
+                               num_partitions=8)
+        rows_before = ER.registry_rows(store)
+        s2 = ER.register_epoch(_ds(["totally different"]), store, "e1",
+                               num_partitions=8)
+        assert not s1.get("noop") and s2["noop"]
+        assert ER.registry_rows(store) == rows_before
+
+    def test_mixed_max_d_rejected(self, ray_session, store):
+        ER.register_epoch(_ds(["x"]), store, "e1", max_d=1,
+                          num_partitions=8)
+        with pytest.raises(ValueError):
+            ER.register_epoch(_ds(["y"]), store, "e2", max_d=2,
+                              num_partitions=8)
+
+    def test_partitioning_independent(self, ray_session, tmp_path):
+        surfs1 = [f"name{i:03d}" for i in range(40)] + ["name00x"]
+        surfs2 = ["name00y", "name001", "fresh", "frash"]
+        maps = []
+        for p, blocks in ((4, 2), (16, 7)):
+            sd = str(tmp_path / f"s{p}")
+            ER.register_epoch(_ds(surfs1, blocks), sd, "e1",
+                              num_partitions=p)
+            ER.register_epoch(_ds(surfs2, blocks), sd, "e2",
+                              num_partitions=p)
+            maps.append(_lookup(sd, sorted(set(surfs1 + surfs2))))
+        assert maps[0] == maps[1]
+
+    def test_crash_between_files_and_manifest_recovers(
+            self, ray_session, store, tmp_path, monkeypatch):
+        """Versioned-open-table commit: epoch data files land before the
+        manifest commit. A crash between the two leaves the store
+        READABLE at the previous epoch (unreferenced files ignored), and
+        the re-run converges to the no-crash control."""
+        control = str(tmp_path / "control")
+        ER.register_epoch(_ds(["aa", "bb"]), store, "e1", num_partitions=8)
+        ER.register_epoch(_ds(["aa", "bb"]), control, "e1",
+                          num_partitions=8)
+        before = _lookup(store, ["aa", "bb", "ab"])
+
+        orig = ER._save_manifest
+
+        def boom(store_dir, m):
+            raise RuntimeError("injected crash before manifest commit")
+
+        monkeypatch.setattr(ER, "_save_manifest", boom)
+        with pytest.raises(RuntimeError):
+            ER.register_epoch(_ds(["ab", "new one"]), store, "e2",
+                              num_partitions=8)
+        monkeypatch.setattr(ER, "_save_manifest", orig)
+
+        # crash window: store still serves the e1 view exactly
+        assert _lookup(store, ["aa", "bb", "ab"]) == before
+
+        ER.register_epoch(_ds(["ab", "new one"]), store, "e2",
+                          num_partitions=8)
+        ER.register_epoch(_ds(["ab", "new one"]), control, "e2",
+                          num_partitions=8)
+        keys = ["aa", "bb", "ab", "new one"]
+        assert _lookup(store, keys) == _lookup(control, keys)
