@@ -262,6 +262,15 @@ def register_epoch(
                              "b": pa.array([], pa.string())})
         k = int(df["vh"].iloc[0]) % p_total
         st = _read_store_part(parts.get(k, []))
+        if len(st):
+            # the fold's work must be O(delta), not O(registry): only
+            # store rows sharing a variant hash with THIS epoch's rows
+            # can match anything (membership self-rows included — the
+            # new surface's own self variant pins the same vh), so
+            # filter the partition down to the delta's vh set before
+            # any per-bucket grouping (measured: without this, a 50k
+            # delta over a 500k registry cost as much as the base build)
+            st = st[st["vh"].isin(df["vh"].unique())]
 
         # exact membership: self-variant rows vs stored self rows
         if len(st):
