@@ -345,6 +345,31 @@ def resolve_graph_entities(
     changed = changed_parts[0]
     for p in changed_parts[1:]:
         changed = changed.union(p)
+    return _rewrite_changed(triples, changed, kinds, obj_col, kind_col,
+                            broadcast_max, num_partitions)
+
+
+def _rewrite_changed(
+    triples: "ray.data.Dataset",
+    changed: "ray.data.Dataset",
+    kinds,
+    obj_col: str,
+    kind_col: str,
+    broadcast_max: int,
+    num_partitions: Optional[int],
+) -> "ray.data.Dataset":
+    """Apply a (kind, surface) -> canonical rewrite table to a triple
+    stream — the shared back half of resolve_graph_entities and its
+    registry-backed stable variant. Two regimes (see caller docstring)."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        dedup_triples_batch,
+    )
+    from calendar_event_entity_extraction_ray.stages.joins import hash_join
+
     changed = changed.materialize()
     n_changed = changed.count()
     if n_changed == 0:
@@ -401,3 +426,66 @@ def resolve_graph_entities(
         return dedup_triples_batch(out.select(tcols))
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def resolve_graph_entities_stable(
+    triples: "ray.data.Dataset",
+    store_root: str,
+    epoch: str,
+    kinds=("person", "place"),
+    obj_col: str = "obj",
+    kind_col: str = "kind",
+    max_d: int = 1,
+    num_partitions: Optional[int] = None,
+    broadcast_max: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Registry-backed KG canonicalization: like resolve_graph_entities,
+    but surfaces register into a PERSISTENT per-kind entity registry
+    (stages/entityreg.py, sharded store under ``<store_root>/kind=<k>``)
+    so canonical ids stay STABLE across crawl epochs — an entity minted
+    in epoch 1 keeps its id when epoch 2 adds typos of it, where the
+    batch resolver would re-cluster and could re-pick canonicals.
+    Registration is idempotent per (store, epoch); the rewrite table is
+    the registry lookup filtered to changed surfaces (dup-rate-sized)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from calendar_event_entity_extraction_ray.stages.entityreg import (
+        lookup_surfaces,
+        register_epoch,
+    )
+
+    triples = triples.materialize()
+
+    changed_parts = []
+    for k in kinds:
+        def mentions_of(b: pa.Table, _k=k) -> pa.Table:
+            m = pc.equal(b.column(kind_col), _k)
+            return pa.table({obj_col: b.column(obj_col).filter(m)})
+
+        mentions = triples.map_batches(mentions_of, batch_format="pyarrow")
+        store = os.path.join(store_root, f"kind={k}")
+        register_epoch(mentions, store, epoch, col=obj_col, max_d=max_d,
+                       num_partitions=num_partitions or 64)
+        mapping = lookup_surfaces(mentions, store, col=obj_col,
+                                  num_partitions=num_partitions)
+
+        def only_changed(b: pa.Table, _k=k) -> pa.Table:
+            ent = b.column("entity_id").cast(pa.string())
+            keep = pc.invert(pc.equal(b.column(obj_col), ent))
+            t = b.filter(pc.fill_null(keep, False))
+            return pa.table({
+                kind_col: pa.array([_k] * t.num_rows, pa.string()),
+                obj_col: t.column(obj_col),
+                "_canon": t.column("entity_id").cast(pa.string()),
+            })
+
+        changed_parts.append(mapping.map_batches(
+            only_changed, batch_format="pyarrow"))
+
+    changed = changed_parts[0]
+    for p in changed_parts[1:]:
+        changed = changed.union(p)
+    return _rewrite_changed(triples, changed, kinds, obj_col, kind_col,
+                            broadcast_max, num_partitions)

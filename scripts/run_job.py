@@ -73,6 +73,15 @@ def main() -> int:
                          "1 (SymSpell deletion blocking + connected "
                          "components) and rewrite each to its cluster "
                          "canonical before the graph materialize")
+    ap.add_argument("--entity-store", default="",
+                    help="directory of a persistent per-kind entity "
+                         "registry (stages/entityreg.py): with "
+                         "--resolve-entities, canonical ids stay STABLE "
+                         "across append epochs (a typo arriving in a "
+                         "later crawl adopts the id minted when the "
+                         "entity was first seen, instead of re-clustering "
+                         "the whole vocabulary); registration is "
+                         "idempotent per epoch fingerprint")
     ap.add_argument("--spill-root", default="",
                     help="shared exchange-spill directory (multi-node: "
                          "point at storage every node mounts; default: "
@@ -207,13 +216,21 @@ def main() -> int:
         fingerprint = args.fingerprint or f"input-{args.input}"
 
     if args.resolve_entities:
-        from calendar_event_entity_extraction_ray.stages.resolve import (
-            resolve_graph_entities,
-        )
-
         # the canonical rewrite dedups per batch; the graph materialize's
         # per-partition distinct makes it global (dedup-by-design)
-        triples = resolve_graph_entities(triples)
+        if args.entity_store:
+            from calendar_event_entity_extraction_ray.stages.resolve import (
+                resolve_graph_entities_stable,
+            )
+
+            triples = resolve_graph_entities_stable(
+                triples, args.entity_store, epoch=fingerprint)
+        else:
+            from calendar_event_entity_extraction_ray.stages.resolve import (
+                resolve_graph_entities,
+            )
+
+            triples = resolve_graph_entities(triples)
 
     if args.append:
         # delta ingest: partition count comes from the base manifest

@@ -151,3 +151,74 @@ class TestRegistry:
                           num_partitions=8)
         keys = ["aa", "bb", "ab", "new one"]
         assert _lookup(store, keys) == _lookup(control, keys)
+
+
+class TestStableGraphResolve:
+    """resolve_graph_entities_stable: registry-backed canonicalization
+    keeps ids stable across epochs where batch re-resolution would
+    re-pick canonicals."""
+
+    def _triples(self, rows):
+        import datetime
+
+        import ray.data
+
+        ts = datetime.datetime(2025, 6, 1)
+        return ray.data.from_items([
+            {"subj": s, "pred": p, "obj": o, "kind": k,
+             "url": "u", "warc_ts": ts} for s, p, o, k in rows])
+
+    def test_ids_stable_where_batch_would_recluster(
+            self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_graph_entities,
+            resolve_graph_entities_stable,
+        )
+
+        store = str(tmp_path / "entstore")
+        e1 = self._triples([
+            ("e1", "hasAttendee", "bb", "person"),
+            ("e2", "hasAttendee", "bd", "person"),
+        ])
+        out1 = resolve_graph_entities_stable(e1, store, "e1").to_pandas()
+        got1 = dict(zip(out1["subj"], out1["obj"]))
+        assert got1 == {"e1": "bb", "e2": "bb"}   # cluster min minted
+
+        # epoch 2 adds "ab" (dist 1 of "bb"): a batch re-resolution over
+        # the union would move the WHOLE cluster to the new min "ab" —
+        # the registry instead adopts the EXISTING canonical "bb"
+        e2 = self._triples([
+            ("e3", "hasAttendee", "ab", "person"),
+            ("e4", "hasAttendee", "bb", "person"),
+        ])
+        out2 = resolve_graph_entities_stable(e2, store, "e2").to_pandas()
+        got2 = dict(zip(out2["subj"], out2["obj"]))
+        assert got2 == {"e3": "bb", "e4": "bb"}
+
+        union = self._triples([
+            ("e1", "hasAttendee", "bb", "person"),
+            ("e2", "hasAttendee", "bd", "person"),
+            ("e3", "hasAttendee", "ab", "person"),
+        ])
+        batch = resolve_graph_entities(union).to_pandas()
+        assert dict(zip(batch["subj"], batch["obj"]))["e1"] == "ab"  # != stable
+
+    def test_kinds_resolve_independently_and_idempotent(
+            self, ray_session, tmp_path):
+        from calendar_event_entity_extraction_ray.stages.resolve import (
+            resolve_graph_entities_stable,
+        )
+
+        store = str(tmp_path / "entstore2")
+        e1 = self._triples([
+            ("e1", "hasAttendee", "rome", "person"),  # person named rome
+            ("e2", "atLocation", "rome", "place"),
+            ("e3", "atLocation", "roma", "place"),
+        ])
+        out = resolve_graph_entities_stable(e1, store, "e1").to_pandas()
+        got = dict(zip(out["subj"], out["obj"]))
+        # place cluster {rome, roma} -> "roma" min; person "rome" alone
+        assert got == {"e1": "rome", "e2": "roma", "e3": "roma"}
+        # re-running the same epoch is a registry no-op and same rewrite
+        out_b = resolve_graph_entities_stable(e1, store, "e1").to_pandas()
+        assert dict(zip(out_b["subj"], out_b["obj"])) == got
