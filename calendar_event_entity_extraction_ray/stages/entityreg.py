@@ -80,9 +80,27 @@ def _save_manifest(store_dir: str, m: dict) -> None:
     os.replace(tmp, p)
 
 
-def _part_files(store_dir: str, m: dict) -> dict:
+def _epoch_order(m: dict) -> List[str]:
+    return list(m.get("epoch_order") or sorted(m["epochs"]))
+
+
+def _part_files(store_dir: str, m: dict,
+                as_of: Optional[str] = None) -> dict:
+    """{partition: files}; ``as_of`` restricts to epochs registered up
+    to and including the named one (registration order — time travel).
+    Asking for an epoch folded away by compaction errors by design."""
+    order = _epoch_order(m)
+    if as_of is not None:
+        if as_of not in order:
+            if as_of in m.get("compacted_epochs", []):
+                raise ValueError(
+                    f"as_of={as_of!r} was folded into the compacted base"
+                    " — that historical view no longer exists")
+            raise ValueError(f"unknown epoch {as_of!r}; have {order}")
+        order = order[:order.index(as_of) + 1]
     out: dict = {}
-    for e, ent in sorted(m["epochs"].items()):
+    for e in order:
+        ent = m["epochs"][e]
         for k, pent in sorted(ent["parts"].items()):
             out.setdefault(int(k), []).extend(
                 os.path.join(store_dir, f"epoch={e}", f"part={k}", f)
@@ -156,12 +174,14 @@ def _distinct_surfaces(ds: "ray.data.Dataset", col: str,
 
 def lookup_surfaces(
     ds: "ray.data.Dataset", store_dir: str, col: str = "surface",
-    num_partitions: Optional[int] = None,
+    num_partitions: Optional[int] = None, as_of: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """(surface, entity_id) for every distinct non-null surface in
     ``ds``; entity_id is NULL for unregistered surfaces. Storage-
     partitioned semi-join: only the query surfaces shuffle (on the
-    self-variant hash); each fold reads its partition's store files."""
+    self-variant hash); each fold reads its partition's store files.
+    ``as_of``: resolve against the registry as it stood after the named
+    epoch (time travel; errors for epochs folded away by compaction)."""
     from calendar_event_entity_extraction_ray.stages.exchange import (
         hash_partition_map,
     )
@@ -170,12 +190,14 @@ def lookup_surfaces(
     surfaces = _distinct_surfaces(ds, col, num_partitions)
     p_total = int(m["num_partitions"] or 0)
     if not m["epochs"] or p_total == 0:
+        if as_of is not None:
+            raise ValueError(f"unknown epoch {as_of!r}: empty registry")
         return surfaces.map_batches(
             lambda b: pa.table({
                 col: b.column(col),
                 "entity_id": pa.nulls(b.num_rows, pa.string())}),
             batch_format="pyarrow")
-    parts = _part_files(store_dir, m)
+    parts = _part_files(store_dir, m, as_of=as_of)
 
     def add_vh(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -229,6 +251,10 @@ def register_epoch(
         return {"epoch": epoch, "noop": True,
                 **{k: m["epochs"][epoch].get(k) for k in
                    ("n_surfaces", "n_members", "n_new", "rows")}}
+    if epoch in m.get("compacted_epochs", []):
+        # folded into the compacted base: still recorded, still a no-op
+        # (all of its surfaces are members of the base now)
+        return {"epoch": epoch, "noop": True, "rows": 0}
     if m["max_d"] is not None and int(m["max_d"]) != max_d:
         raise ValueError(
             f"store built with max_d={m['max_d']}, got {max_d}")
@@ -351,6 +377,8 @@ def register_epoch(
         ent = {"parts": {}, "rows": 0, **{k: stats[k] for k in
                ("n_surfaces", "n_members", "n_new")}}
         m = _load_manifest(store_dir)
+        m["epoch_order"] = _epoch_order(m) + [epoch] if m["epochs"] \
+            else [epoch]
         m["num_partitions"] = p_total
         m["max_d"] = max_d
         m["epochs"][epoch] = ent
@@ -528,9 +556,65 @@ def register_epoch(
     ent = {"parts": parts_ent, "rows": total_rows,
            **{k: stats[k] for k in ("n_surfaces", "n_members", "n_new")}}
     m = _load_manifest(store_dir)  # re-read: driver is the only writer
+    m["epoch_order"] = _epoch_order(m) + [epoch] if m["epochs"] \
+        else [epoch]
     m["num_partitions"] = p_total
     m["max_d"] = max_d
     m["epochs"][epoch] = ent
     _save_manifest(store_dir, m)
     stats["rows"] = total_rows
     return stats
+
+
+def compact_registry(store_dir: str) -> dict:
+    """LSM compaction: fold every partition's alias files across epochs
+    into one file per partition under a new base epoch. Resolution is
+    identical before and after (rows are a disjoint union — a surface
+    registers exactly once). Commit order per the versioned-open-table
+    rule: fold tasks only WRITE the new base files; the manifest
+    ``os.replace`` is the commit, and the superseded epoch directories
+    are deleted by the driver strictly AFTER it — a crash anywhere
+    leaves a readable store (old manifest + old files, with
+    unreferenced new-base files ignored). Compacted epoch names are
+    retained: ``register_epoch`` stays a no-op for them, and ``as_of``
+    views behind the fold error by design."""
+    import shutil
+
+    m = _load_manifest(store_dir)
+    if not m["epochs"]:
+        return m
+    p_total = int(m["num_partitions"])
+    parts = _part_files(store_dir, m)
+    gen = int(m.get("compaction_gen", 0)) + 1
+    base = f"base{gen:04d}"
+    old_dirs = [os.path.join(store_dir, f"epoch={e}")
+                for e in m["epochs"]]
+
+    @ray.remote(num_cpus=1)
+    def fold(k: int, files: List[str]) -> Tuple[int, str, int]:
+        t = pa.concat_tables(pq.read_table(f) for f in files)
+        pdir = os.path.join(store_dir, f"epoch={base}", f"part={k}")
+        os.makedirs(pdir, exist_ok=True)
+        name = f"alias-{uuid.uuid4().hex}.parquet"
+        pq.write_table(t, os.path.join(pdir, name))
+        return k, name, t.num_rows
+
+    refs = [fold.remote(k, files) for k, files in sorted(parts.items())]
+    new_parts: dict = {}
+    total = 0
+    for k, name, rows in ray.get(refs):
+        new_parts[str(k)] = {"files": [name], "rows": rows}
+        total += rows
+    done = sorted(set(m.get("compacted_epochs", []))
+                  | set(m["epochs"]) - {base})
+    m2 = {"num_partitions": p_total,
+          "max_d": m["max_d"],
+          "compaction_gen": gen,
+          "compacted_epochs": done,
+          "epoch_order": [base],
+          "epochs": {base: {"parts": new_parts, "rows": total}}}
+    _save_manifest(store_dir, m2)  # THE commit
+    for d in old_dirs:  # post-commit: no manifest references these
+        if os.path.basename(d) != f"epoch={base}":
+            shutil.rmtree(d, ignore_errors=True)
+    return m2

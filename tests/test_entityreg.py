@@ -222,3 +222,79 @@ class TestStableGraphResolve:
         # re-running the same epoch is a registry no-op and same rewrite
         out_b = resolve_graph_entities_stable(e1, store, "e1").to_pandas()
         assert dict(zip(out_b["subj"], out_b["obj"])) == got
+
+
+class TestAsOfAndCompaction:
+    def test_as_of_views(self, ray_session, store):
+        ER.register_epoch(_ds(["alpha"]), store, "e1", num_partitions=8)
+        ER.register_epoch(_ds(["alphb", "beta"]), store, "e2",
+                          num_partitions=8)
+        # head view: typo resolved; as-of e1: typo not yet registered
+        df = ER.lookup_surfaces(_ds(["alpha", "alphb", "beta"]),
+                                store, as_of="e1").to_pandas()
+        m1 = dict(zip(df["surface"], df["entity_id"]))
+        assert m1["alpha"] == "alpha"
+        assert pd.isna(m1["alphb"]) and pd.isna(m1["beta"])
+        head = _lookup(store, ["alpha", "alphb", "beta"])
+        assert head == {"alpha": "alpha", "alphb": "alpha",
+                        "beta": "beta"}
+        with pytest.raises(ValueError):
+            ER.lookup_surfaces(_ds(["alpha"]), store,
+                               as_of="never").to_pandas()
+
+    def test_compaction_preserves_resolution(self, ray_session, store):
+        ER.register_epoch(_ds(["alpha", "gamma"]), store, "e1",
+                          num_partitions=8)
+        ER.register_epoch(_ds(["alphb", "delta"]), store, "e2",
+                          num_partitions=8)
+        keys = ["alpha", "alphb", "gamma", "delta", "alphc"]
+        before = _lookup(store, keys)
+        rows_before = ER.registry_rows(store)
+        m2 = ER.compact_registry(store)
+        assert list(m2["epochs"]) == ["base0001"]
+        assert ER.registry_rows(store) == rows_before
+        assert _lookup(store, keys) == before
+        # one file per partition
+        for pent in m2["epochs"]["base0001"]["parts"].values():
+            assert len(pent["files"]) == 1
+        # compacted epoch re-run: hard no-op
+        st = ER.register_epoch(_ds(["totally new"]), store, "e2",
+                               num_partitions=8)
+        assert st["noop"]
+        # as-of a folded epoch errors by design
+        with pytest.raises(ValueError):
+            ER.lookup_surfaces(_ds(["alpha"]), store,
+                               as_of="e1").to_pandas()
+        # and the registry keeps growing after compaction
+        ER.register_epoch(_ds(["alphc"]), store, "e3", num_partitions=8)
+        after = _lookup(store, keys)
+        assert after["alphc"] == before["alpha"]
+        assert {k: after[k] for k in before if k != "alphc"} == \
+            {k: before[k] for k in before if k != "alphc"}
+
+    def test_compaction_crash_window_is_readable(self, ray_session,
+                                                 store, monkeypatch):
+        """Folds write base files but the manifest os.replace is the
+        commit: a crash ON THE MANIFEST path leaves the pre-compaction
+        view byte-identical (new base files unreferenced)."""
+        ER.register_epoch(_ds(["aa", "cc"]), store, "e1", num_partitions=8)
+        ER.register_epoch(_ds(["ac"]), store, "e2", num_partitions=8)
+        keys = ["aa", "cc", "ac"]
+        before = _lookup(store, keys)
+
+        orig_replace = ER.os.replace
+
+        def boom(src, dst):
+            if ER._MANIFEST in str(dst):
+                raise RuntimeError("injected crash at manifest commit")
+            return orig_replace(src, dst)
+
+        monkeypatch.setattr(ER.os, "replace", boom)
+        with pytest.raises(RuntimeError):
+            ER.compact_registry(store)
+        monkeypatch.setattr(ER.os, "replace", orig_replace)
+
+        assert _lookup(store, keys) == before      # old view authoritative
+        m2 = ER.compact_registry(store)            # re-run converges
+        assert list(m2["epochs"]) == ["base0001"]
+        assert _lookup(store, keys) == before
