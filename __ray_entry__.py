@@ -5509,6 +5509,37 @@ def q_user_active_coverage(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id", "covered_ms"])
 
 
+def q_grouped_sample_docs(sf_dir: str) -> Any:
+    """Per-group deterministic random sample (training-mix subsampling:
+    k docs PER SOURCE, chosen by md5 order so the sample is re-runnable
+    and partitioning-independent). The skew-safe top-k-per-group
+    machinery does the work: per-batch local top-k means a hot source
+    ships k rows per batch, never its population. Per-row md5 is the
+    documented DuckDB-parity exception (cold/small path)."""
+    import hashlib
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        top_k_per_group,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_valid(b.column("text")))
+        ks = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+              for t in b.column("text").to_pylist()]
+        return pa.table({"source": b.column("source"),
+                         "doc_id": b.column("doc_id"),
+                         "skey": pa.array(ks, pa.int64())})
+
+    out = top_k_per_group(ds.map_batches(key, batch_format="pyarrow"),
+                          group_col="source", order_col="skey", k=10,
+                          tiebreak_col="doc_id")
+    return out.select_columns(["source", "doc_id", "rnk"])
+
+
 def q_entity_registry(sf_dir: str) -> Any:
     """Epoch-incremental entity resolution with STABLE canonical ids
     (stages/entityreg.py): part surfaces arrive as two crawl epochs
@@ -5755,6 +5786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_docs": q_cdc_dedup_docs,
         "pmi_term_pairs": q_pmi_term_pairs,
         "entity_registry": q_entity_registry,
+        "grouped_sample_docs": q_grouped_sample_docs,
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
         "media_resampled": q_media_resampled,
@@ -7299,6 +7331,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
                        AS first_long_word
             FROM documents
+        """,
+        "grouped_sample_docs": """
+            SELECT source, doc_id, rnk FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(text), 1, 8))
+                                         AS BIGINT) DESC, doc_id
+                       ) AS rnk
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE rnk <= 10
         """,
         "pmi_term_pairs": """
             WITH terms AS (
