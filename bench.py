@@ -135,7 +135,11 @@ def run_bench() -> dict:
         # round-4 continuation: count windows + decayed counters +
         # unigram-LM tokenizer
         "count_windows", "count_windows_sliding", "decayed_user_counts",
-        "unigram_tokenized_docs"]
+        "unigram_tokenized_docs",
+        # round-4 continuation-2: dictionary tagging, CDC dedup, PMI,
+        # entity registry, per-group sampling
+        "dict_tag_docs", "cdc_dedup_docs", "pmi_term_pairs",
+        "entity_registry", "grouped_sample_docs"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()
