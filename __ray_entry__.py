@@ -5509,6 +5509,67 @@ def q_user_active_coverage(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id", "covered_ms"])
 
 
+def q_hll_state_distinct(sf_dir: str) -> Any:
+    """Epoch-incremental approximate-distinct state (stages/hllstate.py):
+    events arrive as two epochs (event_id parity); per-event-type HLL
+    registers maintained as sparse (key, bucket, rank) rows whose
+    max-merge is order-independent AND idempotent — state across epochs
+    equals the single-shot batch registers bit-for-bit (pinned by
+    tests). Oracle-shaped output: exact per-type distinct users plus an
+    indicator that the STATE-served estimate landed within 5%."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_count,
+    )
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        exact_dedup,
+    )
+    from calendar_event_entity_extraction_ray.stages.hllstate import (
+        hll_distinct_epoch,
+        read_hll_distinct,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "user_id"])
+
+    def half(parity: int):
+        import pyarrow.compute as pc
+
+        return ds.map_batches(
+            lambda b, _p=parity: (lambda f: pa.table({
+                "k": f.column("event_type"),
+                "v": f.column("user_id").cast(pa.string())}))(
+                b.filter(pc.equal(
+                    pc.bit_wise_and(b.column("event_id"), 1), _p))),
+            batch_format="pyarrow")
+
+    sd = _tf.mkdtemp(prefix="cee_hll_")
+    try:
+        hll_distinct_epoch(half(0), sd, "e1", "k", "v", p=12,
+                           num_partitions=8)
+        hll_distinct_epoch(half(1), sd, "e2", "k", "v", p=12,
+                           num_partitions=8)
+        est = dict(zip(*(c for _, c in read_hll_distinct(sd).items())))
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)
+
+    distinct = exact_dedup(ds.select_columns(["event_type", "user_id"]),
+                           ["event_type", "user_id"], "user_id")
+    exact = grouped_count(distinct, "event_type",
+                          out_col="exact_distinct_users").to_pandas()
+    exact = exact.sort_values("event_type").reset_index(drop=True)
+    exact["exact_distinct_users"] = exact["exact_distinct_users"].astype(
+        "int64")
+    exact["state_hll_ok"] = [
+        1 if abs(est.get(g, 0.0) - n) / max(n, 1) < 0.05 else 0
+        for g, n in zip(exact["event_type"],
+                        exact["exact_distinct_users"])]
+    exact["state_hll_ok"] = exact["state_hll_ok"].astype("int64")
+    return exact
+
+
 def q_grouped_sample_docs(sf_dir: str) -> Any:
     """Per-group deterministic random sample (training-mix subsampling:
     k docs PER SOURCE, chosen by md5 order so the sample is re-runnable
@@ -5787,6 +5848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_term_pairs": q_pmi_term_pairs,
         "entity_registry": q_entity_registry,
         "grouped_sample_docs": q_grouped_sample_docs,
+        "hll_state_distinct": q_hll_state_distinct,
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
         "media_resampled": q_media_resampled,
@@ -7331,6 +7393,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
                        AS first_long_word
             FROM documents
+        """,
+        "hll_state_distinct": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS exact_distinct_users,
+                   1 AS state_hll_ok
+            FROM events GROUP BY event_type
         """,
         "grouped_sample_docs": """
             SELECT source, doc_id, rnk FROM (
