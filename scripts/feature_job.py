@@ -6,6 +6,10 @@ stages/windows.py:decayed_counts).
         --input /root/testdata/sf0.01/events.parquet
     python scripts/feature_job.py --state /tmp/fstate --read
 
+`--kind hll` maintains the approximate-distinct state instead
+(stages/hllstate.py: per-key HyperLogLog registers over --value-col;
+the read prints (key, est) estimates).
+
 Re-running a recorded epoch is a no-op; the epoch commit is atomic
 (versioned count files + state-JSON commit point). Geometry
 (half-life, cap) is pinned by the first epoch.
@@ -23,8 +27,15 @@ def main() -> int:
     ap.add_argument("--state", required=True, help="counter state dir")
     ap.add_argument("--input", help="events parquet (file or dir)")
     ap.add_argument("--epoch", help="epoch name for this ingest")
+    ap.add_argument("--kind", choices=("decay", "hll"), default="decay",
+                    help="state kind: decayed counters (default) or "
+                         "HLL approximate-distinct registers")
     ap.add_argument("--key-col", default="user_id")
     ap.add_argument("--ts-col", default="ts")
+    ap.add_argument("--value-col", default="event_type",
+                    help="(--kind hll) the column whose per-key distinct "
+                         "count the state tracks")
+    ap.add_argument("--hll-p", type=int, default=12)
     ap.add_argument("--half-life", type=int, default=48,
                     help="half-life hours")
     ap.add_argument("--cap", type=int, default=30,
@@ -44,24 +55,45 @@ def main() -> int:
     import ray.data
 
     from calendar_event_entity_extraction_ray.stages import featstate as fs
+    from calendar_event_entity_extraction_ray.stages import hllstate as hs
 
     if args.input:
         if not args.epoch:
             ap.error("--epoch is required with --input")
-        ds = ray.data.read_parquet(
-            args.input, columns=[args.key_col, args.ts_col])
-        s = fs.decayed_counter_epoch(
-            ds, args.state, args.epoch, key_col=args.key_col,
-            ts_col=args.ts_col, half_life_hours=args.half_life,
-            cap=args.cap)
+        if args.kind == "hll":
+            import pyarrow as pa
+
+            ds = ray.data.read_parquet(
+                args.input, columns=[args.key_col, args.value_col])
+            ds = ds.map_batches(
+                lambda b: pa.table({
+                    "k": b.column(args.key_col).cast(pa.string()),
+                    "v": b.column(args.value_col).cast(pa.string())}),
+                batch_format="pyarrow")
+            s = hs.hll_distinct_epoch(ds, args.state, args.epoch,
+                                      "k", "v", p=args.hll_p)
+        else:
+            ds = ray.data.read_parquet(
+                args.input, columns=[args.key_col, args.ts_col])
+            s = fs.decayed_counter_epoch(
+                ds, args.state, args.epoch, key_col=args.key_col,
+                ts_col=args.ts_col, half_life_hours=args.half_life,
+                cap=args.cap)
         print({"epoch": args.epoch, **s})
 
     if args.read:
-        t = fs.read_decayed_counters(args.state).to_pandas()
-        t = t.sort_values("decayed_num", ascending=False)
-        print(t.to_string(index=False, max_rows=30))
-        print({"keys": len(t), "ref_us": fs._load_state(
-            args.state)["ref_us"]})
+        if args.kind == "hll":
+            t = hs.read_hll_distinct(args.state)
+            t = t.sort_values("est", ascending=False)
+            print(t.to_string(index=False, max_rows=30))
+            print({"keys": len(t),
+                   "epochs": hs._load_state(args.state)["epochs"]})
+        else:
+            t = fs.read_decayed_counters(args.state).to_pandas()
+            t = t.sort_values("decayed_num", ascending=False)
+            print(t.to_string(index=False, max_rows=30))
+            print({"keys": len(t), "ref_us": fs._load_state(
+                args.state)["ref_us"]})
 
     ray.shutdown()
     return 0
