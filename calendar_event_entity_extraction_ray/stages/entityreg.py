@@ -175,11 +175,20 @@ def _distinct_surfaces(ds: "ray.data.Dataset", col: str,
 def lookup_surfaces(
     ds: "ray.data.Dataset", store_dir: str, col: str = "surface",
     num_partitions: Optional[int] = None, as_of: Optional[str] = None,
+    mode: str = "auto", broadcast_max_rows: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """(surface, entity_id) for every distinct non-null surface in
-    ``ds``; entity_id is NULL for unregistered surfaces. Storage-
-    partitioned semi-join: only the query surfaces shuffle (on the
-    self-variant hash); each fold reads its partition's store files.
+    ``ds``; entity_id is NULL for unregistered surfaces. Two regimes
+    (the fpstore split), identical results:
+
+      * broadcast (registered surfaces <= ``broadcast_max_rows``): the
+        alias table ships ONCE via ray.put as Arrow arrays and every
+        batch resolves with one vectorized index_in/take — a single
+        streaming plan, no exchange (the small-registry serving path);
+      * exchange: storage-partitioned semi-join — only the query
+        surfaces shuffle (on the self-variant hash), each fold reads
+        its partition's alias files (never the ~13x variant files).
+
     ``as_of``: resolve against the registry as it stood after the named
     epoch (time travel; errors for epochs folded away by compaction)."""
     from calendar_event_entity_extraction_ray.stages.exchange import (
@@ -199,6 +208,34 @@ def lookup_surfaces(
             batch_format="pyarrow")
     parts = _part_files(store_dir, m, as_of=as_of)
 
+    if mode == "auto":
+        n_alias = sum(int(e["rows"]) for name, e in m["epochs"].items())
+        mode = "broadcast" if n_alias <= broadcast_max_rows else "exchange"
+    if mode == "broadcast":
+        alias_files = [f for fs in parts.values() for f in fs
+                       if os.path.basename(f).startswith("alias-")]
+        if alias_files:
+            at = pa.concat_tables(
+                pq.read_table(f, columns=["surface", "canonical"])
+                for f in alias_files)
+        else:
+            at = pa.table({"surface": pa.array([], pa.string()),
+                           "canonical": pa.array([], pa.string())})
+        ref = ray.put((at.column("surface").combine_chunks(),
+                       at.column("canonical").combine_chunks()))
+
+        def resolve(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            surfs, canons = ray.get(ref)
+            idx = pc.index_in(b.column(col), value_set=surfs)
+            return pa.table({col: b.column(col),
+                             "entity_id": pc.take(canons, idx)})
+
+        return surfaces.map_batches(resolve, batch_format="pyarrow")
+    if mode != "exchange":
+        raise ValueError(f"mode={mode!r}: broadcast | exchange | auto")
+
     def add_vh(b: pa.Table) -> pa.Table:
         return pa.table({
             "vh": pa.array(_hash64(b.column(col).to_pylist())),
@@ -210,7 +247,11 @@ def lookup_surfaces(
             return pa.table({col: pa.array([], pa.string()),
                              "entity_id": pa.array([], pa.string())})
         k = int(df["vh"].iloc[0]) % p_total
-        st = _read_store_part(parts.get(k, []))
+        # serving path reads ONLY the self-alias files — the variant
+        # files (~13x the rows) exist for epoch-ingest matching
+        st = _read_store_part([f for f in parts.get(k, [])
+                               if os.path.basename(f)
+                               .startswith("alias-")])
         st = st[st["self"]][["surface", "canonical"]]
         out = df.merge(st, left_on=col, right_on="surface",
                        how="left", suffixes=("", "_s"))
@@ -526,6 +567,13 @@ def register_epoch(
     ed = os.path.join(store_dir, f"epoch={epoch}")
 
     def write_fold(t: pa.Table) -> pa.Table:
+        # two files per partition: "alias-" (self rows only — what the
+        # lookup serving path reads) and "var-" (the deletion-variant
+        # rows, ~|surface| x larger — read only by epoch-ingest
+        # candidate matching). Splitting cuts lookup IO by the variant
+        # fan-out (~13x at typical surface lengths).
+        import pyarrow.compute as pc
+
         if t.num_rows == 0:
             return pa.table({"part": pa.array([], pa.int64()),
                              "file": pa.array([], pa.string()),
@@ -533,12 +581,21 @@ def register_epoch(
         k = int(t.column("vh")[0].as_py()) % p_total
         pdir = os.path.join(ed, f"part={k}")
         os.makedirs(pdir, exist_ok=True)
-        name = f"alias-{uuid.uuid4().hex}.parquet"
-        pq.write_table(t.select(["vh", "surface", "canonical", "self"]),
-                       os.path.join(pdir, name))
-        return pa.table({"part": pa.array([k], pa.int64()),
-                         "file": pa.array([name], pa.string()),
-                         "rows": pa.array([t.num_rows], pa.int64())})
+        cols = t.select(["vh", "surface", "canonical", "self"])
+        parts_out, files_out, rows_out = [], [], []
+        for prefix, sub in (
+                ("alias", cols.filter(pc.equal(cols.column("self"), True))),
+                ("var", cols.filter(pc.equal(cols.column("self"), False)))):
+            if sub.num_rows == 0:
+                continue
+            name = f"{prefix}-{uuid.uuid4().hex}.parquet"
+            pq.write_table(sub, os.path.join(pdir, name))
+            parts_out.append(k)
+            files_out.append(name)
+            rows_out.append(sub.num_rows)
+        return pa.table({"part": pa.array(parts_out, pa.int64()),
+                         "file": pa.array(files_out, pa.string()),
+                         "rows": pa.array(rows_out, pa.int64())})
 
     wres = hash_partition_map(alias_rows, "vh", write_fold,
                               num_partitions=p_total).to_pandas()
@@ -591,19 +648,28 @@ def compact_registry(store_dir: str) -> dict:
                 for e in m["epochs"]]
 
     @ray.remote(num_cpus=1)
-    def fold(k: int, files: List[str]) -> Tuple[int, str, int]:
+    def fold(k: int, files: List[str]) -> Tuple[int, list, int]:
+        # preserve the alias/var file split (lookup reads only alias-)
         t = pa.concat_tables(pq.read_table(f) for f in files)
         pdir = os.path.join(store_dir, f"epoch={base}", f"part={k}")
         os.makedirs(pdir, exist_ok=True)
-        name = f"alias-{uuid.uuid4().hex}.parquet"
-        pq.write_table(t, os.path.join(pdir, name))
-        return k, name, t.num_rows
+        import pyarrow.compute as pc
+
+        names = []
+        for prefix, flag in (("alias", True), ("var", False)):
+            sub = t.filter(pc.equal(t.column("self"), flag))
+            if sub.num_rows == 0:
+                continue
+            name = f"{prefix}-{uuid.uuid4().hex}.parquet"
+            pq.write_table(sub, os.path.join(pdir, name))
+            names.append(name)
+        return k, names, t.num_rows
 
     refs = [fold.remote(k, files) for k, files in sorted(parts.items())]
     new_parts: dict = {}
     total = 0
-    for k, name, rows in ray.get(refs):
-        new_parts[str(k)] = {"files": [name], "rows": rows}
+    for k, names, rows in ray.get(refs):
+        new_parts[str(k)] = {"files": sorted(names), "rows": rows}
         total += rows
     done = sorted(set(m.get("compacted_epochs", []))
                   | set(m["epochs"]) - {base})

@@ -254,9 +254,13 @@ class TestAsOfAndCompaction:
         assert list(m2["epochs"]) == ["base0001"]
         assert ER.registry_rows(store) == rows_before
         assert _lookup(store, keys) == before
-        # one file per partition
+        # at most one alias- and one var- file per partition (the
+        # serving/ingest file split survives compaction)
         for pent in m2["epochs"]["base0001"]["parts"].values():
-            assert len(pent["files"]) == 1
+            kinds = [f.split("-")[0] for f in pent["files"]]
+            assert len(pent["files"]) <= 2
+            assert sorted(set(kinds)) == sorted(kinds)  # one per kind
+            assert set(kinds) <= {"alias", "var"}
         # compacted epoch re-run: hard no-op
         st = ER.register_epoch(_ds(["totally new"]), store, "e2",
                                num_partitions=8)
@@ -298,3 +302,41 @@ class TestAsOfAndCompaction:
         m2 = ER.compact_registry(store)            # re-run converges
         assert list(m2["epochs"]) == ["base0001"]
         assert _lookup(store, keys) == before
+
+
+class TestLookupRegimes:
+    def test_broadcast_equals_exchange(self, ray_session, store):
+        ER.register_epoch(_ds(["alpha", "alphb", "beta"]), store, "e1",
+                          num_partitions=8)
+        ER.register_epoch(_ds(["alphc", "gamma"]), store, "e2",
+                          num_partitions=8)
+        probe = ["alpha", "alphb", "alphc", "beta", "gamma", "missing"]
+
+        def got(mode):
+            df = ER.lookup_surfaces(_ds(probe), store,
+                                    mode=mode).to_pandas()
+            return {r.surface: (None if pd.isna(r.entity_id)
+                                else r.entity_id)
+                    for r in df.itertuples()}
+
+        b, e = got("broadcast"), got("exchange")
+        assert b == e
+        assert b["missing"] is None and b["alphc"] == b["alpha"]
+
+    def test_lookup_reads_only_alias_files(self, ray_session, store,
+                                           monkeypatch):
+        """The serving path must never open the ~13x variant files."""
+        ER.register_epoch(_ds(["alpha", "beta"]), store, "e1",
+                          num_partitions=8)
+        opened = []
+        orig = ER.pq.read_table
+
+        def spy(f, *a, **k):
+            opened.append(str(f))
+            return orig(f, *a, **k)
+
+        monkeypatch.setattr(ER.pq, "read_table", spy)
+        ER.lookup_surfaces(_ds(["alpha"]), store,
+                           mode="broadcast").to_pandas()
+        assert opened and all("var-" not in os.path.basename(f)
+                              for f in opened)
