@@ -5509,6 +5509,48 @@ def q_user_active_coverage(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["user_id", "covered_ms"])
 
 
+def q_trending_users(sf_dir: str) -> Any:
+    """Per-window top-k (trending): top-5 users by event count per
+    tumbling day — the streaming-analytics "trending items" shape as a
+    composition of two skew-safe exchanges (grouped_count on
+    (day, user), then top_k_per_group keyed by day; a hot day ships k
+    rows per batch in phase 2). Ties break on user_id ascending to
+    match the ROW_NUMBER oracle exactly."""
+    from calendar_event_entity_extraction_ray.stages.aggregate import (
+        grouped_sums,
+        top_k_per_group,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "day": pc.floor_temporal(b.column("ts"), unit="day"),
+            "user_id": b.column("user_id"),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    counts = grouped_sums(ds.map_batches(day, batch_format="pyarrow"),
+                          key_cols=["day", "user_id"], sum_cols=["one"])
+
+    def neg_tb(b: pa.Table) -> pa.Table:
+        # top_k_per_group orders (order DESC, tiebreak ASC): count desc,
+        # user asc — exactly ROW_NUMBER (ORDER BY n DESC, user_id)
+        return pa.table({"day": b.column("day"),
+                         "user_id": b.column("user_id"),
+                         "n_events": b.column("one")})
+
+    out = top_k_per_group(
+        counts.map_batches(neg_tb, batch_format="pyarrow"),
+        group_col="day", order_col="n_events", k=5,
+        tiebreak_col="user_id")
+    out = out.select_columns(["day", "user_id", "n_events", "rnk"])
+    return _int64(out.to_pandas(),
+                  ["user_id", "n_events", "rnk"])
+
+
 def q_hll_state_distinct(sf_dir: str) -> Any:
     """Epoch-incremental approximate-distinct state (stages/hllstate.py):
     events arrive as two epochs (event_id parity); per-event-type HLL
@@ -5849,6 +5891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_registry": q_entity_registry,
         "grouped_sample_docs": q_grouped_sample_docs,
         "hll_state_distinct": q_hll_state_distinct,
+        "trending_users": q_trending_users,
         "approx_value_quantiles": q_approx_value_quantiles,
         "segment_revenue": q_segment_revenue,
         "media_resampled": q_media_resampled,
@@ -7393,6 +7436,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, regexp_extract(text, '[a-z]{8,}')
                        AS first_long_word
             FROM documents
+        """,
+        "trending_users": """
+            SELECT day, user_id, n_events, rnk FROM (
+                SELECT day, user_id, n_events,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY day
+                           ORDER BY n_events DESC, user_id) AS rnk
+                FROM (SELECT date_trunc('day', ts) AS day, user_id,
+                             COUNT(*) AS n_events
+                      FROM events GROUP BY 1, 2)
+            ) WHERE rnk <= 5
         """,
         "hll_state_distinct": """
             SELECT event_type,
