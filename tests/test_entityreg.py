@@ -340,3 +340,29 @@ class TestLookupRegimes:
                            mode="broadcast").to_pandas()
         assert opened and all("var-" not in os.path.basename(f)
                               for f in opened)
+
+
+class TestEdges:
+    def test_max_d2_adoption(self, ray_session, store):
+        """Depth-2 deletion blocking: a 2-edit typo adopts the old
+        canonical when the store was built with max_d=2."""
+        ER.register_epoch(_ds(["constantinople"]), store, "e1", max_d=2,
+                          num_partitions=8)
+        ER.register_epoch(_ds(["constantinopXY"]),   # 2 substitutions
+                          store, "e2", max_d=2, num_partitions=8)
+        got = _lookup(store, ["constantinople", "constantinopXY"])
+        assert got["constantinopXY"] == "constantinople"  # dist 2
+
+    def test_empty_and_all_null_epochs(self, ray_session, store):
+        import ray
+
+        ER.register_epoch(_ds(["seed"]), store, "e1", num_partitions=8)
+        # all-NULL epoch
+        nulls = ray.data.from_arrow(pa.table({
+            "surface": pa.array([None, None], pa.string())}))
+        st = ER.register_epoch(nulls, store, "e2", num_partitions=8)
+        assert st["n_surfaces"] == 0 and st["rows"] == 0
+        # the epoch is still recorded (idempotence + as_of order)
+        assert ER.register_epoch(nulls, store, "e2",
+                                 num_partitions=8)["noop"]
+        assert _lookup(store, ["seed"]) == {"seed": "seed"}
