@@ -139,7 +139,8 @@ def run_bench() -> dict:
         # round-4 continuation-2: dictionary tagging, CDC dedup, PMI,
         # entity registry, per-group sampling
         "dict_tag_docs", "cdc_dedup_docs", "pmi_term_pairs",
-        "entity_registry", "grouped_sample_docs"]
+        "entity_registry", "grouped_sample_docs", "hll_state_distinct",
+        "trending_users"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()
