@@ -5,40 +5,61 @@ ops real for epoch-delivered input (incremental crawls, log shipping):
 - each epoch of events advances the watermark to
   ``max(event_time seen so far) - allowed_lateness``;
 - tumbling windows whose END is at or below the watermark FINALIZE —
-  their counts are sealed into an epoch-stamped parquet and never change;
+  their counts are sealed into epoch-stamped parquet and never change;
 - rows arriving for an already-final window are LATE and follow a
   declared policy: ``"drop"`` (counted, discarded) or ``"side_output"``
-  (sealed into ``late/epoch=<e>.parquet`` for reconciliation).
+  (sealed into per-epoch late files for reconciliation).
 
-Scale shape: the per-epoch pass is ONE distributed partial aggregation
-(grouped_sums — the shuffle moves (key, window) partials, never the
-event stream); everything the driver holds is the OPEN-window table,
-which the watermark bounds by construction (keys x windows inside the
-lateness horizon) — the same bounded-state argument as Flink's windowed
-operators. Epochs are idempotent: re-running a recorded epoch is a
-no-op, so crash recovery is "re-run the job" (the fpstore/delta-ingest
-discipline). Single-writer state: one job owns a state dir; the open
-table is versioned per epoch and the state JSON is the commit point
-(written last, atomically), so a crash ANYWHERE mid-epoch leaves the
-previous open table untouched and the re-run recomputes final/late
-files byte-identically — no double counting (see `_open_path`).
+Scale shape (the featstate/fpstore presharded-store pattern — round-4
+verdict item 1): the OPEN-window state is sharded by key hash across
+``num_partitions`` parquet files, and an epoch is
+
+  phase 1 — ONE key-hash exchange over (per-batch pre-aggregated epoch
+    partials ∪ the previous open shards): each fold merges its
+    partition, splits late rows (vs the watermark BEFORE this epoch,
+    known up front), writes the late side file and a merged CANDIDATE
+    shard, and returns only a summary row (file names, late count, and
+    the partition's watermark source — max event ts for tumbling, max
+    merged session end for sessions);
+  phase 2 — the driver computes the new watermark from the summary
+    maxima and launches one tiny ray task per candidate shard that
+    splits sealed-vs-open and writes the final + open shards.
+
+Nothing data-scaled ever lands on the driver: it sees file names and
+counts. Per-epoch cost is O(epoch partials + open state), and the open
+state is bounded by the lateness horizon in windows per key — with the
+shards, the merge is parallel in keys too (10⁸ active keys = more
+shards, not a driver-side pandas concat).
+
+Store rules (the repo's versioned-open-table discipline): workers write
+uniquely-named data files and RETURN the names; the state JSON — which
+lists every live open/final/late file — is the commit point, written
+last, atomically. A crash ANYWHERE mid-epoch leaves the previous
+listing intact; orphaned files from the dead attempt are never listed,
+hence never read, and the re-run recomputes the epoch byte-identically
+(final/late/open are a pure function of (previous state, epoch input)).
+Superseded open shards and unlisted orphans are deleted only AFTER the
+commit. Re-running a recorded epoch is a no-op.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Optional
+import uuid
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
 import ray.data
 
 WMSTATE = "_WMSTATE.json"
+DEFAULT_PARTITIONS = 16
 
 
 def _load_state(state_dir: str) -> dict:
@@ -46,7 +67,8 @@ def _load_state(state_dir: str) -> dict:
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
-    return {"epochs": [], "watermark_us": None, "open_file": None}
+    return {"epochs": [], "watermark_us": None, "num_partitions": None,
+            "open_files": [], "final_files": [], "late_files": []}
 
 
 def _write_state(state_dir: str, state: dict) -> None:
@@ -57,23 +79,151 @@ def _write_state(state_dir: str, state: dict) -> None:
     os.replace(tmp, p)
 
 
-def _open_path(state_dir: str, state: dict) -> Optional[str]:
-    """Current committed open-window table, or None before the first
-    epoch. The file is VERSIONED per epoch (``open.epoch=<e>.parquet``)
-    and the state JSON is the commit point: an epoch's merge becomes
-    visible only when ``_write_state`` lands, so a crash anywhere before
-    that re-runs the epoch against the UNCHANGED previous table —
-    final/late files are recomputed byte-identically (they are a pure
-    function of (previous state, epoch input)) and nothing double-counts.
-    The superseded file is deleted only after the commit."""
-    f = state.get("open_file")
-    return os.path.join(state_dir, f) if f else None
-
-
 def _empty_counts(key_col: str) -> pa.Table:
     return pa.table({key_col: pa.array([], pa.string()),
                      "window_start_us": pa.array([], pa.int64()),
                      "n": pa.array([], pa.int64())})
+
+
+def _empty_sessions(key_col: str) -> pa.Table:
+    return pa.table({key_col: pa.array([], pa.string()),
+                     "start_us": pa.array([], pa.int64()),
+                     "end_us": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())})
+
+
+_SUMMARY_SCHEMA = pa.schema([
+    pa.field("part", pa.int64()),
+    pa.field("cand", pa.string()),
+    pa.field("late", pa.string()),
+    pa.field("n_late", pa.int64()),
+    pa.field("max_wm_src", pa.int64()),
+])
+
+
+def _empty_summary() -> pa.Table:
+    return _SUMMARY_SCHEMA.empty_table()
+
+
+def _write_shard(state_dir: str, subdir: str, part: int, prefix: str,
+                 table: pa.Table) -> str:
+    """Write a uniquely-named shard under state_dir/subdir/part=<k>/ and
+    return its state-dir-relative path (the attempt-commit unit)."""
+    pdir = os.path.join(state_dir, subdir, f"part={part}")
+    os.makedirs(pdir, exist_ok=True)
+    name = f"{prefix}-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(pdir, name + ".tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(pdir, name))
+    return os.path.join(subdir, f"part={part}", name)
+
+
+@ray.remote(num_cpus=1)
+def _seal_split_task(state_dir: str, cand_rel: str, epoch: str,
+                     part: int, seal_col: str, seal_add: int,
+                     new_wm: Optional[int], sort_cols: List[str]) -> dict:
+    """Phase 2: split one merged candidate shard into sealed (final) vs
+    still-open rows — seal when ``row[seal_col] + seal_add <= new_wm`` —
+    and write each side as a uniquely-named shard. Pure function of the
+    candidate file; retry-safe (new names, only returned names are
+    committed)."""
+    t = pq.read_table(os.path.join(state_dir, cand_rel))
+    df = t.to_pandas()
+    if new_wm is not None and len(df):
+        seal = (df[seal_col] + seal_add <= new_wm).to_numpy()
+    else:
+        seal = np.zeros(len(df), dtype=bool)
+    out = {"final": None, "open": None, "n_final": int(seal.sum())}
+    if seal.any():
+        final = df[seal].sort_values(sort_cols, kind="stable")
+        out["final"] = _write_shard(
+            state_dir, os.path.join("final", f"epoch={epoch}"), part, "f",
+            pa.Table.from_pandas(final.reset_index(drop=True),
+                                 schema=t.schema, preserve_index=False))
+    if (~seal).any():
+        opn = df[~seal]
+        out["open"] = _write_shard(
+            state_dir, f"open.epoch={epoch}", part, "o",
+            pa.Table.from_pandas(opn.reset_index(drop=True),
+                                 schema=t.schema, preserve_index=False))
+    return out
+
+
+def _prune_after_commit(state_dir: str, epoch: str, cand_rels: List[str],
+                        superseded_open: List[str], state: dict) -> None:
+    """Post-commit hygiene: candidate shards, the previous epoch's open
+    shards, and any unlisted orphans left in THIS epoch's directories by
+    a crashed earlier attempt — then prune emptied directories."""
+    listed = set(state["open_files"]) | set(state["final_files"]) \
+        | set(state["late_files"])
+    doomed = list(cand_rels) + list(superseded_open)
+    for sub in (f"open.epoch={epoch}", os.path.join("final", f"epoch={epoch}"),
+                os.path.join("late", f"epoch={epoch}"),
+                f"cand.epoch={epoch}"):
+        root = os.path.join(state_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                rel = os.path.relpath(os.path.join(dirpath, f), state_dir)
+                if rel not in listed:
+                    doomed.append(rel)
+    for rel in doomed:
+        p = os.path.join(state_dir, rel)
+        try:
+            os.remove(p)
+        except OSError:
+            continue
+        # prune now-empty parent dirs up to (not including) state_dir
+        d = os.path.dirname(p)
+        while d != state_dir.rstrip(os.sep) and os.path.isdir(d):
+            try:
+                os.rmdir(d)
+            except OSError:
+                break
+            d = os.path.dirname(d)
+
+
+def _commit_epoch(state_dir: str, state: dict, epoch: str,
+                  summaries: pd.DataFrame, seal_col: str, seal_add: int,
+                  sort_cols: List[str], late_us: int) -> dict:
+    """Shared driver tail for both window forms: compute the new
+    watermark from the folds' maxima, seal-split every candidate shard
+    in parallel, commit the state JSON, clean up."""
+    old_wm = state["watermark_us"]
+    if len(summaries) and summaries["max_wm_src"].notna().any():
+        cand_wm = int(summaries["max_wm_src"].max()) - late_us
+        new_wm = cand_wm if old_wm is None else max(old_wm, cand_wm)
+    else:
+        new_wm = old_wm
+
+    n_late = int(summaries["n_late"].sum()) if len(summaries) else 0
+    late_rels = [r for r in (summaries["late"].tolist()
+                             if len(summaries) else []) if r]
+
+    cands = (summaries[summaries["cand"] != ""]
+             if len(summaries) else summaries)
+    refs = [_seal_split_task.remote(
+        state_dir, r["cand"], epoch, int(r["part"]), seal_col,
+        seal_add, new_wm, sort_cols) for _, r in cands.iterrows()]
+    results = ray.get(refs)
+
+    superseded_open = state["open_files"]
+    state["open_files"] = sorted(
+        r["open"] for r in results if r["open"])
+    state["final_files"] = state["final_files"] + sorted(
+        r["final"] for r in results if r["final"])
+    state["late_files"] = state["late_files"] + sorted(late_rels)
+    n_finalized = int(sum(r["n_final"] for r in results))
+    state["epochs"].append(epoch)
+    state["watermark_us"] = new_wm
+    _write_state(state_dir, state)  # the commit point
+    _prune_after_commit(state_dir, epoch,
+                        cand_rels=cands["cand"].tolist()
+                        if len(cands) else [],
+                        superseded_open=superseded_open, state=state)
+    return {"watermark_us": new_wm, "n_late": n_late,
+            "n_finalized": n_finalized, "noop": False}
 
 
 def tumbling_window_epoch(
@@ -86,6 +236,7 @@ def tumbling_window_epoch(
     allowed_lateness_minutes: int = 60,
     late_policy: str = "side_output",
     slide_minutes: Optional[int] = None,
+    num_partitions: int = DEFAULT_PARTITIONS,
 ) -> dict:
     """Ingest one epoch of events into the windowed-count state.
 
@@ -110,8 +261,11 @@ def tumbling_window_epoch(
     is rejected."""
     if late_policy not in ("drop", "side_output"):
         raise ValueError(f"unknown late_policy {late_policy!r}")
-    from calendar_event_entity_extraction_ray.stages.aggregate import (
-        grouped_sums,
+    from calendar_event_entity_extraction_ray.stages.dedup import (
+        add_hash_column,
+    )
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        hash_partition_map,
     )
 
     slide = window_minutes if slide_minutes is None else slide_minutes
@@ -135,13 +289,19 @@ def tumbling_window_epoch(
     if epoch in state["epochs"]:
         return {"watermark_us": state["watermark_us"], "n_late": 0,
                 "n_finalized": 0, "noop": True}
+    if state["num_partitions"] is None:
+        state["num_partitions"] = int(num_partitions)
+    P = int(state["num_partitions"])
 
     win_us = window_minutes * 60_000_000
     slide_us = slide * 60_000_000
     n_asn = win_us // slide_us
     late_us = allowed_lateness_minutes * 60_000_000
+    old_wm = state["watermark_us"]
 
     def prep(b: pa.Table) -> pa.Table:
+        # per-batch PARTIAL: (key, window) counts + max event ts — the
+        # exchange moves partials, never the event stream
         ts_us = b.column(ts_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         base = ts_us // slide_us * slide_us
@@ -157,93 +317,91 @@ def tumbling_window_epoch(
                       - np.tile(np.arange(n_asn) * slide_us,
                                 len(ts_us)))
             ts_rep = np.repeat(ts_us, n_asn)
-        return pa.table({
-            key_col: keys,
-            "window_start_us": pa.array(starts),
-            "ts_us": pa.array(ts_rep),
+        t = pa.table({key_col: keys,
+                      "window_start_us": pa.array(starts, pa.int64()),
+                      "ts_us": pa.array(ts_rep, pa.int64())})
+        g = t.group_by([key_col, "window_start_us"]).aggregate(
+            [("ts_us", "count"), ("ts_us", "max")])
+        out = pa.table({
+            key_col: g.column(key_col),
+            "window_start_us": g.column("window_start_us"),
+            "n": g.column("ts_us_count").cast(pa.int64()),
+            "max_ts_us": g.column("ts_us_max"),
         })
+        return add_hash_column(out, [key_col], out_col="_kh")
 
-    # ONE distributed pass: (key, window) partial counts + max event
-    # time per group; the max of maxes is the epoch's high-water mark
-    agg = grouped_sums(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        key_cols=[key_col, "window_start_us"], sum_cols=[],
-        count_alias="n", max_cols=["ts_us"]).to_pandas()
+    def pad_prev(b: pa.Table) -> pa.Table:
+        # previous open shards re-enter the fold; they carry no event
+        # ts (null max never advances the watermark)
+        t = pa.table({key_col: b.column(key_col),
+                      "window_start_us": b.column("window_start_us"),
+                      "n": b.column("n"),
+                      "max_ts_us": pa.nulls(b.num_rows, pa.int64())})
+        return add_hash_column(t, [key_col], out_col="_kh")
 
-    old_wm = state["watermark_us"]
-    if agg.empty:
-        new_counts = pd.DataFrame(
-            {key_col: [], "window_start_us": [], "n": []})
-        late = new_counts
-        epoch_max = None
-    else:
-        epoch_max = int(agg["max_ts_us"].max())
-        counts = agg[[key_col, "window_start_us", "n"]]
-        is_late = ((counts["window_start_us"] + win_us <= old_wm)
-                   if old_wm is not None
-                   else pd.Series(False, index=counts.index))
-        late = counts[is_late]
-        new_counts = counts[~is_late]
+    parts = ds.map_batches(prep, batch_format="pyarrow")
+    prev_files = [os.path.join(state_dir, f) for f in state["open_files"]]
+    if prev_files:
+        parts = parts.union(ray.data.read_parquet(prev_files).map_batches(
+            pad_prev, batch_format="pyarrow"))
 
-    n_late = int(late["n"].sum()) if len(late) else 0
-    if n_late and late_policy == "side_output":
-        ldir = os.path.join(state_dir, "late")
-        os.makedirs(ldir, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(
-            late.reset_index(drop=True), preserve_index=False),
-            os.path.join(ldir, f"epoch={epoch}.parquet"))
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_summary()
+        part = int(t.column("_kh")[0].as_py()) % P
+        key_field = t.schema.field(key_col)
+        df = t.select([key_col, "window_start_us", "n",
+                       "max_ts_us"]).to_pandas()
+        mx = df["max_ts_us"].max()
+        max_src = None if pd.isna(mx) else int(mx)
+        if old_wm is not None:
+            late_m = (df["window_start_us"] + win_us
+                      <= old_wm).to_numpy()
+        else:
+            late_m = np.zeros(len(df), dtype=bool)
+        schema = pa.schema([key_field,
+                            pa.field("window_start_us", pa.int64()),
+                            pa.field("n", pa.int64())])
+        n_late = int(df.loc[late_m, "n"].sum()) if late_m.any() else 0
+        late_rel = ""
+        if n_late and late_policy == "side_output":
+            lt = (df[late_m]
+                  .groupby([key_col, "window_start_us"], dropna=False,
+                           as_index=False)["n"].sum()
+                  .sort_values([key_col, "window_start_us"],
+                               kind="stable"))
+            late_rel = _write_shard(
+                state_dir, os.path.join("late", f"epoch={epoch}"),
+                part, "l",
+                pa.Table.from_pandas(lt.reset_index(drop=True),
+                                     schema=schema,
+                                     preserve_index=False))
+        cand_rel = ""
+        on = df[~late_m]
+        if len(on):
+            merged = (on.groupby([key_col, "window_start_us"],
+                                 dropna=False, as_index=False)["n"].sum()
+                      .sort_values([key_col, "window_start_us"],
+                                   kind="stable"))
+            cand_rel = _write_shard(
+                state_dir, f"cand.epoch={epoch}", part, "c",
+                pa.Table.from_pandas(merged.reset_index(drop=True),
+                                     schema=schema,
+                                     preserve_index=False))
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "cand": pa.array([cand_rel], pa.string()),
+                         "late": pa.array([late_rel], pa.string()),
+                         "n_late": pa.array([n_late], pa.int64()),
+                         "max_wm_src": pa.array([max_src], pa.int64())})
 
-    # merge into the open-window table (bounded by the lateness horizon)
-    opath = _open_path(state_dir, state)
-    if opath is not None and os.path.exists(opath):
-        prev = pq.read_table(opath).to_pandas()
-    else:
-        prev = pd.DataFrame({key_col: pd.Series([], dtype="object"),
-                             "window_start_us": pd.Series([], dtype="int64"),
-                             "n": pd.Series([], dtype="int64")})
-    merged = (pd.concat([prev, new_counts], ignore_index=True)
-              .groupby([key_col, "window_start_us"], dropna=False,
-                       as_index=False)["n"].sum())
-    merged["n"] = merged["n"].astype("int64")
-    merged["window_start_us"] = merged["window_start_us"].astype("int64")
-
-    new_wm = old_wm
-    if epoch_max is not None:
-        cand = epoch_max - late_us
-        new_wm = cand if old_wm is None else max(old_wm, cand)
-
-    n_finalized = 0
-    if new_wm is not None and len(merged):
-        seal = merged["window_start_us"] + win_us <= new_wm
-        final = merged[seal].sort_values(
-            [key_col, "window_start_us"], kind="stable")
-        merged = merged[~seal]
-        n_finalized = len(final)
-        if n_finalized:
-            fdir = os.path.join(state_dir, "final")
-            os.makedirs(fdir, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(
-                final.reset_index(drop=True), preserve_index=False),
-                os.path.join(fdir, f"epoch={epoch}.parquet"))
-
-    new_open = f"open.epoch={epoch}.parquet"
-    npath = os.path.join(state_dir, new_open)
-    tmp = npath + ".tmp"
-    pq.write_table(pa.Table.from_pandas(
-        merged.reset_index(drop=True), preserve_index=False), tmp)
-    os.replace(tmp, npath)
-
-    state["epochs"].append(epoch)
-    state["watermark_us"] = new_wm
-    state["open_file"] = new_open
-    _write_state(state_dir, state)  # the commit point
-    if opath is not None and opath != npath:
-        try:
-            os.remove(opath)
-        except OSError:
-            pass
-    return {"watermark_us": new_wm, "n_late": n_late,
-            "n_finalized": n_finalized, "noop": False}
+    summaries = hash_partition_map(parts, "_kh", fold,
+                                   num_partitions=P).to_pandas()
+    if "part" not in summaries.columns:  # zero-block input
+        summaries = _empty_summary().to_pandas()
+    return _commit_epoch(state_dir, state, epoch, summaries,
+                         seal_col="window_start_us", seal_add=win_us,
+                         sort_cols=[key_col, "window_start_us"],
+                         late_us=late_us)
 
 
 def _merge_intervals(df: pd.DataFrame, key_col: str,
@@ -283,6 +441,7 @@ def session_window_epoch(
     gap_minutes: int = 30,
     allowed_lateness_minutes: int = 60,
     late_policy: str = "side_output",
+    num_partitions: int = DEFAULT_PARTITIONS,
 ) -> dict:
     """Session windows (gap-based) under the same watermark protocol as
     ``tumbling_window_epoch`` — the genuinely-streaming case, because
@@ -296,18 +455,18 @@ def session_window_epoch(
       ``ts <= end + gap`` and sealing needs ``end + gap <= wm``);
       policy ``drop`` (counted) or ``side_output``.
     - on-time events pre-merge per batch, union with the open-session
-      table, and ONE hash exchange on the key re-merges per key — the
+      shards, and ONE hash exchange on the key re-merges per key — the
       shuffle moves (key, start, end, n) intervals, never the event
       stream.
     - watermark advances to ``max(open-session end) - lateness``: the
       max-end session is never sealed (``end + gap > wm`` by
-      construction), so the open table always carries the true
+      construction), so the open shards always carry the true
       max-event-time — no separate stats pass.
     - sessions with ``end + gap <= watermark`` SEAL (no future on-time
       event can extend them: it would need ``ts <= end + gap <= wm``,
-      i.e. be late) into ``final/epoch=<e>.parquet``.
+      i.e. be late) into listed ``final/epoch=<e>/part=<k>`` shards.
 
-    Crash-safe exactly like the tumbling form: versioned open table,
+    Crash-safe exactly like the tumbling form: listed versioned shards,
     state JSON as the commit point. Returns {watermark_us, n_late,
     n_finalized, noop}."""
     if late_policy not in ("drop", "side_output"):
@@ -334,6 +493,9 @@ def session_window_epoch(
     if epoch in state["epochs"]:
         return {"watermark_us": state["watermark_us"], "n_late": 0,
                 "n_finalized": 0, "noop": True}
+    if state["num_partitions"] is None:
+        state["num_partitions"] = int(num_partitions)
+    P = int(state["num_partitions"])
 
     gap_us = gap_minutes * 60_000_000
     late_us = allowed_lateness_minutes * 60_000_000
@@ -371,129 +533,93 @@ def session_window_epoch(
                                  preserve_index=False),
             [key_col], out_col="_kh")
 
+    def pad_prev(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b.column(key_col),
+                      "start_us": b.column("start_us"),
+                      "end_us": b.column("end_us"),
+                      "n": b.column("n"),
+                      "late": pa.array(
+                          np.zeros(b.num_rows, bool), pa.bool_())})
+        return add_hash_column(t, [key_col], out_col="_kh")
+
+    parts = ds.map_batches(prep, batch_format="pyarrow")
+    prev_files = [os.path.join(state_dir, f) for f in state["open_files"]]
+    if prev_files:
+        parts = parts.union(ray.data.read_parquet(prev_files).map_batches(
+            pad_prev, batch_format="pyarrow"))
+
     def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_summary()
+        part = int(t.column("_kh")[0].as_py()) % P
+        key_field = t.schema.field(key_col)
         df = t.select([key_col, "start_us", "end_us", "n",
                        "late"]).to_pandas()
         late = df[df["late"]]
-        if len(late):
-            late = late.groupby([key_col, "start_us"], as_index=False,
-                                dropna=False).agg(
-                end_us=("end_us", "first"), n=("n", "sum"))
+        n_late = int(late["n"].sum()) if len(late) else 0
+        late_rel = ""
+        if n_late and late_policy == "side_output":
+            lt = (late.groupby([key_col, "start_us"], as_index=False,
+                               dropna=False)["n"].sum()
+                  .rename(columns={"start_us": "ts_us"})
+                  .sort_values([key_col, "ts_us"], kind="stable"))
+            late_rel = _write_shard(
+                state_dir, os.path.join("late", f"epoch={epoch}"),
+                part, "l",
+                pa.Table.from_pandas(
+                    lt.reset_index(drop=True),
+                    schema=pa.schema([key_field,
+                                      pa.field("ts_us", pa.int64()),
+                                      pa.field("n", pa.int64())]),
+                    preserve_index=False))
         merged = _merge_intervals(df[~df["late"]], key_col, gap_us)
-        late["late"] = True
-        merged["late"] = False
-        out = pd.concat([merged, late], ignore_index=True)
-        schema = pa.schema([
-            t.schema.field(key_col),
-            pa.field("start_us", pa.int64()),
-            pa.field("end_us", pa.int64()),
-            pa.field("n", pa.int64()),
-            pa.field("late", pa.bool_())])
-        return pa.Table.from_pandas(
-            out[[key_col, "start_us", "end_us", "n", "late"]],
-            schema=schema, preserve_index=False)
+        max_src = int(merged["end_us"].max()) if len(merged) else None
+        cand_rel = ""
+        if len(merged):
+            cand_rel = _write_shard(
+                state_dir, f"cand.epoch={epoch}", part, "c",
+                pa.Table.from_pandas(
+                    merged.reset_index(drop=True),
+                    schema=pa.schema([key_field,
+                                      pa.field("start_us", pa.int64()),
+                                      pa.field("end_us", pa.int64()),
+                                      pa.field("n", pa.int64())]),
+                    preserve_index=False))
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "cand": pa.array([cand_rel], pa.string()),
+                         "late": pa.array([late_rel], pa.string()),
+                         "n_late": pa.array([n_late], pa.int64()),
+                         "max_wm_src": pa.array([max_src], pa.int64())})
 
-    parts = [ds.map_batches(prep, batch_format="pyarrow")]
-    opath = _open_path(state_dir, state)
-    if opath is not None and os.path.exists(opath):
-        # stay in Arrow: an empty open table (everything sealed) must
-        # keep its key dtype through the union
-        pt = pq.read_table(opath)
-        pt = pt.append_column(
-            "late", pa.array(np.zeros(pt.num_rows, bool)))
-        parts.append(ray.data.from_arrow(
-            add_hash_column(pt, [key_col], out_col="_kh")))
-    exch = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-    out_ds = hash_partition_map(exch, "_kh", fold)
-    batches = list(out_ds.iter_batches(batch_format="pyarrow",
-                                       batch_size=None))
-    result_t = (pa.concat_tables(batches, promote_options="default")
-                if batches else None)
-    key_field = (result_t.schema.field(key_col) if result_t is not None
-                 else pa.field(key_col, pa.string()))
-    open_schema = pa.schema([key_field, pa.field("start_us", pa.int64()),
-                             pa.field("end_us", pa.int64()),
-                             pa.field("n", pa.int64())])
-    result = (result_t.to_pandas() if result_t is not None
-              else pd.DataFrame({key_col: [], "start_us": [],
-                                 "end_us": [], "n": [], "late": []}))
+    summaries = hash_partition_map(parts, "_kh", fold,
+                                   num_partitions=P).to_pandas()
+    if "part" not in summaries.columns:  # zero-block input
+        summaries = _empty_summary().to_pandas()
+    return _commit_epoch(state_dir, state, epoch, summaries,
+                         seal_col="end_us", seal_add=gap_us,
+                         sort_cols=[key_col, "start_us"],
+                         late_us=late_us)
 
-    late = result[result["late"] == True] if len(result) else result  # noqa: E712
-    on = result[result["late"] == False] if len(result) else result   # noqa: E712
-    n_late = int(late["n"].sum()) if len(late) else 0
-    if n_late and late_policy == "side_output":
-        ldir = os.path.join(state_dir, "late")
-        os.makedirs(ldir, exist_ok=True)
-        side = late.rename(columns={"start_us": "ts_us"})[
-            [key_col, "ts_us", "n"]].sort_values(
-            [key_col, "ts_us"], kind="stable")
-        pq.write_table(pa.Table.from_pandas(
-            side.reset_index(drop=True), preserve_index=False),
-            os.path.join(ldir, f"epoch={epoch}.parquet"))
 
-    new_wm = old_wm
-    if len(on):
-        cand = int(on["end_us"].max()) - late_us
-        new_wm = cand if old_wm is None else max(old_wm, cand)
-
-    n_finalized = 0
-    open_rows = (on[[key_col, "start_us", "end_us", "n"]]
-                 if len(on) else on.reindex(
-                     columns=[key_col, "start_us", "end_us", "n"]))
-    if new_wm is not None and len(open_rows):
-        seal = open_rows["end_us"] + gap_us <= new_wm
-        final = open_rows[seal].sort_values(
-            [key_col, "start_us"], kind="stable")
-        open_rows = open_rows[~seal]
-        n_finalized = len(final)
-        if n_finalized:
-            fdir = os.path.join(state_dir, "final")
-            os.makedirs(fdir, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(
-                final.reset_index(drop=True), schema=open_schema,
-                preserve_index=False),
-                os.path.join(fdir, f"epoch={epoch}.parquet"))
-
-    new_open = f"open.epoch={epoch}.parquet"
-    npath = os.path.join(state_dir, new_open)
-    tmp = npath + ".tmp"
-    pq.write_table(pa.Table.from_pandas(
-        open_rows.reset_index(drop=True), schema=open_schema,
-        preserve_index=False), tmp)
-    os.replace(tmp, npath)
-
-    state["epochs"].append(epoch)
-    state["watermark_us"] = new_wm
-    state["open_file"] = new_open
-    _write_state(state_dir, state)  # the commit point
-    if opath is not None and opath != npath:
-        try:
-            os.remove(opath)
-        except OSError:
-            pass
-    return {"watermark_us": new_wm, "n_late": n_late,
-            "n_finalized": n_finalized, "noop": False}
+def _read_listed(state_dir: str, rels: List[str],
+                 empty: pa.Table) -> pa.Table:
+    tables = [pq.read_table(os.path.join(state_dir, r))
+              for r in sorted(rels)]
+    return (pa.concat_tables(tables, promote_options="default")
+            if tables else empty)
 
 
 def read_session_state(state_dir: str, key_col: str = "event_type"
                        ) -> pa.Table:
     """Current session view: sealed sessions (status="final") + open
-    ones (status="open"), sorted (key, start_us)."""
-    def empty():
-        return pa.table({key_col: pa.array([], pa.string()),
-                         "start_us": pa.array([], pa.int64()),
-                         "end_us": pa.array([], pa.int64()),
-                         "n": pa.array([], pa.int64())})
-    parts = []
-    fdir = os.path.join(state_dir, "final")
-    if os.path.isdir(fdir):
-        for f in sorted(os.listdir(fdir)):
-            parts.append(pq.read_table(os.path.join(fdir, f)))
-    final = pa.concat_tables(parts) if parts else empty()
-    opath = _open_path(state_dir, _load_state(state_dir))
-    opened = (pq.read_table(opath)
-              if opath is not None and os.path.exists(opath)
-              else empty())
+    ones (status="open"), sorted (key, start_us). Reads ONLY the
+    state-JSON-listed shards (orphans from crashed attempts are never
+    listed)."""
+    state = _load_state(state_dir)
+    final = _read_listed(state_dir, state["final_files"],
+                         _empty_sessions(key_col))
+    opened = _read_listed(state_dir, state["open_files"],
+                          _empty_sessions(key_col))
     df_f = final.to_pandas()
     df_f["status"] = "final"
     df_o = opened.to_pandas()
@@ -509,18 +635,13 @@ def read_session_state(state_dir: str, key_col: str = "event_type"
 def read_window_state(state_dir: str, key_col: str = "event_type"
                       ) -> pa.Table:
     """Current view: finalized windows (status="final") + open windows
-    (status="open"), sorted (key, window_start_us)."""
-    parts = []
-    fdir = os.path.join(state_dir, "final")
-    if os.path.isdir(fdir):
-        for f in sorted(os.listdir(fdir)):
-            parts.append(pq.read_table(os.path.join(fdir, f)))
-    final = (pa.concat_tables(parts) if parts
-             else _empty_counts(key_col))
-    opath = _open_path(state_dir, _load_state(state_dir))
-    opened = (pq.read_table(opath)
-              if opath is not None and os.path.exists(opath)
-              else _empty_counts(key_col))
+    (status="open"), sorted (key, window_start_us). Reads ONLY the
+    state-JSON-listed shards."""
+    state = _load_state(state_dir)
+    final = _read_listed(state_dir, state["final_files"],
+                         _empty_counts(key_col))
+    opened = _read_listed(state_dir, state["open_files"],
+                          _empty_counts(key_col))
     df_f = final.to_pandas()
     df_f["status"] = "final"
     df_o = opened.to_pandas()
@@ -533,26 +654,57 @@ def read_window_state(state_dir: str, key_col: str = "event_type"
                                 preserve_index=False)
 
 
+def _epoch_of(rel: str) -> str:
+    """epoch name from a listed shard path
+    (``late/epoch=<e>/part=<k>/...`` or ``final/epoch=<e>/...``)."""
+    for comp in rel.split(os.sep):
+        if comp.startswith("epoch="):
+            return comp[len("epoch="):]
+    return ""
+
+
+def read_final_windows(state_dir: str) -> pa.Table:
+    """The SERVING read over sealed outputs: every finalized window /
+    session shard across all epochs, with its sealing epoch attached —
+    what a downstream consumer joins per epoch. Listed shards only."""
+    state = _load_state(state_dir)
+    parts = []
+    for rel in sorted(state["final_files"]):
+        t = pq.read_table(os.path.join(state_dir, rel))
+        parts.append(t.append_column(
+            "epoch", pa.array([_epoch_of(rel)] * t.num_rows,
+                              pa.string())))
+    if not parts:
+        base = (_empty_sessions("event_type")
+                if state.get("kind") == "session"
+                else _empty_counts("event_type"))
+        return base.append_column("epoch", pa.array([], pa.string()))
+    return pa.concat_tables(parts, promote_options="default")
+
+
 def read_late_rows(state_dir: str, key_col: str = "event_type"
                    ) -> pa.Table:
     """The side-output stream: per-epoch late rows —
     (key, window_start_us, n) for tumbling state dirs,
     (key, ts_us, n) for session ones (the empty shape follows the
-    dir's kind marker)."""
-    ldir = os.path.join(state_dir, "late")
+    dir's kind marker). Listed shards only."""
+    state = _load_state(state_dir)
     parts = []
-    if os.path.isdir(ldir):
-        for f in sorted(os.listdir(ldir)):
-            t = pq.read_table(os.path.join(ldir, f))
-            epoch = f[len("epoch="):-len(".parquet")]
-            parts.append(t.append_column(
-                "epoch", pa.array([epoch] * t.num_rows, pa.string())))
+    for rel in sorted(state["late_files"]):
+        t = pq.read_table(os.path.join(state_dir, rel))
+        parts.append(t.append_column(
+            "epoch", pa.array([_epoch_of(rel)] * t.num_rows,
+                              pa.string())))
     if not parts:
-        if _load_state(state_dir).get("kind") == "session":
+        if state.get("kind") == "session":
             e = pa.table({key_col: pa.array([], pa.string()),
                           "ts_us": pa.array([], pa.int64()),
                           "n": pa.array([], pa.int64())})
         else:
             e = _empty_counts(key_col)
         return e.append_column("epoch", pa.array([], pa.string()))
-    return pa.concat_tables(parts)
+    out = pa.concat_tables(parts, promote_options="default")
+    order = [c for c in ("epoch", key_col, "window_start_us", "ts_us")
+             if c in out.column_names]
+    return out.take(pc.sort_indices(
+        out, sort_keys=[(c, "ascending") for c in order]))

@@ -44,7 +44,6 @@ def main() -> int:
     import ray.data
 
     from calendar_event_entity_extraction_ray.stages.watermark import (
-        read_session_state,
         session_window_epoch,
     )
 
@@ -75,29 +74,57 @@ def main() -> int:
             s = session_window_epoch(
                 ds, sd, epoch, key_col="event_type", ts_col="ts",
                 gap_minutes=30, allowed_lateness_minutes=10**9,
-                late_policy="drop")
+                late_policy="drop",
+                num_partitions=max(16, args.num_cpus * 2))
             assert s["n_late"] == 0, s
         wall = time.time() - t0
-        st = read_session_state(sd, key_col="event_type").to_pandas()
+        rss_ingest = resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss // 1024
+
+        # Verify DISTRIBUTEDLY against the closed form — the driver sees
+        # only counts, never the session table (that is the point of the
+        # sharded open state: at 1M+ keys the state must not land on
+        # the driver). Each planted session is (k, burst*hour+k,
+        # +(B-1)*step, n=B); non-overlap per key means row validity +
+        # exact row count == exact table equality.
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            _load_state,
+        )
+
+        state = _load_state(sd)
+        shard_paths = [os.path.join(sd, r) for r in
+                       state["open_files"] + state["final_files"]]
+
+        def verify(b: pa.Table) -> pa.Table:
+            k = b.column("event_type").to_numpy()
+            s_ = b.column("start_us").to_numpy()
+            e_ = b.column("end_us").to_numpy()
+            n_ = b.column("n").to_numpy()
+            rel = s_ - k
+            burst = rel // hour_us
+            ok = ((n_ == B) & (rel % hour_us == 0) & (burst >= 0)
+                  & (burst < NB) & (e_ == s_ + (B - 1) * step_us))
+            return pa.table({"rows": pa.array([len(k)], pa.int64()),
+                             "bad": pa.array([int((~ok).sum())],
+                                             pa.int64())})
+
+        chk = ray.data.read_parquet(shard_paths).map_batches(
+            verify, batch_format="pyarrow")
+        total = chk.sum(["rows", "bad"])
+        n_rows, n_bad = int(total["sum(rows)"]), int(total["sum(bad)"])
     finally:
         shutil.rmtree(sd, ignore_errors=True)
 
-    assert len(st) == K * NB, (len(st), K * NB)
-    assert (st["n"] == B).all()
-    st = st.sort_values(["event_type", "start_us"], kind="stable")
-    k = st["event_type"].to_numpy()
-    burst = np.tile(np.arange(NB, dtype=np.int64), K)
-    want_k = np.repeat(np.arange(K, dtype=np.int64), NB)
-    assert (k == want_k).all()
-    want_start = burst * hour_us + want_k
-    assert (st["start_us"].to_numpy() == want_start).all()
-    assert (st["end_us"].to_numpy()
-            == want_start + (B - 1) * step_us).all()
+    assert n_bad == 0, f"{n_bad} sessions off the closed form"
+    assert n_rows == K * NB, (n_rows, K * NB)
 
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     print({"rows": rows, "sessions": K * NB, "wall_sec": round(wall, 1),
-           "events_per_sec": int(rows / wall), "driver_maxrss_mb": rss,
-           "verified": "exact planted sessions, all merged cross-epoch"})
+           "events_per_sec": int(rows / wall),
+           "driver_maxrss_mb_after_ingest": rss_ingest,
+           "driver_maxrss_mb": rss,
+           "verified": "exact planted sessions, all merged cross-epoch, "
+                       "verified distributedly"})
     ray.shutdown()
     return 0
 
