@@ -5493,6 +5493,45 @@ def q_late_data_sessions(sf_dir: str) -> Any:
     return _int64(out, ["start_us", "end_us", "n"])
 
 
+def q_sealed_windows_total(sf_dir: str) -> Any:
+    """The SERVING read over sealed window outputs (stages/watermark.py:
+    read_final_windows): three epochs of events (event_id mod 3) ingest
+    into tumbling 1-h windows under a 2-h lateness watermark, then the
+    query joins the per-epoch SEALED shards across all three epochs —
+    (key, window, count, sealing epoch). Open windows and late rows are
+    excluded by construction; the DuckDB oracle replays the three-epoch
+    watermark protocol as chained CTEs, tagging each sealed window with
+    the epoch that sealed it."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from calendar_event_entity_extraction_ray.stages.watermark import (
+        read_final_windows,
+        tumbling_window_epoch,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def _third(rem: int):
+        def pick(b: pa.Table, _r=rem) -> pa.Table:
+            ev = b.column("event_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ev % 3 == _r))
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    sd = _tf.mkdtemp(prefix="cee_swt_")
+    try:
+        for rem, epoch in ((0, "e0"), (1, "e1"), (2, "e2")):
+            tumbling_window_epoch(_third(rem), sd, epoch,
+                                  window_minutes=60,
+                                  allowed_lateness_minutes=120)
+        out = read_final_windows(sd).to_pandas()
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)  # result is eager
+    out = out.sort_values(["epoch", "event_type", "window_start_us"],
+                          kind="stable").reset_index(drop=True)
+    return _int64(out, ["window_start_us", "n"])
+
+
 def q_user_active_coverage(sf_dir: str) -> Any:
     """Per-user active time: total milliseconds covered by the UNION of
     5-minute windows opened at each event (overlaps collapse — the
@@ -5942,6 +5981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_data_windows": q_late_data_windows,
         "late_data_sessions": q_late_data_sessions,
         "late_data_sliding": q_late_data_sliding,
+        "sealed_windows_total": q_sealed_windows_total,
     }
 
 
@@ -7645,6 +7685,50 @@ def oracle_sql() -> dict[str, str]:
             FROM final1
             UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'open'
             FROM openf
+        """,
+        "sealed_windows_total": """
+            WITH ev AS (
+              SELECT event_type, epoch_us(ts) AS tus,
+                     (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+                     event_id FROM events),
+            e0 AS (SELECT * FROM ev WHERE event_id % 3 = 0),
+            e1 AS (SELECT * FROM ev WHERE event_id % 3 = 1),
+            e2 AS (SELECT * FROM ev WHERE event_id % 3 = 2),
+            wm0 AS (SELECT max(tus) - 7200000000 AS w FROM e0),
+            c0 AS (SELECT event_type, ws, COUNT(*) AS n
+                   FROM e0 GROUP BY 1, 2),
+            final0 AS (SELECT * FROM c0
+                       WHERE ws + 3600000000 <= (SELECT w FROM wm0)),
+            open0 AS (SELECT * FROM c0
+                      WHERE ws + 3600000000 > (SELECT w FROM wm0)),
+            c1 AS (SELECT event_type, ws, COUNT(*) AS n FROM e1
+                   WHERE ws + 3600000000 > (SELECT w FROM wm0)
+                   GROUP BY 1, 2),
+            wm1 AS (SELECT greatest((SELECT w FROM wm0),
+                        (SELECT max(tus) FROM e1) - 7200000000) AS w),
+            merged1 AS (SELECT event_type, ws, SUM(n) AS n FROM
+                        (SELECT * FROM open0 UNION ALL SELECT * FROM c1)
+                        GROUP BY 1, 2),
+            final1 AS (SELECT * FROM merged1
+                       WHERE ws + 3600000000 <= (SELECT w FROM wm1)),
+            open1 AS (SELECT * FROM merged1
+                      WHERE ws + 3600000000 > (SELECT w FROM wm1)),
+            c2 AS (SELECT event_type, ws, COUNT(*) AS n FROM e2
+                   WHERE ws + 3600000000 > (SELECT w FROM wm1)
+                   GROUP BY 1, 2),
+            wm2 AS (SELECT greatest((SELECT w FROM wm1),
+                        (SELECT max(tus) FROM e2) - 7200000000) AS w),
+            merged2 AS (SELECT event_type, ws, SUM(n) AS n FROM
+                        (SELECT * FROM open1 UNION ALL SELECT * FROM c2)
+                        GROUP BY 1, 2),
+            final2 AS (SELECT * FROM merged2
+                       WHERE ws + 3600000000 <= (SELECT w FROM wm2))
+            SELECT event_type, ws AS window_start_us,
+                   CAST(n AS BIGINT) AS n, 'e0' AS epoch FROM final0
+            UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'e1'
+            FROM final1
+            UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'e2'
+            FROM final2
         """,
         "late_data_sliding": """
             WITH ev AS (

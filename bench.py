@@ -140,7 +140,9 @@ def run_bench() -> dict:
         # entity registry, per-group sampling
         "dict_tag_docs", "cdc_dedup_docs", "pmi_term_pairs",
         "entity_registry", "grouped_sample_docs", "hll_state_distinct",
-        "trending_users"]
+        "trending_users",
+        # round-5: sealed-window serving read (sharded watermark state)
+        "sealed_windows_total"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

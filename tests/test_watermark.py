@@ -122,6 +122,29 @@ class TestWatermark:
         late = watermark.read_late_rows(str(tmp_path / "crash"))
         assert late.num_rows == 1  # the epoch=e1 file overwritten, not doubled
 
+    def test_read_final_windows_tags_sealing_epoch(self, ray_session,
+                                                   tmp_path):
+        """The serving read over sealed outputs: every finalized window
+        across all epochs with the epoch that sealed it."""
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_final_windows,
+            tumbling_window_epoch,
+        )
+
+        sd = str(tmp_path / "wmf")
+        tumbling_window_epoch(_events([10, 20, 70, 200]), sd, "e0",
+                              window_minutes=WIN,
+                              allowed_lateness_minutes=LATE)
+        tumbling_window_epoch(_events([30, 150, 260]), sd, "e1",
+                              window_minutes=WIN,
+                              allowed_lateness_minutes=LATE)
+        fin = read_final_windows(sd).to_pandas().sort_values(
+            ["epoch", "window_start_us"], kind="stable")
+        assert [(int(r["window_start_us"]), int(r["n"]), r["epoch"])
+                for _, r in fin.iterrows()] == [
+            (_us(0), 2, "e0"), (_us(60), 1, "e0"),
+            (_us(120), 1, "e1")]
+
     def test_drop_policy_counts_but_writes_nothing(self, ray_session,
                                                    tmp_path):
         import os
