@@ -31,6 +31,7 @@ arbitrary-substring semantics, which gram hashing cannot express.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Iterable, List, Sequence
 
 import pyarrow as pa
@@ -39,8 +40,12 @@ import ray
 
 # content-fingerprint -> ObjectRef of the broadcast phrase list (keeps
 # the object alive so the taskform per-worker automaton cache stays hot
-# across repeated calls with the same dictionary)
-_PHRASE_REFS: dict = {}
+# across repeated calls with the same dictionary). Bounded LRU: an
+# unbounded memo would pin every dictionary a long-lived driver ever
+# used in plasma for the process lifetime — evicting the ref lets the
+# object store release superseded phrase lists.
+_PHRASE_REFS: "OrderedDict[str, object]" = OrderedDict()
+_PHRASE_REFS_MAX = 4
 
 
 def _build_aho(phrases: Sequence[str]):
@@ -188,6 +193,10 @@ def tag_documents(
     if ref is None:
         ref = ray.put(plist)
         _PHRASE_REFS[fp] = ref
+        while len(_PHRASE_REFS) > _PHRASE_REFS_MAX:
+            _PHRASE_REFS.popitem(last=False)  # LRU evict -> plasma frees
+    else:
+        _PHRASE_REFS.move_to_end(fp)
     return ds.map_batches(
         run_stage, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"_cls": AcTagger, "phrases_ref": ref,

@@ -209,7 +209,13 @@ def lookup_surfaces(
     parts = _part_files(store_dir, m, as_of=as_of)
 
     if mode == "auto":
-        n_alias = sum(int(e["rows"]) for name, e in m["epochs"].items())
+        # alias-only counts: the broadcast ships only the alias files,
+        # so routing on total rows (alias + ~13x variant rows) abandons
+        # the broadcast regime far below the intended threshold. Legacy
+        # manifests without alias_rows fall back to the conservative
+        # total.
+        n_alias = sum(int(e.get("alias_rows", e["rows"]))
+                      for name, e in m["epochs"].items())
         mode = "broadcast" if n_alias <= broadcast_max_rows else "exchange"
     if mode == "broadcast":
         alias_files = [f for fs in parts.values() for f in fs
@@ -601,6 +607,7 @@ def register_epoch(
                               num_partitions=p_total).to_pandas()
     parts_ent: dict = {}
     total_rows = 0
+    alias_rows_total = 0
     if "file" in wres.columns:
         for r in wres.itertuples():
             pent = parts_ent.setdefault(str(int(r.part)),
@@ -608,9 +615,12 @@ def register_epoch(
             pent["files"].append(r.file)
             pent["rows"] += int(r.rows)
             total_rows += int(r.rows)
+            if str(r.file).startswith("alias-"):
+                alias_rows_total += int(r.rows)
         for pent in parts_ent.values():
             pent["files"].sort()
     ent = {"parts": parts_ent, "rows": total_rows,
+           "alias_rows": alias_rows_total,
            **{k: stats[k] for k in ("n_surfaces", "n_members", "n_new")}}
     m = _load_manifest(store_dir)  # re-read: driver is the only writer
     m["epoch_order"] = _epoch_order(m) + [epoch] if m["epochs"] \
@@ -648,7 +658,7 @@ def compact_registry(store_dir: str) -> dict:
                 for e in m["epochs"]]
 
     @ray.remote(num_cpus=1)
-    def fold(k: int, files: List[str]) -> Tuple[int, list, int]:
+    def fold(k: int, files: List[str]) -> Tuple[int, list, int, int]:
         # preserve the alias/var file split (lookup reads only alias-)
         t = pa.concat_tables(pq.read_table(f) for f in files)
         pdir = os.path.join(store_dir, f"epoch={base}", f"part={k}")
@@ -656,6 +666,7 @@ def compact_registry(store_dir: str) -> dict:
         import pyarrow.compute as pc
 
         names = []
+        n_alias = 0
         for prefix, flag in (("alias", True), ("var", False)):
             sub = t.filter(pc.equal(t.column("self"), flag))
             if sub.num_rows == 0:
@@ -663,14 +674,18 @@ def compact_registry(store_dir: str) -> dict:
             name = f"{prefix}-{uuid.uuid4().hex}.parquet"
             pq.write_table(sub, os.path.join(pdir, name))
             names.append(name)
-        return k, names, t.num_rows
+            if flag:
+                n_alias = sub.num_rows
+        return k, names, t.num_rows, n_alias
 
     refs = [fold.remote(k, files) for k, files in sorted(parts.items())]
     new_parts: dict = {}
     total = 0
-    for k, names, rows in ray.get(refs):
+    alias_total = 0
+    for k, names, rows, n_alias in ray.get(refs):
         new_parts[str(k)] = {"files": sorted(names), "rows": rows}
         total += rows
+        alias_total += n_alias
     done = sorted(set(m.get("compacted_epochs", []))
                   | set(m["epochs"]) - {base})
     m2 = {"num_partitions": p_total,
@@ -678,7 +693,8 @@ def compact_registry(store_dir: str) -> dict:
           "compaction_gen": gen,
           "compacted_epochs": done,
           "epoch_order": [base],
-          "epochs": {base: {"parts": new_parts, "rows": total}}}
+          "epochs": {base: {"parts": new_parts, "rows": total,
+                            "alias_rows": alias_total}}}
     _save_manifest(store_dir, m2)  # THE commit
     for d in old_dirs:  # post-commit: no manifest references these
         if os.path.basename(d) != f"epoch={base}":

@@ -174,11 +174,14 @@ def decayed_counter_epoch(
     state["ref_us"] = int(new_ref)
     state["epochs"].append(epoch)
     _write_state(state_dir, state)  # the commit point
-    for rel in superseded:
-        try:
-            os.remove(os.path.join(state_dir, rel))
-        except OSError:
-            pass
+    from calendar_event_entity_extraction_ray.stages.storegc import (
+        orphan_files,
+        remove_files_and_prune_dirs,
+    )
+
+    remove_files_and_prune_dirs(
+        state_dir, superseded + orphan_files(
+            state_dir, [f"counts.epoch={epoch}"], files))
     return {"noop": False, "ref_us": int(new_ref),
             "n_state_rows": n_rows}
 

@@ -223,11 +223,17 @@ def hll_distinct_epoch(
     state["files"] = files
     state["epochs"].append(epoch)
     _write_state(state_dir, state)  # the commit point
-    for rel in superseded:
-        try:
-            os.remove(os.path.join(state_dir, rel))
-        except OSError:
-            pass
+    from calendar_event_entity_extraction_ray.stages.storegc import (
+        orphan_files,
+        remove_files_and_prune_dirs,
+    )
+
+    # superseded register files + crashed-attempt orphans in this
+    # epoch's dir, then their emptied epoch directories (disk hygiene
+    # only — reads go through the state-JSON listing)
+    remove_files_and_prune_dirs(
+        state_dir, superseded + orphan_files(
+            state_dir, [f"hll.epoch={epoch}"], files))
     return {"noop": False, "n_state_rows": n_rows}
 
 

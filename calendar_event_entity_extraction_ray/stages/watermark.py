@@ -154,34 +154,20 @@ def _prune_after_commit(state_dir: str, epoch: str, cand_rels: List[str],
     """Post-commit hygiene: candidate shards, the previous epoch's open
     shards, and any unlisted orphans left in THIS epoch's directories by
     a crashed earlier attempt — then prune emptied directories."""
+    from calendar_event_entity_extraction_ray.stages.storegc import (
+        orphan_files,
+        remove_files_and_prune_dirs,
+    )
+
     listed = set(state["open_files"]) | set(state["final_files"]) \
         | set(state["late_files"])
-    doomed = list(cand_rels) + list(superseded_open)
-    for sub in (f"open.epoch={epoch}", os.path.join("final", f"epoch={epoch}"),
-                os.path.join("late", f"epoch={epoch}"),
-                f"cand.epoch={epoch}"):
-        root = os.path.join(state_dir, sub)
-        if not os.path.isdir(root):
-            continue
-        for dirpath, _dirs, files in os.walk(root):
-            for f in files:
-                rel = os.path.relpath(os.path.join(dirpath, f), state_dir)
-                if rel not in listed:
-                    doomed.append(rel)
-    for rel in doomed:
-        p = os.path.join(state_dir, rel)
-        try:
-            os.remove(p)
-        except OSError:
-            continue
-        # prune now-empty parent dirs up to (not including) state_dir
-        d = os.path.dirname(p)
-        while d != state_dir.rstrip(os.sep) and os.path.isdir(d):
-            try:
-                os.rmdir(d)
-            except OSError:
-                break
-            d = os.path.dirname(d)
+    subdirs = [f"open.epoch={epoch}",
+               os.path.join("final", f"epoch={epoch}"),
+               os.path.join("late", f"epoch={epoch}"),
+               f"cand.epoch={epoch}"]
+    remove_files_and_prune_dirs(
+        state_dir, list(cand_rels) + list(superseded_open)
+        + orphan_files(state_dir, subdirs, listed))
 
 
 def _commit_epoch(state_dir: str, state: dict, epoch: str,

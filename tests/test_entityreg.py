@@ -366,3 +366,29 @@ class TestEdges:
         assert ER.register_epoch(nulls, store, "e2",
                                  num_partitions=8)["noop"]
         assert _lookup(store, ["seed"]) == {"seed": "seed"}
+
+
+class TestBroadcastRouting:
+    def test_auto_routing_uses_alias_only_rows(self, ray_session, store):
+        """The manifest records alias-only row counts; auto mode routes
+        on those (the broadcast ships only alias files — totals count
+        the ~13x variant rows and would abandon the broadcast regime
+        far below the intended threshold)."""
+        ER.register_epoch(_ds(["alpha", "alphb", "beta"]), store, "e1",
+                          num_partitions=8)
+        m = ER._load_manifest(store)
+        ent = m["epochs"]["e1"]
+        assert 0 < ent["alias_rows"] < ent["rows"]
+        n_alias = ent["alias_rows"]
+        # threshold just above alias rows but far below total rows:
+        # must still broadcast (routing on totals would go exchange)
+        df = ER.lookup_surfaces(
+            _ds(["alpha", "missing"]), store, mode="auto",
+            broadcast_max_rows=n_alias).to_pandas()
+        got = dict(zip(df["surface"], df["entity_id"]))
+        assert got["alpha"] == got.get("alpha") and pd.isna(got["missing"])
+        # compaction preserves the alias-only count
+        ER.compact_registry(store)
+        m2 = ER._load_manifest(store)
+        ent2 = list(m2["epochs"].values())[0]
+        assert ent2["alias_rows"] == n_alias

@@ -125,3 +125,18 @@ class TestHllState:
                              num_partitions=4)
         regs = H.read_hll_registers(sd)
         assert set(regs["k"]) == {"a"}   # b had only NULLs
+
+    def test_epoch_dirs_pruned_after_commit(self, ray_session, sd):
+        """Superseded register files AND their emptied epoch
+        directories disappear post-commit (disk hygiene — reads go
+        through the state-JSON listing)."""
+        import os
+
+        k1, v1 = _mk(200, 1)
+        k2, v2 = _mk(200, 2)
+        H.hll_distinct_epoch(_ds(k1, v1), sd, "e1", "k", "v",
+                             num_partitions=4)
+        H.hll_distinct_epoch(_ds(k2, v2), sd, "e2", "k", "v",
+                             num_partitions=4)
+        assert not os.path.isdir(os.path.join(sd, "hll.epoch=e1"))
+        assert os.path.isdir(os.path.join(sd, "hll.epoch=e2"))
