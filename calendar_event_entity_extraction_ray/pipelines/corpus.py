@@ -159,6 +159,7 @@ def write_corpus(
     fingerprint: str,
     id_col: str = "doc_id",
     num_partitions: int = 16,
+    _crash_sentinel: "str | None" = None,
 ) -> dict:
     """Resumable partitioned Parquet via the id-hash exchange: one
     ``part_key=K/data.parquet`` per partition, sorted by id, plus
@@ -197,6 +198,14 @@ def write_corpus(
         out = t.drop_columns(["_h"])
         out = out.take(pc.sort_indices(out, sort_keys=[(id_col, "ascending")]))
         M.write_partition_file(out_dir, part_id, out)
+        # worker-loss window: file durable, fold not yet returned — the
+        # retry rebuilds the identical partition from the same spill
+        # listing and rewrites atomically (manifest records once)
+        from calendar_event_entity_extraction_ray.stages.exchange import (
+            claim_crash_sentinel,
+        )
+
+        claim_crash_sentinel(_crash_sentinel)
         return pa.table({"part_id": pa.array([part_id], pa.int64()),
                          "rows": pa.array([out.num_rows], pa.int64())})
 

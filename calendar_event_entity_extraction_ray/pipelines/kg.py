@@ -172,6 +172,7 @@ def materialize_graph(
     fingerprint: str,
     num_partitions: int = 16,
     spill_dir: "str | None" = None,
+    _crash_sentinel: "str | None" = None,
 ) -> dict:
     """S6: partition by hash(subj) % P -> one Parquet file per partition +
     manifest; partitions already present for this fingerprint are skipped
@@ -273,12 +274,20 @@ def materialize_graph(
 
     @ray.remote(num_cpus=1)
     def merge(part_id: int, files: list) -> tuple:
+        from calendar_event_entity_extraction_ray.stages.exchange import (
+            claim_crash_sentinel,
+        )
+
         pdir = os.path.join(spill_dir, f"part={part_id}")
         t = pa.concat_tables(
             [pq.read_table(os.path.join(pdir, f)) for f in sorted(files)])
         t = t.sort_by([("subj", "ascending"), ("pred", "ascending"),
                        ("obj", "ascending")])
         M.write_partition_file(out_dir, part_id, t)
+        # worker-loss window: partition file durable, result not yet
+        # returned — the retry re-merges the SAME spill listing and
+        # rewrites atomically, so the manifest records it exactly once
+        claim_crash_sentinel(_crash_sentinel)
         return part_id, t.num_rows
 
     if spilled.empty or "part_id" not in spilled.columns:

@@ -89,6 +89,25 @@ import atexit  # noqa: E402
 atexit.register(cleanup_pending_spill)
 
 
+def claim_crash_sentinel(path: Optional[str]) -> None:
+    """Test-only fault injection shared by every attempt-commit write
+    path (exchange spill, graph materialize merge, corpus write fold,
+    vector-store delta append): the FIRST caller to claim the sentinel
+    file (O_EXCL) hard-kills its worker with ``os._exit`` — AFTER its
+    durable writes but BEFORE returning the attempt commit, the exact
+    worker-loss window the protocol exists for. Ray retries the task
+    (system failure); only the retry's returned names/rows are
+    committed, and rewrites are atomic (temp+rename), so the dead
+    attempt changes nothing a reader sees."""
+    if path is None:
+        return
+    try:
+        os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        os._exit(1)
+    except FileExistsError:
+        pass
+
+
 def default_num_partitions(cap: int = 64) -> int:
     """~2x cluster CPUs (CLAUDE.md: granularity via block/partition count)."""
     try:
@@ -202,15 +221,10 @@ def hash_partition_map(
                 os.replace(tmp, final)  # atomic: readers never see partials
                 touched.append(int(part_id))
                 names.append(os.path.basename(final))
-        if _crash_sentinel is not None and names:
+        if names:
             # fault injection (see docstring): die after spilling, before
             # the attempt commit — exactly the window retries must survive
-            try:
-                os.close(os.open(_crash_sentinel,
-                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-                os._exit(1)
-            except FileExistsError:
-                pass
+            claim_crash_sentinel(_crash_sentinel)
         return pa.table({"part_id": pa.array(touched, pa.int64()),
                          "file": pa.array(names, pa.string())})
 

@@ -577,6 +577,7 @@ def append_ivf_store(
     ds: "ray.data.Dataset",
     out_dir: str,
     epoch: str,
+    _crash_sentinel: "str | None" = None,
 ) -> dict:
     """LSM append: assign new vectors with the STORED codebook (the index
     geometry never changes — the delta-ingest analog of the graph
@@ -644,6 +645,15 @@ def append_ivf_store(
         pq.write_table(body, tmp)
         final = os.path.join(cdir, f"delta-{epoch}.parquet")
         os.replace(tmp, final)
+        # worker-loss window: delta file durable, fold not returned —
+        # the retry rewrites the SAME deterministic name atomically;
+        # the manifest (written by the driver after all folds) lists
+        # the epoch exactly once
+        from calendar_event_entity_extraction_ray.stages.exchange import (
+            claim_crash_sentinel,
+        )
+
+        claim_crash_sentinel(_crash_sentinel)
         rel = os.path.join(f"cell={cell}", os.path.basename(final))
         return pa.table({"cell": pa.array([cell], pa.int64()),
                          "rows": pa.array([t.num_rows], pa.int64()),
