@@ -57,6 +57,44 @@ import ray.data
 _MANIFEST = "_FPMANIFEST.json"
 _KEY2 = "fpstore-h2-salt0"  # exactly 16 bytes: independent siphash key
 
+# Per-file Bloom sidecars (round-4 verdict item 4): every fingerprint
+# file carries a small `<name>.bloom` bitset over its h1 values, and the
+# exchange-regime fold tests its delta rows against each sidecar BEFORE
+# opening the parquet — a file none of the delta's rows can hit is
+# skipped entirely, so at low dup rates an epoch touches bloom bytes
+# (~5 B/row) instead of fingerprint bytes (16 B/row), and whole
+# partitions skip when every file skips. Sizing rule: a file of n rows
+# probed by d delta rows skips with probability (1-fpr)^d, so the
+# sidecar only pays off while d * fpr << 1 — i.e. SMALL epochs against
+# a BIG base (the daily-crawl shape this store exists for). 40 bits/row
+# at k=4 gives fpr ~8e-5 -> ~97% skip at d=300. Membership stays exact:
+# the bloom is a prefilter (no false negatives by construction); every
+# possible hit still runs the exact (h1, h2) member_mask.
+BLOOM_BITS_PER_ROW = 40
+BLOOM_K = 4
+_BLOOM_MIN_BITS = 1024
+
+
+def _build_bloom(h1: np.ndarray) -> bytes:
+    from calendar_event_entity_extraction_ray.functions.bloom import (
+        BloomFilter,
+    )
+
+    n_bits = max(_BLOOM_MIN_BITS,
+                 (len(h1) * BLOOM_BITS_PER_ROW + 63) // 64 * 64)
+    return BloomFilter(n_bits=n_bits, k=BLOOM_K).add_hashes(
+        h1.astype(np.uint64)).serialize()
+
+
+def _bloom_any_hit(bloom_path: str, h1: np.ndarray) -> bool:
+    from calendar_event_entity_extraction_ray.functions.bloom import (
+        BloomFilter,
+    )
+
+    with open(bloom_path, "rb") as f:
+        bf = BloomFilter.deserialize(f.read(), k=BLOOM_K)
+    return bool(bf.contains_hashes(h1.astype(np.uint64)).any())
+
 
 def content_hashes(texts) -> Tuple[np.ndarray, np.ndarray]:
     """(h1, h2) int64 pairs per text — two fixed-key siphash streams
@@ -139,6 +177,27 @@ def _part_files(store_dir: str, exclude_epoch: Optional[str]
     return out
 
 
+def _part_files_with_blooms(
+    store_dir: str, exclude_epoch: Optional[str]
+) -> "dict[int, List[Tuple[str, Optional[str]]]]":
+    """Like ``_part_files`` but each entry is (fingerprint file, bloom
+    sidecar path or None) — None for files written before the sidecar
+    existed (always read, never skipped)."""
+    m = _load_manifest(store_dir)
+    out: dict[int, List[Tuple[str, Optional[str]]]] = {}
+    for e, ent in sorted(m["epochs"].items()):
+        if e == exclude_epoch:
+            continue
+        for k, pent in sorted(ent["parts"].items()):
+            blooms = pent.get("blooms", {})
+            base = os.path.join(store_dir, f"epoch={e}", f"part={k}")
+            out.setdefault(int(k), []).extend(
+                (os.path.join(base, f),
+                 os.path.join(base, blooms[f]) if f in blooms else None)
+                for f in pent["files"])
+    return out
+
+
 def store_rows(store_dir: str, exclude_epoch: Optional[str] = None) -> int:
     m = _load_manifest(store_dir)
     return sum(int(ent["rows"]) for e, ent in m["epochs"].items()
@@ -178,13 +237,20 @@ def filter_against_store(
     mode: str = "auto",
     broadcast_max_rows: int = 5_000_000,
     keep_members: bool = False,
+    io_log_dir: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Drop rows whose (_h1, _h2) fingerprint exists in the store
     (prior epochs only). ``mode``: 'broadcast' | 'exchange' | 'auto'
     (manifest row count <= broadcast_max_rows -> broadcast). Both
     regimes run the same member_mask kernel — identical results.
     ``keep_members=True`` inverts the filter (returns ONLY the member
-    rows — the near-dup store's hit stream)."""
+    rows — the near-dup store's hit stream).
+
+    The exchange regime prefilters each store file through its Bloom
+    sidecar (see BLOOM_BITS_PER_ROW): files no delta row can possibly
+    hit are never opened. ``io_log_dir`` (diagnostics): folds append
+    one json file each recording files/bytes read vs skipped — what
+    scripts/scale_fpstore_check.py sums to report the touched-IO drop."""
     n_store = store_rows(store_dir, exclude_epoch)
     if n_store == 0:
         return (fp_docs.limit(0) if keep_members else fp_docs)
@@ -215,7 +281,9 @@ def filter_against_store(
 
     m = _load_manifest(store_dir)
     p_total = int(m["num_partitions"])
-    parts = _part_files(store_dir, exclude_epoch)
+    parts = _part_files_with_blooms(store_dir, exclude_epoch)
+    if io_log_dir:
+        os.makedirs(io_log_dir, exist_ok=True)
 
     def fold(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -224,14 +292,38 @@ def filter_against_store(
         files = parts.get(k, [])
         if not files:
             return t.slice(0, 0) if keep_members else t
+        d1 = t.column("_h1").to_numpy(zero_copy_only=False)
+        # Bloom prefilter: open only files with a possible hit (exact
+        # membership below is unchanged — the sidecar has no false
+        # negatives, so a skipped file provably holds no member)
+        read_files, skipped = [], []
+        for fp_path, bloom_path in files:
+            if (bloom_path is not None and os.path.exists(bloom_path)
+                    and not _bloom_any_hit(bloom_path, d1)):
+                skipped.append(fp_path)
+            else:
+                read_files.append(fp_path)
+        if io_log_dir:
+            rec = {"part": k,
+                   "files_read": len(read_files),
+                   "files_skipped": len(skipped),
+                   "bytes_read": sum(os.path.getsize(f)
+                                     for f in read_files),
+                   "bytes_skipped": sum(os.path.getsize(f)
+                                        for f in skipped)}
+            with open(os.path.join(io_log_dir,
+                                   f"io-{uuid.uuid4().hex}.json"),
+                      "w") as f:
+                json.dump(rec, f)
+        if not read_files:
+            return t.slice(0, 0) if keep_members else t
         st = pa.concat_tables(pq.read_table(f, columns=["h1", "h2"])
-                              for f in files)
+                              for f in read_files)
         s1 = st.column("h1").to_numpy(zero_copy_only=False)
         s2 = st.column("h2").to_numpy(zero_copy_only=False)
         o = np.argsort(s1, kind="stable")
         mask = member_mask(
-            t.column("_h1").to_numpy(zero_copy_only=False),
-            t.column("_h2").to_numpy(zero_copy_only=False),
+            d1, t.column("_h2").to_numpy(zero_copy_only=False),
             np.ascontiguousarray(s1[o]), np.ascontiguousarray(s2[o]))
         return t.filter(pa.array(mask if keep_members else ~mask))
 
@@ -268,6 +360,7 @@ def append_epoch(
         if t.num_rows == 0:
             return pa.table({"part": pa.array([], pa.int64()),
                              "file": pa.array([], pa.string()),
+                             "bloom": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
         k = int(t.column("_h1")[0].as_py()) % p_total
         pdir = os.path.join(ed, f"part={k}")
@@ -276,8 +369,13 @@ def append_epoch(
         pq.write_table(
             pa.table({"h1": t.column("_h1"), "h2": t.column("_h2")}),
             os.path.join(pdir, name))
+        bname = name[:-len(".parquet")] + ".bloom"
+        with open(os.path.join(pdir, bname), "wb") as f:
+            f.write(_build_bloom(
+                t.column("_h1").to_numpy(zero_copy_only=False)))
         return pa.table({"part": pa.array([k], pa.int64()),
                          "file": pa.array([name], pa.string()),
+                         "bloom": pa.array([bname], pa.string()),
                          "rows": pa.array([t.num_rows], pa.int64())})
 
     res = hash_partition_map(
@@ -290,8 +388,9 @@ def append_epoch(
         parts: dict = {}
         for r in res.itertuples():
             pent = parts.setdefault(str(int(r.part)),
-                                    {"files": [], "rows": 0})
+                                    {"files": [], "blooms": {}, "rows": 0})
             pent["files"].append(r.file)
+            pent["blooms"][r.file] = r.bloom
             pent["rows"] += int(r.rows)
         for pent in parts.values():
             pent["files"].sort()
@@ -310,13 +409,16 @@ def dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "auto",
+    num_partitions: int = 64,
+    io_log_dir: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """The incremental-crawl exact dedup: first-wins WITHIN the epoch
     (stages/dedup.py exact_dedup on the text key), then drop everything
     already fingerprinted by a PRIOR epoch, then record this epoch's
     surviving fingerprints. Equivalent to re-cleaning the union corpus
     with epochs concatenated in order — pinned by tests — at O(epoch)
-    cost instead of O(corpus)."""
+    cost instead of O(corpus). ``num_partitions`` applies only to the
+    store's FIRST epoch (later appends reuse the recorded P)."""
     from calendar_event_entity_extraction_ray.stages.dedup import (
         exact_dedup,
     )
@@ -324,8 +426,10 @@ def dedup_incremental(
     within = exact_dedup(new_docs, [text_col], id_col)
     fp = with_fingerprints(within, text_col)
     survivors = filter_against_store(fp, store_dir, exclude_epoch=epoch,
-                                     mode=mode).materialize()
-    append_epoch(survivors, store_dir, epoch)
+                                     mode=mode,
+                                     io_log_dir=io_log_dir).materialize()
+    append_epoch(survivors, store_dir, epoch,
+                 num_partitions=num_partitions)
     return survivors.drop_columns(["_h1", "_h2"])
 
 
@@ -366,13 +470,17 @@ def compact_store(store_dir: str) -> dict:
             pa.table({"h1": pa.array(df["h1"].to_numpy(), pa.int64()),
                       "h2": pa.array(df["h2"].to_numpy(), pa.int64())}),
             os.path.join(pdir, name))
-        return k, name, len(df)
+        bname = name[:-len(".parquet")] + ".bloom"
+        with open(os.path.join(pdir, bname), "wb") as f:
+            f.write(_build_bloom(df["h1"].to_numpy()))
+        return k, name, bname, len(df)
 
     refs = [fold.remote(k, files) for k, files in sorted(parts.items())]
     new_parts: dict = {}
     total = 0
-    for k, name, rows in ray.get(refs):
-        new_parts[str(k)] = {"files": [name], "rows": rows}
+    for k, name, bname, rows in ray.get(refs):
+        new_parts[str(k)] = {"files": [name], "blooms": {name: bname},
+                             "rows": rows}
         total += rows
     done = sorted(set(m.get("compacted_epochs", []))
                   | set(m["epochs"]) - {base})

@@ -14,6 +14,7 @@ METRICS.json.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -46,7 +47,10 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
+        # CEE_RAY_ADDRESS: connect to an existing cluster (multi-node —
+        # see RUNBOOK.md); default "local" starts a private session
+        ray.init(address=os.environ.get("CEE_RAY_ADDRESS", "local"),
+                 include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 

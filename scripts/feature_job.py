@@ -50,8 +50,11 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+        # CEE_RAY_ADDRESS: connect to an existing cluster (multi-node —
+        # see RUNBOOK.md); num_cpus only applies to a private session
+        addr = os.environ.get("CEE_RAY_ADDRESS", "local")
+        kw = {"num_cpus": args.num_cpus} if addr == "local" else {}
+        ray.init(address=addr, include_dashboard=False, **kw)
     import ray.data
 
     from calendar_event_entity_extraction_ray.stages import featstate as fs

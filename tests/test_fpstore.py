@@ -296,3 +296,73 @@ class TestNearDupIncremental:
         assert set(a["doc_id"]) == set(b["doc_id"])
         assert store_rows(store) == rows_after  # re-run appends nothing
         assert set(a["doc_id"]) == set(range(530, 560))
+
+
+class TestBloomSidecar:
+    def test_prefilter_skips_files_membership_exact(self, ray_session,
+                                                    tmp_path):
+        """Every store file carries a Bloom sidecar; the exchange fold
+        skips files no delta row can hit. Skips must actually happen at
+        a low dup rate AND membership must equal the broadcast regime
+        (the sidecar is a prefilter — zero false negatives)."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages import fpstore as F
+
+        sd = str(tmp_path / "store")
+        base_texts = _corpus(1, 4000)
+        e1 = ray.data.from_pandas(
+            _docs(range(4000), base_texts)).repartition(4)
+        F.dedup_incremental(e1, sd, "e1", num_partitions=16).materialize()
+        m = F._load_manifest(sd)
+        for pent in m["epochs"]["e1"]["parts"].values():
+            assert set(pent["blooms"]) == set(pent["files"])
+
+        # small delta, 5 planted dups
+        delta_texts = _corpus(2, 100, dup_from=base_texts[:50],
+                              dup_frac=0.05)
+        e2 = ray.data.from_pandas(
+            _docs(range(4000, 4100), delta_texts)).repartition(2)
+        iolog = str(tmp_path / "iolog")
+        fp = F.with_fingerprints(e2, "text")
+        got_ex = sorted(
+            F.filter_against_store(fp, sd, exclude_epoch="e2",
+                                   mode="exchange", io_log_dir=iolog)
+            .to_pandas()["doc_id"].tolist())
+        got_bc = sorted(
+            F.filter_against_store(fp, sd, exclude_epoch="e2",
+                                   mode="broadcast")
+            .to_pandas()["doc_id"].tolist())
+        assert got_ex == got_bc
+        n_dups = sum(t in set(base_texts) for t in delta_texts)
+        assert len(got_ex) == 100 - n_dups and n_dups > 0
+
+        recs = [json.load(open(os.path.join(iolog, f)))
+                for f in os.listdir(iolog)]
+        skipped = sum(r["files_skipped"] for r in recs)
+        read = sum(r["files_read"] for r in recs)
+        assert skipped > 0, "bloom prefilter never skipped a file"
+        assert read > 0, "dup-holding partitions must still be read"
+
+    def test_legacy_store_without_sidecars_still_reads(self, ray_session,
+                                                       tmp_path):
+        """Files written before the sidecar existed (no 'blooms' entry /
+        missing file) are always read — never wrongly skipped."""
+        import ray
+
+        from calendar_event_entity_extraction_ray.stages import fpstore as F
+
+        sd = str(tmp_path / "store")
+        texts = _corpus(3, 500)
+        e1 = ray.data.from_pandas(_docs(range(500), texts)).repartition(2)
+        F.dedup_incremental(e1, sd, "e1", num_partitions=8).materialize()
+        # simulate a legacy store: drop every sidecar file + manifest ref
+        m = F._load_manifest(sd)
+        for pent in m["epochs"]["e1"]["parts"].values():
+            pent.pop("blooms", None)
+        F._save_manifest(sd, m)
+        dup = ray.data.from_pandas(_docs([900], [texts[0]]))
+        fp = F.with_fingerprints(dup, "text")
+        out = F.filter_against_store(fp, sd, exclude_epoch="e2",
+                                     mode="exchange").to_pandas()
+        assert len(out) == 0  # the dup is still caught
