@@ -63,8 +63,6 @@ def main() -> int:
     from calendar_event_entity_extraction_ray.state.metrics import write_metrics
 
     if args.compact_store:
-        import os
-
         from calendar_event_entity_extraction_ray.stages.fpstore import (
             compact_store,
         )
@@ -100,8 +98,6 @@ def main() -> int:
             _swap_text, batch_format="pyarrow")
     out_dir = args.out
     if args.epoch:
-        import os
-
         from calendar_event_entity_extraction_ray.stages.fpstore import (
             append_epoch,
             filter_against_store,
