@@ -4750,6 +4750,47 @@ def q_semdedup_embeddings(sf_dir: str) -> Any:
     return _int64(out.to_pandas(), ["vec_id", "cluster"])
 
 
+def q_semdedup_incremental(sf_dir: str) -> Any:
+    """Epoch-incremental SemDeDup (stages/embstore.py): the embeddings
+    table arrives as two epochs (vec_id parity); epoch-1 survivors
+    persist per k-means cell (centroids frozen by the first epoch — the
+    vecstore codebook rule), epoch-2 vectors drop against any stored
+    same-cell vector OR a smaller-id same-epoch vector at cosine >=
+    tau. Returns (vec_id, epoch) of every SURVIVOR; the golden oracle
+    replays both epochs sequentially through the same
+    incremental_drop_mask kernel."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from calendar_event_entity_extraction_ray.stages.embstore import (
+        dedup_epoch,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _half(parity: int):
+        def pick(b: pa.Table, _p=parity) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == _p))
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    sd = _tf.mkdtemp(prefix="cee_embs_")
+    frames = []
+    try:
+        for parity, epoch in ((0, "e1"), (1, "e2")):
+            surv = dedup_epoch(_half(parity), sd, epoch,
+                               k=8, tau=0.3).to_pandas()
+            ids = (surv["vec_id"] if "vec_id" in surv.columns
+                   else pd.Series([], dtype="int64"))
+            frames.append(pd.DataFrame(
+                {"vec_id": ids.astype("int64"), "epoch": epoch}))
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)  # result is eager
+    out = pd.concat(frames, ignore_index=True).sort_values(
+        ["epoch", "vec_id"], kind="stable").reset_index(drop=True)
+    return _int64(out, ["vec_id"])
+
+
 def q_dsir_scored_docs(sf_dir: str) -> Any:
     """DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
     bucket multinomials fit on the lang=='en' target vs the full raw
@@ -5954,6 +5995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_scored_docs": q_lm_scored_docs,
         "dsir_scored_docs": q_dsir_scored_docs,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "semdedup_incremental": q_semdedup_incremental,
         "dsir_selected_docs": q_dsir_selected_docs,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenized_docs": q_bpe_tokenized_docs,
@@ -6278,6 +6320,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_embeddings":
             f"SELECT vec_id, cluster"
             f" FROM {_golden('semdedup_embeddings')}",
+        "semdedup_incremental":
+            f"SELECT vec_id, epoch"
+            f" FROM {_golden('semdedup_incremental')}",
         "bpe_merges":
             f"SELECT rank, lhs, rhs FROM {_golden('bpe_merges')}",
         "unigram_vocab":

@@ -200,24 +200,33 @@ def kmeans(
                           batch_size=None)
 
 
-def kmeans_single_process(
+def fit_centroids_single_process(
     vecs: np.ndarray, ids: np.ndarray, k: int = 8, iters: int = 5
 ) -> np.ndarray:
-    """Sequential mirror of ``kmeans`` for golden generation — same init,
-    same update rule, same tie-breaking, no Ray."""
+    """Sequential mirror of ``fit_centroids`` — same init (k smallest
+    ids), same update rule, same tie-breaking, no Ray. Returns the
+    CENTROIDS (what frozen-geometry stores pin)."""
     order = np.argsort(ids, kind="stable")
     m = np.asarray(vecs, dtype=np.float64)
     centroids = m[order[:k]].copy()
 
-    def assign(cents):
-        d = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
-        return d.argmin(axis=1)
-
     for _ in range(iters):
-        a = assign(centroids)
+        d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
+        a = d.argmin(axis=1)
         sums = np.zeros_like(centroids)
         np.add.at(sums, a, m)
         counts = np.bincount(a, minlength=len(centroids))
         nz = counts > 0
         centroids[nz] = sums[nz] / counts[nz, None]
-    return assign(centroids)
+    return centroids
+
+
+def kmeans_single_process(
+    vecs: np.ndarray, ids: np.ndarray, k: int = 8, iters: int = 5
+) -> np.ndarray:
+    """Sequential mirror of ``kmeans`` for golden generation — same init,
+    same update rule, same tie-breaking, no Ray."""
+    m = np.asarray(vecs, dtype=np.float64)
+    centroids = fit_centroids_single_process(vecs, ids, k, iters)
+    d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
+    return d.argmin(axis=1)

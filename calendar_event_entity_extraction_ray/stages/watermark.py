@@ -380,8 +380,13 @@ def tumbling_window_epoch(
                          "n_late": pa.array([n_late], pa.int64()),
                          "max_wm_src": pa.array([max_src], pa.int64())})
 
-    summaries = hash_partition_map(parts, "_kh", fold,
-                                   num_partitions=P).to_pandas()
+    # adaptive partitioning: hash_partition_map's small path folds tiny
+    # states in ONE task (P-way spill of a few-thousand-row state costs
+    # more than the fold — CLAUDE.md); large states spill at
+    # rows/100k partitions. P remains the shard-NAMING modulus only —
+    # every fold still writes its own uniquely-named files, so the two
+    # regimes differ in file count, not content.
+    summaries = hash_partition_map(parts, "_kh", fold).to_pandas()
     if "part" not in summaries.columns:  # zero-block input
         summaries = _empty_summary().to_pandas()
     return _commit_epoch(state_dir, state, epoch, summaries,
@@ -577,8 +582,9 @@ def session_window_epoch(
                          "n_late": pa.array([n_late], pa.int64()),
                          "max_wm_src": pa.array([max_src], pa.int64())})
 
-    summaries = hash_partition_map(parts, "_kh", fold,
-                                   num_partitions=P).to_pandas()
+    # adaptive partitioning — see the tumbling form's note; P names
+    # shards, the exchange sizes itself
+    summaries = hash_partition_map(parts, "_kh", fold).to_pandas()
     if "part" not in summaries.columns:  # zero-block input
         summaries = _empty_summary().to_pandas()
     return _commit_epoch(state_dir, state, epoch, summaries,

@@ -1025,6 +1025,27 @@ def golden_semdedup_embeddings() -> pa.Table:
                      "cluster": pa.array(ll, pa.int64())})
 
 
+def golden_semdedup_incremental() -> pa.Table:
+    """Single-process mirror of q_semdedup_incremental: two vec_id-parity
+    epochs replayed sequentially through embstore_single_process (frozen
+    first-epoch centroids + the shared incremental_drop_mask kernel)."""
+    from calendar_event_entity_extraction_ray.stages.embstore import (
+        embstore_single_process,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    epochs = [(ids[ids % 2 == 0], vecs[ids % 2 == 0]),
+              (ids[ids % 2 == 1], vecs[ids % 2 == 1])]
+    surv = embstore_single_process(epochs, k=8, tau=0.3)
+    out_ids = np.concatenate(surv)
+    out_ep = (["e1"] * len(surv[0])) + (["e2"] * len(surv[1]))
+    return pa.table({"vec_id": pa.array(out_ids, pa.int64()),
+                     "epoch": pa.array(out_ep, pa.string())})
+
+
 def _bpe_mirror():
     """Single-process mirror of the BPE trainer: Counter histogram over
     every text, then the SAME cap/merge kernels (functions/bpe.py) the
@@ -1486,6 +1507,7 @@ GOLDENS = {
     "dsir_scored_docs": golden_dsir_scored_docs,
     "dsir_selected_docs": golden_dsir_selected_docs,
     "semdedup_embeddings": golden_semdedup_embeddings,
+    "semdedup_incremental": golden_semdedup_incremental,
     "compression_ratio_docs": golden_compression_ratio,
     "training_sequences": golden_training_sequences,
     "model_scored_docs": golden_model_scored_docs,
