@@ -238,9 +238,9 @@ def dedup_epoch(
             if files:
                 st = pa.concat_tables(
                     pq.read_table(f, columns=[vec_col]) for f in files)
-                stored = np.asarray(
-                    [np.asarray(v) for v in
-                     st.column(vec_col).to_pylist()], dtype=np.float64)
+                flat = (st.column(vec_col).combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False))
+                stored = flat.reshape(st.num_rows, -1).astype(np.float64)
             drop = incremental_drop_mask(ids_c, mat_c, stored, tau)
             if drop.all():
                 continue
@@ -249,10 +249,13 @@ def dedup_epoch(
             cdir = os.path.join(ed, f"cell={int(c)}")
             os.makedirs(cdir, exist_ok=True)
             name = f"em-{uuid.uuid4().hex}.parquet"
+            vec_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(keep_mat).ravel(),
+                         pa.float64()),
+                keep_mat.shape[1]).cast(pa.list_(pa.float64()))
             pq.write_table(
                 pa.table({id_col: pa.array(keep_ids, pa.int64()),
-                          vec_col: pa.array(list(keep_mat),
-                                            pa.list_(pa.float64()))}),
+                          vec_col: vec_arr}),
                 os.path.join(cdir, name))
             cells_out.append(int(c))
             files_out.append(name)
