@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("--keys", type=int, default=100_000)
     ap.add_argument("--bursts", type=int, default=10)
     ap.add_argument("--per-burst", type=int, default=10)
+    ap.add_argument("--form", default="session",
+                    choices=["session", "tumbling"],
+                    help="tumbling: same planted bursts through 1-h "
+                         "tumbling windows (each burst = one window's "
+                         "count, merged across the epoch split)")
     ap.add_argument("--num-cpus", type=int, default=32)
     args = ap.parse_args()
 
@@ -45,6 +50,7 @@ def main() -> int:
 
     from calendar_event_entity_extraction_ray.stages.watermark import (
         session_window_epoch,
+        tumbling_window_epoch,
     )
 
     K, NB, B = args.keys, args.bursts, args.per_burst
@@ -71,11 +77,18 @@ def main() -> int:
             ds = ray.data.range(rows, override_num_blocks=128).map_batches(
                 synth, fn_kwargs={"parity": parity},
                 batch_format="pyarrow")
-            s = session_window_epoch(
-                ds, sd, epoch, key_col="event_type", ts_col="ts",
-                gap_minutes=30, allowed_lateness_minutes=10**9,
-                late_policy="drop",
-                num_partitions=max(16, args.num_cpus * 2))
+            if args.form == "session":
+                s = session_window_epoch(
+                    ds, sd, epoch, key_col="event_type", ts_col="ts",
+                    gap_minutes=30, allowed_lateness_minutes=10**9,
+                    late_policy="drop",
+                    num_partitions=max(16, args.num_cpus * 2))
+            else:
+                s = tumbling_window_epoch(
+                    ds, sd, epoch, key_col="event_type", ts_col="ts",
+                    window_minutes=60, allowed_lateness_minutes=10**9,
+                    late_policy="drop",
+                    num_partitions=max(16, args.num_cpus * 2))
             assert s["n_late"] == 0, s
         wall = time.time() - t0
         rss_ingest = resource.getrusage(
@@ -97,13 +110,19 @@ def main() -> int:
 
         def verify(b: pa.Table) -> pa.Table:
             k = b.column("event_type").to_numpy()
-            s_ = b.column("start_us").to_numpy()
-            e_ = b.column("end_us").to_numpy()
             n_ = b.column("n").to_numpy()
-            rel = s_ - k
-            burst = rel // hour_us
-            ok = ((n_ == B) & (rel % hour_us == 0) & (burst >= 0)
-                  & (burst < NB) & (e_ == s_ + (B - 1) * step_us))
+            if args.form == "session":
+                s_ = b.column("start_us").to_numpy()
+                e_ = b.column("end_us").to_numpy()
+                rel = s_ - k
+                burst = rel // hour_us
+                ok = ((n_ == B) & (rel % hour_us == 0) & (burst >= 0)
+                      & (burst < NB) & (e_ == s_ + (B - 1) * step_us))
+            else:
+                ws = b.column("window_start_us").to_numpy()
+                burst = ws // hour_us
+                ok = ((n_ == B) & (ws % hour_us == 0) & (burst >= 0)
+                      & (burst < NB))
             return pa.table({"rows": pa.array([len(k)], pa.int64()),
                              "bad": pa.array([int((~ok).sum())],
                                              pa.int64())})
