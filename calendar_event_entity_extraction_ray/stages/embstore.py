@@ -186,6 +186,13 @@ def dedup_epoch(
         raise ValueError(
             f"store {store_dir!r} was built with {m['params']!r}, "
             f"got {params!r}")
+    if epoch in m.get("compacted_epochs", []):
+        # folded into a base epoch: still recorded, survivors no longer
+        # a distinct file set — the re-run's filter would drop them all
+        # against the base anyway (they are members)
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             vec_col: pa.array([], pa.list_(pa.float64()))}))
     if epoch in m["epochs"]:
         ent = m["epochs"][epoch]
         files = [os.path.join(store_dir, f"epoch={epoch}",
@@ -305,3 +312,56 @@ def dedup_epoch(
 def store_rows(store_dir: str) -> int:
     m = _load_manifest(store_dir)
     return sum(int(e["rows"]) for e in m["epochs"].values())
+
+
+def compact_store(store_dir: str) -> dict:
+    """LSM compaction: fold every cell's files ACROSS epochs into one
+    file per cell under a new base epoch (rows are a disjoint union —
+    a vector registers in exactly one epoch — so membership and every
+    future drop decision are identical before and after). One ray task
+    per cell; the manifest ``os.replace`` is the commit, superseded
+    epoch dirs deleted strictly AFTER (versioned-open-table rule).
+    Compacted epoch names are retained: re-running ``dedup_epoch`` for
+    one returns an EMPTY survivor set without touching the store (its
+    vectors are already members of the folded base — the fpstore
+    append_epoch rule)."""
+    import shutil
+
+    m = _load_manifest(store_dir)
+    if not m["epochs"]:
+        return m
+    params = m["params"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    cell_files = _cell_files(store_dir, m, None)
+    gen = int(m.get("compaction_gen", 0)) + 1
+    base = f"base{gen:04d}"
+    old_dirs = [os.path.join(store_dir, f"epoch={e}")
+                for e in m["epochs"]]
+
+    @ray.remote(num_cpus=1)
+    def fold(c: int, files: List[str]) -> tuple:
+        t = pa.concat_tables(pq.read_table(f, columns=[id_col, vec_col])
+                             for f in files)
+        t = t.sort_by(id_col)
+        cdir = os.path.join(store_dir, f"epoch={base}", f"cell={c}")
+        os.makedirs(cdir, exist_ok=True)
+        name = f"em-{uuid.uuid4().hex}.parquet"
+        pq.write_table(t, os.path.join(cdir, name))
+        return c, name, t.num_rows
+
+    refs = [fold.remote(c, fs) for c, fs in sorted(cell_files.items())]
+    new_cells: dict = {}
+    total = 0
+    for c, name, rows in ray.get(refs):
+        new_cells[str(c)] = {"files": [name], "rows": rows}
+        total += rows
+    done = sorted(set(m.get("compacted_epochs", []))
+                  | set(m["epochs"]) - {base})
+    m2 = {"params": params, "centroids": m["centroids"],
+          "compaction_gen": gen, "compacted_epochs": done,
+          "epochs": {base: {"cells": new_cells, "rows": total}}}
+    _save_manifest(store_dir, m2)  # THE commit
+    for d in old_dirs:  # post-commit: no manifest references these
+        if os.path.basename(d) != f"epoch={base}":
+            shutil.rmtree(d, ignore_errors=True)
+    return m2

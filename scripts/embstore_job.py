@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--tau", type=float, default=0.3)
     ap.add_argument("--stats", action="store_true",
                     help="print store stats and exit")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold epoch files into one per cell "
+                         "(membership unchanged) and exit")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -48,6 +51,14 @@ def main() -> int:
     import ray.data
 
     from calendar_event_entity_extraction_ray.stages import embstore as EB
+
+    if args.compact:
+        m = EB.compact_store(args.store)
+        print(json.dumps({
+            "compacted_epochs": m.get("compacted_epochs", []),
+            "rows": EB.store_rows(args.store)}))
+        ray.shutdown()
+        return 0
 
     if args.stats:
         m = EB._load_manifest(args.store)

@@ -134,3 +134,59 @@ class TestEmbStore:
         a = EB.incremental_drop_mask(ids, mat, stored, 0.6, chunk=64)
         b = EB.incremental_drop_mask(ids, mat, stored, 0.6, chunk=10_000)
         assert (a == b).all()
+
+    def test_compaction_preserves_drop_decisions(self, ray_session,
+                                                 tmp_path):
+        """Folding epochs into one file per cell must not change any
+        future epoch's drop set; a compacted epoch's re-run is an
+        empty no-op."""
+        sd = str(tmp_path / "es6")
+        ids1, v1 = np.arange(40, dtype=np.int64), _vecs(10, 40)
+        ids2, v2 = np.arange(100, 130, dtype=np.int64), _vecs(11, 30)
+        ids3, v3 = np.arange(200, 230, dtype=np.int64), _vecs(12, 30)
+        EB.dedup_epoch(_ds(ids1, v1), sd, "e1", k=4, tau=0.95)
+        EB.dedup_epoch(_ds(ids2, v2), sd, "e2", k=4, tau=0.95)
+
+        # control: epoch 3 against the UNCOMPACTED store
+        sd_ctl = str(tmp_path / "es6ctl")
+        EB.dedup_epoch(_ds(ids1, v1), sd_ctl, "e1", k=4, tau=0.95)
+        EB.dedup_epoch(_ds(ids2, v2), sd_ctl, "e2", k=4, tau=0.95)
+        want3 = _surv(EB.dedup_epoch(_ds(ids3, v3), sd_ctl, "e3",
+                                     k=4, tau=0.95))
+
+        rows_before = EB.store_rows(sd)
+        m2 = EB.compact_store(sd)
+        assert sorted(m2["epochs"]) == [
+            f"base{int(m2['compaction_gen']):04d}"]
+        assert EB.store_rows(sd) == rows_before
+        for cent in m2["epochs"][sorted(m2["epochs"])[0]][
+                "cells"].values():
+            assert len(cent["files"]) == 1
+        got3 = _surv(EB.dedup_epoch(_ds(ids3, v3), sd, "e3",
+                                    k=4, tau=0.95))
+        assert got3 == want3
+        # compacted epoch re-run: empty no-op, store untouched
+        rows = EB.store_rows(sd)
+        assert _surv(EB.dedup_epoch(_ds(ids1, v1), sd, "e1",
+                                    k=4, tau=0.95)) == []
+        assert EB.store_rows(sd) == rows
+
+    def test_compaction_crash_window_is_readable(self, ray_session,
+                                                 tmp_path, monkeypatch):
+        """A crash before the compaction's manifest commit leaves the
+        OLD manifest authoritative (new-base orphans unreferenced)."""
+        sd = str(tmp_path / "es7")
+        ids1, v1 = np.arange(30, dtype=np.int64), _vecs(13, 30)
+        EB.dedup_epoch(_ds(ids1, v1), sd, "e1", k=4, tau=0.95)
+        before = EB._load_manifest(sd)
+        real = EB._save_manifest
+        monkeypatch.setattr(
+            EB, "_save_manifest",
+            lambda d, m: (_ for _ in ()).throw(RuntimeError("boom")))
+        with pytest.raises(RuntimeError):
+            EB.compact_store(sd)
+        monkeypatch.setattr(EB, "_save_manifest", real)
+        assert EB._load_manifest(sd) == before
+        m2 = EB.compact_store(sd)  # clean re-run converges
+        assert EB.store_rows(sd) == before["epochs"]["e1"]["rows"]
+        assert sorted(m2["compacted_epochs"]) == ["e1"]
