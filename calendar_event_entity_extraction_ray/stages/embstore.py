@@ -94,6 +94,24 @@ def _cell_files(store_dir: str, m: dict, exclude_epoch: Optional[str]
     return out
 
 
+def cross_hit_mask(stored_unit: np.ndarray, mat_unit: np.ndarray,
+                   tau: float, chunk: int = 8192) -> np.ndarray:
+    """True where a ``mat_unit`` row has cosine >= tau against ANY
+    ``stored_unit`` row (both unit-normalized). OR-ing this over stored
+    slices equals one pass over their concatenation, which is what lets
+    the distributed fold STREAM a cell's stored vectors row-group by
+    row-group (bounded memory even after compaction folds a cell into
+    one large file) while the golden mirror calls the same kernel over
+    its in-memory kept arrays."""
+    n = len(mat_unit)
+    hit = np.zeros(n, dtype=bool)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        hit[lo:hi] = ((stored_unit @ mat_unit[lo:hi].T)
+                      >= tau).any(axis=0)
+    return hit
+
+
 def incremental_drop_mask(ids: np.ndarray, mat: np.ndarray,
                           stored: Optional[np.ndarray],
                           tau: float,
@@ -109,12 +127,11 @@ def incremental_drop_mask(ids: np.ndarray, mat: np.ndarray,
     if n == 0:
         return drop
     mu = _unit_rows(np.asarray(mat, np.float64))
-    su = (_unit_rows(np.asarray(stored, np.float64))
-          if stored is not None and len(stored) else None)
+    if stored is not None and len(stored):
+        drop |= cross_hit_mask(
+            _unit_rows(np.asarray(stored, np.float64)), mu, tau, chunk)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        if su is not None:
-            drop[lo:hi] |= ((su @ mu[lo:hi].T) >= tau).any(axis=0)
         # earlier same-epoch rows: every chunk before this one, then the
         # strict upper triangle within the chunk
         if lo:
@@ -240,15 +257,21 @@ def dedup_epoch(
             ids_c, mat_c = all_ids[sel], mat[sel]
             o = np.argsort(ids_c, kind="stable")
             ids_c, mat_c = ids_c[o], mat_c[o]
-            files = cell_files.get(int(c), [])
-            stored = None
-            if files:
-                st = pa.concat_tables(
-                    pq.read_table(f, columns=[vec_col]) for f in files)
-                flat = (st.column(vec_col).combine_chunks().flatten()
-                        .to_numpy(zero_copy_only=False))
-                stored = flat.reshape(st.num_rows, -1).astype(np.float64)
-            drop = incremental_drop_mask(ids_c, mat_c, stored, tau)
+            # within-epoch drops first (smaller id wins), then STREAM
+            # the cell's stored vectors row-group by row-group — memory
+            # stays bounded even after compaction folds the cell into
+            # one corpus-scale file (OR over slices == one concat pass)
+            drop = incremental_drop_mask(ids_c, mat_c, None, tau)
+            mu = _unit_rows(np.asarray(mat_c, np.float64))
+            for f in cell_files.get(int(c), []):
+                pf = pq.ParquetFile(f)
+                for rb in pf.iter_batches(batch_size=65536,
+                                          columns=[vec_col]):
+                    flat = (rb.column(0).flatten()
+                            .to_numpy(zero_copy_only=False))
+                    su = _unit_rows(
+                        flat.reshape(rb.num_rows, -1).astype(np.float64))
+                    drop |= cross_hit_mask(su, mu, tau)
             if drop.all():
                 continue
             keep_ids = ids_c[~drop]
