@@ -121,12 +121,14 @@ def _write_shard(state_dir: str, subdir: str, part: int, prefix: str,
 @ray.remote(num_cpus=1)
 def _seal_split_task(state_dir: str, cand_rel: str, epoch: str,
                      part: int, seal_col: str, seal_add: int,
-                     new_wm: Optional[int], sort_cols: List[str]) -> dict:
+                     new_wm: Optional[int], sort_cols: List[str],
+                     _crash_sentinel: Optional[str] = None) -> dict:
     """Phase 2: split one merged candidate shard into sealed (final) vs
     still-open rows — seal when ``row[seal_col] + seal_add <= new_wm`` —
     and write each side as a uniquely-named shard. Pure function of the
     candidate file; retry-safe (new names, only returned names are
-    committed)."""
+    committed; a dead attempt's shards are never listed and are pruned
+    post-commit — pinned by the worker-loss injection test)."""
     t = pq.read_table(os.path.join(state_dir, cand_rel))
     df = t.to_pandas()
     if new_wm is not None and len(df):
@@ -146,6 +148,12 @@ def _seal_split_task(state_dir: str, cand_rel: str, epoch: str,
             state_dir, f"open.epoch={epoch}", part, "o",
             pa.Table.from_pandas(opn.reset_index(drop=True),
                                  schema=t.schema, preserve_index=False))
+    from calendar_event_entity_extraction_ray.stages.exchange import (
+        claim_crash_sentinel,
+    )
+
+    # worker-loss window: shards durable, names not yet returned
+    claim_crash_sentinel(_crash_sentinel)
     return out
 
 
@@ -172,7 +180,8 @@ def _prune_after_commit(state_dir: str, epoch: str, cand_rels: List[str],
 
 def _commit_epoch(state_dir: str, state: dict, epoch: str,
                   summaries: pd.DataFrame, seal_col: str, seal_add: int,
-                  sort_cols: List[str], late_us: int) -> dict:
+                  sort_cols: List[str], late_us: int,
+                  _crash_sentinel: Optional[str] = None) -> dict:
     """Shared driver tail for both window forms: compute the new
     watermark from the folds' maxima, seal-split every candidate shard
     in parallel, commit the state JSON, clean up."""
@@ -191,7 +200,8 @@ def _commit_epoch(state_dir: str, state: dict, epoch: str,
              if len(summaries) else summaries)
     refs = [_seal_split_task.remote(
         state_dir, r["cand"], epoch, int(r["part"]), seal_col,
-        seal_add, new_wm, sort_cols) for _, r in cands.iterrows()]
+        seal_add, new_wm, sort_cols, _crash_sentinel)
+        for _, r in cands.iterrows()]
     results = ray.get(refs)
 
     superseded_open = state["open_files"]
@@ -223,6 +233,7 @@ def tumbling_window_epoch(
     late_policy: str = "side_output",
     slide_minutes: Optional[int] = None,
     num_partitions: int = DEFAULT_PARTITIONS,
+    _crash_sentinel: Optional[str] = None,
 ) -> dict:
     """Ingest one epoch of events into the windowed-count state.
 
@@ -392,7 +403,8 @@ def tumbling_window_epoch(
     return _commit_epoch(state_dir, state, epoch, summaries,
                          seal_col="window_start_us", seal_add=win_us,
                          sort_cols=[key_col, "window_start_us"],
-                         late_us=late_us)
+                         late_us=late_us,
+                         _crash_sentinel=_crash_sentinel)
 
 
 def _merge_intervals(df: pd.DataFrame, key_col: str,
@@ -433,6 +445,7 @@ def session_window_epoch(
     allowed_lateness_minutes: int = 60,
     late_policy: str = "side_output",
     num_partitions: int = DEFAULT_PARTITIONS,
+    _crash_sentinel: Optional[str] = None,
 ) -> dict:
     """Session windows (gap-based) under the same watermark protocol as
     ``tumbling_window_epoch`` — the genuinely-streaming case, because
@@ -590,7 +603,8 @@ def session_window_epoch(
     return _commit_epoch(state_dir, state, epoch, summaries,
                          seal_col="end_us", seal_add=gap_us,
                          sort_cols=[key_col, "start_us"],
-                         late_us=late_us)
+                         late_us=late_us,
+                         _crash_sentinel=_crash_sentinel)
 
 
 def _read_listed(state_dir: str, rels: List[str],

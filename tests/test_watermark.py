@@ -384,3 +384,34 @@ class TestSlidingWatermark:
             tumbling_window_epoch(_events([10]),
                                   str(tmp_path / "sl3"), "e0",
                                   window_minutes=60, slide_minutes=45)
+
+
+class TestSealTaskWorkerLoss:
+    def test_seal_split_worker_kill_is_exact(self, ray_session, tmp_path):
+        """REAL worker loss inside the seal-split task — AFTER its
+        final/open shards land, BEFORE the names return. Ray retries;
+        only the retry's shards are listed, the dead attempt's orphans
+        are pruned post-commit; state identical to an uninjected run."""
+        import os
+
+        from calendar_event_entity_extraction_ray.stages.watermark import (
+            read_window_state,
+            tumbling_window_epoch,
+        )
+
+        def run(sd, sentinel=None):
+            tumbling_window_epoch(
+                _events([10, 20, 70, 200]), sd, "e0",
+                window_minutes=WIN, allowed_lateness_minutes=LATE,
+                _crash_sentinel=sentinel)
+            s1 = tumbling_window_epoch(
+                _events([30, 150, 260]), sd, "e1",
+                window_minutes=WIN, allowed_lateness_minutes=LATE)
+            return s1, read_window_state(sd).to_pandas()
+
+        s_ok, st_ok = run(str(tmp_path / "ctl"))
+        sentinel = str(tmp_path / "boom_seal")
+        s_cr, st_cr = run(str(tmp_path / "cr"), sentinel)
+        assert os.path.exists(sentinel), "injection never fired"
+        assert s_cr == s_ok
+        assert st_cr.values.tolist() == st_ok.values.tolist()
