@@ -380,13 +380,29 @@ class TestBroadcastRouting:
         ent = m["epochs"]["e1"]
         assert 0 < ent["alias_rows"] < ent["rows"]
         n_alias = ent["alias_rows"]
-        # threshold just above alias rows but far below total rows:
-        # must still broadcast (routing on totals would go exchange)
-        df = ER.lookup_surfaces(
-            _ds(["alpha", "missing"]), store, mode="auto",
-            broadcast_max_rows=n_alias).to_pandas()
+        # threshold exactly at alias rows but far below total rows:
+        # auto MUST pick broadcast (routing on totals would go
+        # exchange). The probe-distinct step uses the exchange once in
+        # EITHER regime; the exchange REGIME would use it twice — so
+        # count calls.
+        import calendar_event_entity_extraction_ray.stages.exchange as X
+
+        real, calls = X.hash_partition_map, []
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        X.hash_partition_map = spy
+        try:
+            df = ER.lookup_surfaces(
+                _ds(["alpha", "missing"]), store, mode="auto",
+                broadcast_max_rows=n_alias).to_pandas()
+        finally:
+            X.hash_partition_map = real
+        assert len(calls) == 1, "auto routed to the exchange regime"
         got = dict(zip(df["surface"], df["entity_id"]))
-        assert got["alpha"] == got.get("alpha") and pd.isna(got["missing"])
+        assert got["alpha"] is not None and pd.isna(got["missing"])
         # compaction preserves the alias-only count
         ER.compact_registry(store)
         m2 = ER._load_manifest(store)
