@@ -46,6 +46,10 @@ def main() -> int:
                     help="print the current window/session state")
     ap.add_argument("--read-late", action="store_true",
                     help="print the late side-output stream")
+    ap.add_argument("--read-final", action="store_true",
+                    help="print sealed windows/sessions across all "
+                         "epochs with their sealing epoch (the "
+                         "serving read)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -94,6 +98,11 @@ def main() -> int:
         t = wm.read_late_rows(args.state, key_col=args.key_col)
         print(t.to_pandas().to_string(index=False, max_rows=50))
         print({"late_rows": t.num_rows})
+    if args.read_final:
+        t = wm.read_final_windows(args.state)
+        print(t.to_pandas().to_string(index=False, max_rows=50))
+        print({"final_rows": t.num_rows,
+               "epochs": sorted(set(t.column("epoch").to_pylist()))})
 
     ray.shutdown()
     return 0
