@@ -5534,6 +5534,43 @@ def q_late_data_sessions(sf_dir: str) -> Any:
     return _int64(out, ["start_us", "end_us", "n"])
 
 
+def q_hist_state_quantiles(sf_dir: str) -> Any:
+    """Epoch-incremental per-key histogram state (stages/histstate.py):
+    two epochs of (event_type, value) rows (event_id parity) sum-merge
+    into a sparse (key, bucket) count table — buckets are exact integer
+    cents // 500 — and the serving read derives per-key quantile
+    BUCKETS at rank (q*total+99)//100 (integer ceil, bit-identical in
+    numpy and DuckDB). The oracle replays buckets + cumulative-window
+    rank selection over the full events table in SQL — state == batch
+    by the sum-merge argument."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from calendar_event_entity_extraction_ray.stages.histstate import (
+        hist_epoch,
+        read_quantiles,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+
+    def _half(parity: int):
+        def pick(b: pa.Table, _p=parity) -> pa.Table:
+            ids = b.column("event_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == _p))
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    sd = _tf.mkdtemp(prefix="cee_hist_")
+    try:
+        hist_epoch(_half(0), sd, "e1", width_cents=500)
+        hist_epoch(_half(1), sd, "e2", width_cents=500)
+        out = read_quantiles(sd, qs=[50, 90, 99])
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)  # result is eager
+    return _int64(out, ["n_total", "q50_bucket", "q90_bucket",
+                        "q99_bucket"])
+
+
 def q_sealed_windows_total(sf_dir: str) -> Any:
     """The SERVING read over sealed window outputs (stages/watermark.py:
     read_final_windows): three epochs of events (event_id mod 3) ingest
@@ -6024,6 +6061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_data_sessions": q_late_data_sessions,
         "late_data_sliding": q_late_data_sliding,
         "sealed_windows_total": q_sealed_windows_total,
+        "hist_state_quantiles": q_hist_state_quantiles,
     }
 
 
@@ -7730,6 +7768,34 @@ def oracle_sql() -> dict[str, str]:
             FROM final1
             UNION ALL SELECT event_type, ws, CAST(n AS BIGINT), 'open'
             FROM openf
+        """,
+        "hist_state_quantiles": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) // 500
+                       AS bucket
+              FROM events),
+            h AS (SELECT event_type, bucket, COUNT(*) AS n
+                  FROM b GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+                  FROM h GROUP BY 1),
+            c AS (SELECT event_type, bucket, n,
+                         CAST(SUM(n) OVER (PARTITION BY event_type
+                                           ORDER BY bucket
+                                           ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS cum
+                  FROM h),
+            q AS (SELECT c.event_type, qq.q, MIN(c.bucket) AS qb
+                  FROM c JOIN t USING (event_type)
+                  CROSS JOIN (VALUES (50), (90), (99)) AS qq(q)
+                  WHERE c.cum >= (qq.q * t.total + 99) // 100
+                  GROUP BY 1, 2)
+            SELECT t.event_type, t.total AS n_total,
+                   MAX(CASE WHEN q.q = 50 THEN q.qb END) AS q50_bucket,
+                   MAX(CASE WHEN q.q = 90 THEN q.qb END) AS q90_bucket,
+                   MAX(CASE WHEN q.q = 99 THEN q.qb END) AS q99_bucket
+            FROM t JOIN q USING (event_type)
+            GROUP BY 1, 2
         """,
         "sealed_windows_total": """
             WITH ev AS (

@@ -142,8 +142,9 @@ def run_bench() -> dict:
         "entity_registry", "grouped_sample_docs", "hll_state_distinct",
         "trending_users",
         # round-5: sealed-window serving read (sharded watermark state)
-        # + epoch-incremental SemDeDup
-        "sealed_windows_total", "semdedup_incremental"]
+        # + epoch-incremental SemDeDup + histogram state
+        "sealed_windows_total", "semdedup_incremental",
+        "hist_state_quantiles"]
     def _time_query(name: str) -> float:
         fn = E.queries()[name]
         t0 = time.time()

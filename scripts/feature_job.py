@@ -27,15 +27,21 @@ def main() -> int:
     ap.add_argument("--state", required=True, help="counter state dir")
     ap.add_argument("--input", help="events parquet (file or dir)")
     ap.add_argument("--epoch", help="epoch name for this ingest")
-    ap.add_argument("--kind", choices=("decay", "hll"), default="decay",
-                    help="state kind: decayed counters (default) or "
-                         "HLL approximate-distinct registers")
+    ap.add_argument("--kind", choices=("decay", "hll", "hist"),
+                    default="decay",
+                    help="state kind: decayed counters (default), HLL "
+                         "approximate-distinct registers, or per-key "
+                         "value histograms (exact bucket counts)")
     ap.add_argument("--key-col", default="user_id")
     ap.add_argument("--ts-col", default="ts")
     ap.add_argument("--value-col", default="event_type",
                     help="(--kind hll) the column whose per-key distinct "
                          "count the state tracks")
     ap.add_argument("--hll-p", type=int, default=12)
+    ap.add_argument("--hist-width", type=int, default=500,
+                    help="(--kind hist) bucket width in cents")
+    ap.add_argument("--hist-value-col", default="value",
+                    help="(--kind hist) numeric column to histogram")
     ap.add_argument("--half-life", type=int, default=48,
                     help="half-life hours")
     ap.add_argument("--cap", type=int, default=30,
@@ -58,6 +64,7 @@ def main() -> int:
     import ray.data
 
     from calendar_event_entity_extraction_ray.stages import featstate as fs
+    from calendar_event_entity_extraction_ray.stages import histstate as Hs
     from calendar_event_entity_extraction_ray.stages import hllstate as hs
 
     if args.input:
@@ -75,6 +82,14 @@ def main() -> int:
                 batch_format="pyarrow")
             s = hs.hll_distinct_epoch(ds, args.state, args.epoch,
                                       "k", "v", p=args.hll_p)
+        elif args.kind == "hist":
+            ds = ray.data.read_parquet(
+                args.input,
+                columns=[args.key_col, args.hist_value_col])
+            s = Hs.hist_epoch(ds, args.state, args.epoch,
+                              key_col=args.key_col,
+                              value_col=args.hist_value_col,
+                              width_cents=args.hist_width)
         else:
             ds = ray.data.read_parquet(
                 args.input, columns=[args.key_col, args.ts_col])
@@ -85,7 +100,12 @@ def main() -> int:
         print({"epoch": args.epoch, **s})
 
     if args.read:
-        if args.kind == "hll":
+        if args.kind == "hist":
+            t = Hs.read_quantiles(args.state, key_col=args.key_col)
+            print(t.to_string(index=False, max_rows=30))
+            print({"keys": len(t),
+                   "epochs": Hs._load_state(args.state)["epochs"]})
+        elif args.kind == "hll":
             t = hs.read_hll_distinct(args.state)
             t = t.sort_values("est", ascending=False)
             print(t.to_string(index=False, max_rows=30))
