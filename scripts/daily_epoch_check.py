@@ -83,6 +83,10 @@ def main() -> int:
                              f"{root}/hll", "--kind", "hll", "--epoch",
                              name, "--input", ev, "--value-col",
                              "event_type"])
+            out["hist"] = sh(["scripts/feature_job.py", "--state",
+                              f"{root}/hist", "--kind", "hist",
+                              "--key-col", "event_type", "--epoch",
+                              name, "--input", ev])
             out["embdedup"] = sh(["scripts/embstore_job.py", "--store",
                                   f"{root}/embdedup", "--epoch", name,
                                   "--input", embs])
@@ -121,6 +125,7 @@ def main() -> int:
         checks["windows_noop"] = "'noop': True" in rerun["windows"]
         checks["decay_noop"] = "'noop': True" in rerun["decay"]
         checks["hll_noop"] = "'noop': True" in rerun["hll"]
+        checks["hist_noop"] = "'noop': True" in rerun["hist"]
         checks["vectors_noop"] = "noop" in rerun["vectors"].lower()
         # corpus epoch re-run drops everything (fingerprints recorded)
         checks["corpus_rerun_empty"] = "'n_docs_out': 0" in rerun["corpus"]
